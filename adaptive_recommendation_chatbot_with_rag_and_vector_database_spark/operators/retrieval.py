@@ -1,0 +1,168 @@
+"""The reference's query path, Spark-first (SURVEY §3.2 restatement).
+
+Reference pipeline (/root/reference/AI.py): chunk (AI.py:84-85) → embed +
+upsert to cosine index (AI.py:48-55,96) → top-k retrieve (AI.py:135-139,
+k=4 default) → "stuff" context concat (AI.py:142,99-105) → LLM (outside
+the engine's deterministic surface) → refusal predicate + first-line cut
+(AI.py:176-185).
+
+Spark shapes, chosen for the 100 TB posture:
+
+- ``build_chunk_index``: chunker UDF + posexplode + embedding UDF, plus a
+  ``sha2`` content hash per chunk — the storage-backed equivalent of the
+  reference's LRU memoization (AI.py:89-96): an idempotent writer can
+  anti-join on ``content_hash`` and skip re-embedding identical content.
+- ``topk_cosine``: the query vector rides along as a broadcast-sized
+  literal; scoring is JVM-side (functions.vector) and the top-k is
+  ``orderBy(desc).limit(k)``, which Catalyst executes as
+  ``TakeOrderedAndProject`` — per-partition heaps + driver merge, never a
+  global sort. That is exactly the distributed form of a vector-index
+  top-k scan.
+- ``knn_join``: N queries × M index. The query side is broadcast (it is
+  the small side by construction); the per-query cut is a window
+  ``row_number() <= k``. At 100 TB index scale the broadcast avoids
+  shuffling the index entirely — the only full pass is the scan itself.
+  For sub-linear behavior see operators/similarity.py (LSH / IVF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.chunker import DEFAULT_CHUNK_SIZE, chunk_documents
+from ..functions.embedder import EMBED_DIM, embedding_udf
+from ..functions.vector import cosine_sim
+
+# Reference constants (BASELINE.md): retrieval k=4, refusal prefix.
+DEFAULT_K = 4
+REFUSAL_PREFIX = "The context provided does not contain specific information"
+REFUSAL_MESSAGE = (
+    "I'm sorry, I can only answer questions related to the provided context."
+)
+
+
+def build_chunk_index(
+    docs: DataFrame,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """documents → chunk_embeddings(doc_id, chunk_id, text, embedding,
+    content_hash); the engine's vector-index build (S4 + F6 + F8)."""
+    chunks = chunk_documents(docs, chunk_size=chunk_size)
+    embed = embedding_udf(dim)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "text",
+        embed(F.col("text")).alias("embedding"),
+        F.sha2(F.col("text"), 256).alias("content_hash"),
+    )
+
+
+def write_index_if_absent(index: DataFrame, spark, table: str = "chunk_embeddings") -> None:
+    """Create-if-absent index sink (S4/S5; reference existence check at
+    /root/reference/AI.py:48). Catalog check + saveAsTable."""
+    if not spark.catalog.tableExists(table):
+        index.write.saveAsTable(table)
+
+
+def topk_cosine(
+    index: DataFrame,
+    query_vec,
+    k: int = DEFAULT_K,
+    vec_col: str = "embedding",
+    id_cols: tuple[str, ...] = ("vec_id",),
+    payload_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Top-k cosine similarity search for ONE query vector (J1/O1).
+
+    ``query_vec`` is a Python list/np array; it becomes an array literal
+    in the plan (broadcast to every task for free). Deterministic
+    tie-break on the first id column.
+    """
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = index.select(
+        *id_cols,
+        *payload_cols,
+        cosine_sim(F.col(vec_col), qcol).alias("score"),
+    )
+    # orderBy+limit → TakeOrderedAndProject (no global sort at scale)
+    return scored.orderBy(F.desc("score"), *[F.asc(c) for c in id_cols]).limit(k)
+
+
+def knn_join(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = DEFAULT_K,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    index_id: str = "vec_id",
+    index_vec: str = "embedding",
+) -> DataFrame:
+    """Batch kNN join (J2/J8/O3): per query row, the k nearest index rows
+    by cosine. Exact (brute-force) — the oracle-checkable baseline; the
+    approximate scale path lives in operators/similarity.py.
+
+    Index side vectors are assumed L2-normalized upstream when
+    ``normalized=True`` semantics are needed; here full cosine is used.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
+        )
+    )
+    scored = index.crossJoin(q).select(
+        F.col("__qid").alias(query_id),
+        F.col(index_id),
+        cosine_sim(F.col(index_vec), F.col("__qvec")).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(index_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def stuff_context(
+    retrieved: DataFrame,
+    group_cols: tuple[str, ...] = (),
+    text_col: str = "text",
+    order_col: str = "score",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Order-preserving "stuff" context assembly (A1; reference
+    create_stuff_documents_chain at /root/reference/AI.py:142): concat
+    retrieved chunk texts, best score first, into one ``context`` string.
+
+    Implemented with ``collect_list`` over structs + ``array_sort`` +
+    ``transform`` + ``concat_ws`` — a map-side-combining hash aggregate,
+    no custom UDAF (SURVEY §2.10 D4).
+    """
+    # array_sort on structs sorts ascending by the first field; negate
+    # the score so the best-scoring chunk comes first.
+    pair = F.struct(
+        (-F.col(order_col).cast("double")).alias("o"), F.col(text_col).alias("t")
+    )
+    agg = F.concat_ws(
+        sep, F.transform(F.array_sort(F.collect_list(pair)), lambda s: s["t"])
+    ).alias("context")
+    if group_cols:
+        return retrieved.groupBy(*group_cols).agg(agg)
+    return retrieved.groupBy().agg(agg)
+
+
+def postprocess_answers(
+    answers: DataFrame,
+    answer_col: str = "answer",
+    refusal_prefix: str = REFUSAL_PREFIX,
+    refusal_message: str = REFUSAL_MESSAGE,
+) -> DataFrame:
+    """Refusal predicate + first-line projection (P1+P2; reference
+    /root/reference/AI.py:176-185): an answer starting with the refusal
+    prefix becomes the canned message; otherwise keep its first line."""
+    col = F.col(answer_col)
+    cleaned = F.when(
+        col.startswith(refusal_prefix), F.lit(refusal_message)
+    ).otherwise(F.split(col, "\n").getItem(0))
+    return answers.withColumn(answer_col, cleaned)

@@ -1,0 +1,47 @@
+"""SparkSession factory.
+
+Local-mode defaults are tuned for the test harness (local[N], single JVM)
+while every setting is also the right call on a real cluster:
+
+- AQE on (runtime join-strategy switch, partition coalescing, skew-join
+  splitting) — at 100 TB these are what keep shuffle-heavy plans healthy.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a cluster
+  this would be ~2-3× total executor cores, and AQE coalesces down.
+- Arrow enabled so the pandas-UDF boundary (chunker/embedder) is batched,
+  never per-row.
+- Session timezone pinned to UTC so timestamps hash identically to the
+  DuckDB oracle (duckdb timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "rag_engine", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all local cores.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # fixture events.parquet stores TIMESTAMP(NANOS); read as long and
+        # convert in the loader (DuckDB equally truncates ns→µs)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
