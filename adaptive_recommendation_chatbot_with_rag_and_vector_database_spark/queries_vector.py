@@ -1,1 +1,216 @@
-"""Placeholder — filled in later this round."""
+"""Vector / retrieval operator coverage (SURVEY §2.3 J1-J2, §2.4 A1,
+§2.6 O1/O3, §2.1 S4): top-k cosine search, batch kNN join, context
+stuffing, index build — the reference's entire retrieval surface
+(/root/reference/AI.py:48-55,96,135-142) over the fixture tables.
+
+Oracle strategy: scoring uses DuckDB ``list_cosine_similarity`` on
+``DOUBLE[]`` casts; the Spark side computes the identical double-
+precision left-fold via ``zip_with`` + ``aggregate``. Scores are
+rounded to 6 decimals on BOTH sides, and every top-k cut orders by the
+rounded score with a ``vec_id`` tie-break, so the k-boundary is
+hash-stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.vector import cosine_sim
+from .operators.retrieval import build_chunk_index
+from .registry import query
+from .sources.loaders import load_table
+
+# Query side of the kNN join: one probe row every 50 ids (10 probes over
+# the 500-row fixture index) — scan-friendly and self-contained in SQL.
+_KNN_PROBE_FILTER = "vec_id % 50 = 0"
+_K = 4
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "embeddings", sf_dir)
+
+
+def _query_vec_df(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> DataFrame:
+    return (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") == vec_id)
+        .select(F.col("embedding").alias("qvec"))
+    )
+
+
+@query(
+    "q_topk_cosine",
+    oracle=f"""
+    SELECT vec_id, label,
+           round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6) AS score
+    FROM embeddings,
+         (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
+    ORDER BY score DESC, vec_id ASC
+    LIMIT {_K}
+    """,
+)
+def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine similarity search for one query vector (J1/O1) —
+    the reference's retrieval call (/root/reference/AI.py:135-139,
+    cosine metric AI.py:52, k=4 default AI.py:138). The single-row
+    query side is broadcast; orderBy+limit executes as
+    TakeOrderedAndProject (per-partition heaps, no global sort) — the
+    shape that scans a 100 TB index at full parallelism."""
+    emb = _emb(spark, sf_dir)
+    q = F.broadcast(_query_vec_df(spark, sf_dir, 0))
+    return (
+        emb.crossJoin(q)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_sim(F.col("embedding"), F.col("qvec")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(_K)
+    )
+
+
+@query(
+    "q_knn_join",
+    oracle=f"""
+    SELECT query_id, vec_id, score, rnk FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                          q.embedding::DOUBLE[]), 6) AS score,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                     q.embedding::DOUBLE[]), 6) DESC,
+                        e.vec_id ASC
+             ) AS rnk
+      FROM embeddings e, (SELECT * FROM embeddings WHERE {_KNN_PROBE_FILTER}) q
+      WHERE e.vec_id <> q.vec_id
+    ) WHERE rnk <= {_K}
+    """,
+)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN join (J2/J8/O3): N probe vectors × M index rows, exact
+    brute force, k best per probe (self-matches excluded). The probe
+    side is broadcast so the index — the 100 TB side — is never
+    shuffled; the per-probe cut is a window row_number. The sub-linear
+    alternative is operators/similarity.lsh_knn (q_ann_lsh)."""
+    emb = _emb(spark, sf_dir)
+    probes = F.broadcast(
+        emb.filter(F.expr(_KNN_PROBE_FILTER)).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+    )
+    scored = (
+        emb.crossJoin(probes)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_sim(F.col("embedding"), F.col("qvec")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _K
+    )
+
+
+@query(
+    "q_stuff_context",
+    oracle=f"""
+    WITH top AS (
+      SELECT e.vec_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+      FROM embeddings e,
+           (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
+      WHERE e.vec_id <> 0
+      ORDER BY score DESC, e.vec_id ASC
+      LIMIT {_K}
+    )
+    SELECT string_agg(d.text, chr(10) || chr(10) ORDER BY t.score DESC, t.vec_id ASC)
+             AS context,
+           count(*) AS n_chunks
+    FROM top t JOIN documents d ON d.doc_id = t.vec_id
+    """,
+)
+def q_stuff_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-stuff (J1 + J3 + A1): the reference's
+    create_stuff_documents_chain (/root/reference/AI.py:142,99-105) —
+    top-k retrieval joined to its payload texts, concatenated
+    best-first into one ``{{context}}`` string."""
+    emb = _emb(spark, sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    q = F.broadcast(_query_vec_df(spark, sf_dir, 0))
+    top = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            F.round(cosine_sim(F.col("embedding"), F.col("qvec")), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(_K)
+    )
+    joined = top.join(docs, top.vec_id == docs.doc_id)
+    pair = F.struct(
+        (-F.col("score")).alias("o"), F.col("vec_id").alias("v"), F.col("text").alias("t")
+    )
+    return joined.agg(
+        F.concat_ws(
+            "\n\n", F.transform(F.array_sort(F.collect_list(pair)), lambda s: s["t"])
+        ).alias("context"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+
+
+def _probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _emb(spark, sf_dir)
+        .filter(F.expr(_KNN_PROBE_FILTER))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+
+
+@query("q_ann_lsh")  # approximate by design → rows-only oracle
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN via banded cosine LSH (scale path for J2): pairs
+    meet on (band, code) equi-join buckets instead of a cross product.
+    Recall vs exact brute force is asserted in tests (≥0.9 @ k=4)."""
+    from .operators.similarity import lsh_knn
+
+    return lsh_knn(_probes(spark, sf_dir), _emb(spark, sf_dir), k=_K)
+
+
+@query("q_ann_ivf")  # approximate by design → rows-only oracle
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN via IVF-Flat (scale path for J2): driver-trained
+    codebook, cell-pruned candidate join, exact re-rank."""
+    from .operators.similarity import ivf_knn
+
+    return ivf_knn(_probes(spark, sf_dir), _emb(spark, sf_dir), k=_K)
+
+
+@query("q_build_index")  # chunk boundaries are not SQL-expressible → rows-only
+def q_build_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-index build (S4+F5+F6+F8): documents → recursive chunks →
+    deterministic embeddings + sha2 content hash — the engine's version
+    of the reference's embed-and-upsert (/root/reference/AI.py:96) with
+    content-hash idempotency replacing its LRU cache (AI.py:89-96).
+    Rows-only oracle: the recursive chunker is not SQL-expressible."""
+    docs = load_table(spark, "documents", sf_dir)
+    idx = build_chunk_index(docs)
+    # project embedding stats rather than the raw vectors: deterministic,
+    # schema-stable, and exercises the full build
+    return idx.select(
+        "doc_id",
+        "chunk_id",
+        F.length("text").alias("chunk_len"),
+        "content_hash",
+        F.round(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+            ),
+            4,
+        ).alias("embedding_sq_norm"),
+    )
