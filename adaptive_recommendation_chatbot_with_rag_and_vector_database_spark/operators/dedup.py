@@ -1,0 +1,199 @@
+"""Deduplication operators (SURVEY §2.11 X1/X2; BASELINE.json north
+star). The reference's only dedup-shaped mechanism is its LRU cache
+keyed on full chunk contents (/root/reference/AI.py:89-96) — exact
+dedup by content identity. The scale generalizations below are the
+standard LLM-corpus pipeline:
+
+- ``exact_dedup``     — content-hash groupBy, keep min-id representative.
+- ``minhash_near_dup``— MinHash signatures → banded LSH buckets →
+  candidate pairs via bucket equi-join → exact Jaccard verification.
+  Only bucket-colliding pairs are ever compared: the join is on a
+  band-key string, shuffle-partitionable, never a cross product.
+- ``simhash_near_dup``— Charikar simhash + byte-band blocking +
+  Hamming-distance verification.
+- ``jaccard_join``    — exact token-set Jaccard over blocked pairs
+  (the verification primitive, also exposed directly).
+- ``embedding_near_dup`` — cosine-threshold pairs over an embedding
+  column (semantic near-dup).
+
+All sketches are Catalyst expressions over md5-based portable hashes
+(functions/text.py) — deterministic, UDF-free, oracle-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    distinct_tokens,
+    fingerprint,
+    minhash_bands,
+    minhash_signature,
+    simhash,
+    token_hashes,
+)
+from ..functions.vector import cosine_sim
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One representative row (min id) per normalized-content
+    fingerprint: (content_hash, rep_id, n_copies)."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias(f"rep_{id_col}"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _with_sketch(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = distinct_tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        toks.alias("toks"),
+        token_hashes(toks).alias("tokh"),
+    )
+
+
+def minhash_candidates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) that collide in ≥1 LSH band."""
+    sk = _with_sketch(df, id_col, text_col).select(
+        id_col, "toks", minhash_bands(minhash_signature(F.col("tokh"))).alias("bands")
+    )
+    b = sk.select(
+        id_col, "toks", F.posexplode("bands").alias("band", "key")
+    )
+    left = b.select(
+        F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"), "band", "key"
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"), "band", "key"
+    )
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "toks_a", "toks_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _jaccard(toks_a, toks_b):
+    inter = F.size(F.array_intersect(toks_a, toks_b)).cast("double")
+    union = (F.size(toks_a) + F.size(toks_b)).cast("double") - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_near_dup(
+    df: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidates verified by exact Jaccard ≥ threshold:
+    (id_a, id_b, jaccard)."""
+    cand = minhash_candidates(df, id_col, text_col)
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(_jaccard(F.col("toks_a"), F.col("toks_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_values(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash) — 32-bit packed simhash per document."""
+    sk = _with_sketch(df, id_col, text_col)
+    return sk.select(id_col, simhash(F.col("tokh")).alias("simhash"))
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance ≤ max_hamming, blocked
+    on the 4 signature bytes (a pair within distance 3 must agree on at
+    least one byte — pigeonhole over 4 blocks)."""
+    sh = simhash_values(df, id_col, text_col)
+    bytes_arr = F.array(
+        *[
+            F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255))
+            for i in range(4)
+        ]
+    )
+    blocked = sh.select(
+        id_col, "simhash", F.posexplode(bytes_arr).alias("block", "byte")
+    )
+    a = blocked.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "block", "byte"
+    )
+    b = blocked.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "block", "byte"
+    )
+    pairs = (
+        a.join(b, ["block", "byte"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def jaccard_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    threshold: float = 0.0,
+    id_left: str = "id_a",
+    id_right: str = "id_b",
+    toks_left: str = "toks_a",
+    toks_right: str = "toks_b",
+) -> DataFrame:
+    """Exact token-set Jaccard over explicitly blocked pairs."""
+    joined = left.join(right, on).filter(F.col(id_left) < F.col(id_right))
+    return joined.select(
+        id_left,
+        id_right,
+        F.round(_jaccard(F.col(toks_left), F.col(toks_right)), 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_filter: str | None = None,
+) -> DataFrame:
+    """Semantic near-dup: pairs with cosine ≥ threshold. ``probe_filter``
+    (SQL predicate on the left side) bounds the pair space; at scale the
+    real pre-filter is an ANN bucketing (operators/similarity.py)."""
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    if probe_filter:
+        a = a.filter(F.expr(probe_filter.replace(id_col, "id_a")))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_sim(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

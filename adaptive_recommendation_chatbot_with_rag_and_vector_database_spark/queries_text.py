@@ -1,1 +1,408 @@
-"""Placeholder — filled in later this round."""
+"""Dedup + text-analysis operator coverage (SURVEY §2.11 X1-X4;
+BASELINE.json north-star pipeline operators) over the ``documents`` and
+``embeddings`` tables.
+
+The DuckDB oracle SQL for the sketch queries (minhash, simhash) is
+GENERATED from the same constants the Spark expressions use
+(functions/text.py: MINHASH_A/B, MERSENNE_P, STOPWORDS...), with the
+portable md5-prefix hash — so both engines compute bit-identical
+sketches from two independent implementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.text import (
+    LANG_PRIORITY,
+    MERSENNE_P,
+    MINHASH_A,
+    MINHASH_B,
+    N_BANDS,
+    N_MINHASH,
+    SIMHASH_BITS,
+    STOPWORDS,
+    TOKEN_REGEX,
+    distinct_tokens,
+    fingerprint,
+    lang_pred,
+    lang_scores,
+    minhash_bands,
+    minhash_signature,
+    punct_ratio,
+    quality_score,
+    simhash,
+    stopword_ratio,
+    token_count_bpe,
+    token_count_ws,
+    token_hashes,
+    tokens,
+    word_bigrams,
+)
+from .operators.dedup import embedding_near_dup, exact_dedup, jaccard_join
+from .registry import query
+from .sources.loaders import load_table
+
+# --- shared DuckDB SQL fragments (from the same constants) -----------------
+
+_SQL_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+_SQL_DTOKS = f"list_distinct({_SQL_TOKS})"
+_SQL_TOKH = (
+    f"list_transform({_SQL_DTOKS}, "
+    f"t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % {MERSENNE_P})"
+)
+
+
+def _sql_lang_score(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_intersect(dtoks, [{words}]))"
+
+
+def _sql_lang_pred() -> str:
+    cases = []
+    for i, lang in enumerate(LANG_PRIORITY[:-1]):
+        rest = LANG_PRIORITY[i + 1 :]
+        rest_expr = (
+            f"greatest({', '.join('s_' + o for o in rest)})"
+            if len(rest) > 1
+            else f"s_{rest[0]}"
+        )
+        cases.append(f"WHEN s_{lang} >= {rest_expr} THEN '{lang}'")
+    all_scores = ", ".join("s_" + l for l in LANG_PRIORITY)
+    return (
+        f"CASE WHEN greatest({all_scores}) = 0 THEN 'unknown' "
+        + " ".join(cases)
+        + f" ELSE '{LANG_PRIORITY[-1]}' END"
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "documents", sf_dir)
+
+
+# --- exact dedup (X1) ------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+           min(doc_id) AS rep_doc_id,
+           count(*)    AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content fingerprint (X1) — the
+    storage-scale form of the reference's content-keyed LRU cache
+    (/root/reference/AI.py:89-96): hash-groupBy, min-id representative."""
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+# --- minhash (X2) ----------------------------------------------------------
+
+
+def _sql_minhash_bands() -> str:
+    sigs = [
+        f"coalesce(list_min(list_transform(tokh, h -> ({a} * h + {b}) % {MERSENNE_P})), {MERSENNE_P}) AS s{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    per = N_MINHASH // N_BANDS
+    bands = [
+        " || '-' || ".join(f"s{b * per + j}::VARCHAR" for j in range(per))
+        for b in range(N_BANDS)
+    ]
+    band_cols = ", ".join(f"({expr}) AS band{b}" for b, expr in enumerate(bands))
+    return f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKH} AS tokh FROM documents),
+    sig AS (SELECT doc_id, {', '.join(sigs)} FROM tok)
+    SELECT doc_id, {band_cols} FROM sig
+    """
+
+
+@query("q_dedup_minhash", oracle=_sql_minhash_bands())
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH sketch (X2): per-document banded signature keys —
+    the buckets whose equi-join produces candidate pairs (full pair
+    pipeline: operators/dedup.minhash_near_dup, planted-dup tested).
+    Oracle recomputes the identical signatures from shared constants."""
+    docs = _docs(spark, sf_dir)
+    sk = docs.select(
+        "doc_id",
+        minhash_bands(minhash_signature(token_hashes(distinct_tokens("text")))).alias(
+            "bands"
+        ),
+    )
+    return sk.select(
+        "doc_id",
+        *[F.col("bands")[b].alias(f"band{b}") for b in range(N_BANDS)],
+    )
+
+
+# --- simhash (X2) ----------------------------------------------------------
+
+
+def _sql_simhash() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(tokh, h -> ((h >> {j}) & 1) * 2 - 1)) >= 0 "
+        f"THEN {2**j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKH} AS tokh FROM documents)
+    SELECT doc_id,
+           (CASE WHEN len(tokh) = 0 THEN 0 ELSE {bit_terms} END)::BIGINT AS simhash
+    FROM tok
+    """
+
+
+@query("q_dedup_simhash", oracle=_sql_simhash())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charikar simhash sketch (X2): 32-bit packed signature per doc;
+    Hamming-blocked pair detection lives in operators/dedup
+    (simhash_near_dup, planted-dup tested)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", simhash(token_hashes(distinct_tokens("text"))).alias("simhash")
+    )
+
+
+# --- n-gram jaccard (X2) ---------------------------------------------------
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang,
+             list_distinct(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+               ELSE [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+             END) AS bigrams
+      FROM tok
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(
+             CASE WHEN len(a.bigrams) + len(b.bigrams) -
+                       len(list_intersect(a.bigrams, b.bigrams)) > 0
+               THEN len(list_intersect(a.bigrams, b.bigrams))::DOUBLE /
+                    (len(a.bigrams) + len(b.bigrams)
+                     - len(list_intersect(a.bigrams, b.bigrams)))
+               ELSE 0.0 END, 6) AS jaccard
+    FROM grams a JOIN grams b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id AND a.doc_id % 10 = 0
+    WHERE len(list_intersect(a.bigrams, b.bigrams)) > 0
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard similarity over blocked pairs (X2): language
+    blocking + a probe-side decimation bound the pair space; only pairs
+    sharing ≥1 bigram are emitted."""
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(word_bigrams(tokens("text"))).alias("bigrams"),
+    )
+    a = grams.select(
+        F.col("doc_id").alias("id_a"), "lang", F.col("bigrams").alias("toks_a")
+    ).filter(F.col("id_a") % 10 == 0)
+    b = grams.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("bigrams").alias("toks_b"),
+    )
+    pairs = jaccard_join(
+        a,
+        b,
+        on=(F.col("lang") == F.col("lang_b")) & (F.col("id_a") < F.col("id_b")),
+    )
+    return pairs.filter(F.col("jaccard") > 0)
+
+
+# --- embedding cosine near-dup (X2 semantic) -------------------------------
+
+
+@query(
+    "q_dedup_embedding",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id % 10 = 0 AND a.vec_id < b.vec_id
+      AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 6) >= 0.25
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (X2 semantic form): probe-side
+    decimation bounds the pair space; the unbounded scale path is ANN
+    bucketing (operators/similarity.py)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return embedding_near_dup(emb, threshold=0.25, probe_filter="vec_id % 10 = 0")
+
+
+# --- text analysis (X3) ----------------------------------------------------
+
+
+@query(
+    "q_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len({_SQL_TOKS}) AS ws_tokens,
+           len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (X3): whitespace tokens + BPE-ish regex tokens."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count_ws("text").alias("ws_tokens"),
+        token_count_bpe("text").alias("bpe_tokens"),
+    )
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, {_SQL_DTOKS} AS dtoks FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+             {', '.join(f'{_sql_lang_score(l)} AS s_{l}' for l in LANG_PRIORITY)}
+      FROM tok
+    )
+    SELECT doc_id, lang AS labeled_lang, {_sql_lang_pred()} AS pred_lang,
+           {', '.join('s_' + l for l in LANG_PRIORITY)}
+    FROM scored
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language id (X3): stopword-overlap argmax with a
+    deterministic tie order. (Fixture text is synthetic word salad, so
+    the interesting property is determinism + cross-engine parity, not
+    linguistic accuracy.)"""
+    docs = _docs(spark, sf_dir)
+    dt = distinct_tokens("text")
+    scores = lang_scores(dt)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_pred(dt).alias("pred_lang"),
+        *[scores[l].alias(f"s_{l}") for l in LANG_PRIORITY],
+    )
+
+
+@query(
+    "q_quality_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, text, {_SQL_TOKS} AS toks, {_SQL_DTOKS} AS dtoks
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+        len(toks) AS n_tokens,
+        CASE WHEN length(text) > 0
+          THEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE / length(text)
+          ELSE 0.0 END AS punct_ratio,
+        CASE WHEN len(dtoks) > 0
+          THEN len(list_intersect(dtoks,
+            [{', '.join(sorted(repr(w) for ws in STOPWORDS.values() for w in ws))}]
+          ))::DOUBLE / len(dtoks)
+          ELSE 0.0 END AS stop_ratio
+      FROM tok
+    )
+    SELECT doc_id, n_tokens, round(punct_ratio, 6) AS punct_ratio,
+           round(stop_ratio, 6) AS stop_ratio,
+           round(0.4 * least(n_tokens / 100.0, 1.0)
+                 + 0.4 * stop_ratio
+                 + 0.2 * (1.0 - least(punct_ratio * 5.0, 1.0)), 6) AS quality
+    FROM feat
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality heuristic (X3): token volume + stopword density
+    + punctuation penalty → [0,1] score."""
+    docs = _docs(spark, sf_dir)
+    dt = distinct_tokens("text")
+    return docs.select(
+        "doc_id",
+        token_count_ws("text").alias("n_tokens"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(dt), 6).alias("stop_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+@query(
+    "q_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint (X3/F6)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", fingerprint("text").alias("fingerprint")
+    )
+
+
+@query(
+    "q_multimodal_extract",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           octet_length(encode(text)) AS byte_len
+    FROM documents
+    """,
+)
+def q_multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: documents → synthetic binary
+    assets → Arrow-batched mapInPandas featurization. The byte_len
+    column is oracle-checked; the richer features (entropy, histogram)
+    are verified against a pure-Python reference in tests (real codec
+    decode is stubbed — operators/multimodal.py)."""
+    from .operators.multimodal import extract_features, synth_assets_from_documents
+
+    assets = synth_assets_from_documents(_docs(spark, sf_dir))
+    return extract_features(assets).select("asset_id", "kind", "byte_len")
+
+
+@query(
+    "q_text_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, text, {_SQL_TOKS} AS toks FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(len(toks)), 6) AS avg_tokens,
+           round(avg(length(text)), 6) AS avg_chars,
+           min(len(toks)) AS min_tokens,
+           max(len(toks)) AS max_tokens
+    FROM tok
+    GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level text statistics per language slice (X3/X4)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("lang", F.length("text").alias("chars"), token_count_ws("text").alias("nt"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("nt"), 6).alias("avg_tokens"),
+            F.round(F.avg("chars"), 6).alias("avg_chars"),
+            F.min("nt").alias("min_tokens"),
+            F.max("nt").alias("max_tokens"),
+        )
+    )
