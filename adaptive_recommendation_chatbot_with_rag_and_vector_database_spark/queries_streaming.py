@@ -1,1 +1,184 @@
-"""Placeholder — filled in later this round."""
+"""Streaming-surface queries (SURVEY §2.9 T1-T4), batch-first.
+
+Per the batch-first rule (SURVEY §2.9), every operator here is the
+batch twin runnable on ``events.parquet`` so the DuckDB oracle can
+check it; the true streaming execution (``readStream`` →
+``applyInPandasWithState`` / windowed agg → ``writeStream``) of the
+SAME builders is verified in tests/test_streaming.py via
+batch/stream result equality.
+
+Watermark divergence (T4), documented per SURVEY: the reference's
+session store accepts arbitrarily late appends
+(/root/reference/AI.py:24 — plain list append); our streaming engine
+DROPS events later than the watermark. ``q_stream_watermark`` defines
+that semantic exactly (arrival order = ``event_id``; watermark =
+running max event time − 10 min) so it is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import query
+from .sources.loaders import load_table
+from .streaming.session_state import replay_sessions_batch
+
+SESSION_GAP = "30 minutes"
+WATERMARK_DELAY = "10 minutes"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "events", sf_dir)
+
+
+# --- T1: keyed session state ------------------------------------------------
+
+
+@query(
+    "q_stateful_session",
+    oracle="""
+    WITH lc AS (
+      SELECT user_id, max(event_id) AS clear_id
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    )
+    SELECT e.user_id,
+           count(*) AS total_events,
+           sum(CASE WHEN e.event_type = 'signup' THEN 1 ELSE 0 END) AS n_clears,
+           sum(CASE WHEN lc.clear_id IS NULL OR e.event_id > lc.clear_id
+                    THEN 1 ELSE 0 END) AS n_since_clear,
+           max(e.ts) AS last_ts
+    FROM events e LEFT JOIN lc ON e.user_id = lc.user_id
+    GROUP BY e.user_id
+    """,
+)
+def q_stateful_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed session state (T1): get-or-create / append / clear-tombstone
+    replay of the reference's session store (/root/reference/AI.py:155-161,
+    23-30). Batch twin = grouped-map replay; the applyInPandasWithState
+    streaming path over the identical state machine is equality-tested in
+    tests/test_streaming.py."""
+    return replay_sessions_batch(_events(spark, sf_dir))
+
+
+# --- T2: tumbling event-time windows ---------------------------------------
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (T2) via ``F.window`` — the
+    exact operator the streaming plan uses (epoch-aligned, so identical
+    to date_trunc in the oracle)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+# --- T3: session windows ----------------------------------------------------
+
+
+@query(
+    "q_stream_session_window",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '{SESSION_GAP}'
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM o
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM s
+    GROUP BY user_id, sid
+    """,
+)
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows, 30-min inactivity gap (T3) via
+    ``F.session_window`` — a new session starts when the gap to the
+    previous event is >= the gap (Spark merges windows overlapping in
+    [ts, ts+gap)); the oracle restates that as gaps-and-islands."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --- T4: watermark / late-data drop ----------------------------------------
+
+
+@query(
+    "q_stream_watermark",
+    oracle=f"""
+    WITH r AS (
+      SELECT ts,
+             max(ts) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM events
+    )
+    SELECT date_trunc('hour', ts) AS window_start,
+           count(*) AS n_total,
+           sum(CASE WHEN prev_max IS NULL
+                      OR ts >= prev_max - INTERVAL '{WATERMARK_DELAY}'
+                    THEN 1 ELSE 0 END) AS n_kept
+    FROM r
+    GROUP BY 1
+    """,
+)
+def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics (T4), made exact for the oracle:
+    arrival order = event_id, watermark = running max(ts) − 10 min, a
+    row is dropped iff it arrives older than the watermark. The global
+    arrival-order window is inherently single-partition — this query
+    exists to PIN the drop rule; the production path is
+    ``withWatermark`` where Spark tracks the max per-partition and
+    merges (no global sort)."""
+    ev = _events(spark, sf_dir)
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    prev_max = F.max("ts").over(w)
+    kept = (
+        prev_max.isNull()
+        | (F.col("ts") >= prev_max - F.expr(f"INTERVAL {WATERMARK_DELAY}"))
+    ).cast("long")
+    return (
+        ev.select("ts", kept.alias("kept"))
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_total"), F.sum("kept").alias("n_kept"))
+    )

@@ -1,0 +1,122 @@
+"""Keyed session state (SURVEY §2.9 T1) — the streaming restatement of
+the reference's session store (/root/reference/AI.py:155-161 get-or-create,
+AI.py:23-24,168,182 append, AI.py:29-30,232-235 clear).
+
+State machine, per key (``user_id`` plays the session id):
+
+- events are processed in ``event_id`` (arrival) order;
+- ``signup`` is the **clear tombstone**: it resets the message buffer
+  (``n_since_clear`` → 0) and bumps ``n_clears`` — the streaming twin of
+  ``SimpleChatMessageHistory.clear``;
+- every other event type appends (``n_since_clear`` += 1);
+- ``total_events`` / ``last_ts`` track the full history.
+
+The SAME pure replay loop backs both execution modes:
+
+- **batch twin** (oracle-checkable): ``groupBy(user_id).applyInPandas`` —
+  one Arrow batch per key, replayed in order;
+- **streaming**: ``groupBy(user_id).applyInPandasWithState`` — identical
+  replay seeded from the persisted ``GroupState``, so a key whose events
+  arrive across many micro-batches converges to the same answer as the
+  batch twin (asserted in tests/test_streaming.py).
+
+Scale note: state is O(1) per key (four counters), never the message
+list itself — at 100 TB / billions of sessions the state store stays
+small; the full history remains addressable via the batch A6 query
+(``q_session_history``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+OUTPUT_SCHEMA = (
+    "user_id bigint, total_events bigint, n_clears bigint, "
+    "n_since_clear bigint, last_ts timestamp"
+)
+# last_ts persisted as int64 microseconds: primitive state columns only.
+STATE_SCHEMA = (
+    "total_events bigint, n_clears bigint, n_since_clear bigint, last_ts_us bigint"
+)
+
+CLEAR_EVENT = "signup"
+
+_US = 1_000_000
+
+
+def _replay(
+    pdf: pd.DataFrame,
+    total: int = 0,
+    clears: int = 0,
+    since: int = 0,
+    last_us: int | None = None,
+) -> tuple[int, int, int, int | None]:
+    """Replay one key's events (arrival order) over carried-in state."""
+    pdf = pdf.sort_values("event_id")
+    ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs (truncating, as DuckDB)
+    for et, t in zip(pdf["event_type"], ts_us):
+        total += 1
+        if et == CLEAR_EVENT:
+            clears += 1
+            since = 0
+        else:
+            since += 1
+        if last_us is None or t > last_us:
+            last_us = int(t)
+    return total, clears, since, last_us
+
+
+def _row(user_id: Any, total: int, clears: int, since: int, last_us: int | None):
+    return pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "total_events": [total],
+            "n_clears": [clears],
+            "n_since_clear": [since],
+            "last_ts": [pd.Timestamp(last_us * 1000) if last_us is not None else None],
+        }
+    )
+
+
+def replay_sessions_batch(events: DataFrame) -> DataFrame:
+    """Batch twin: full replay per key via grouped-map pandas (D3)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        total, clears, since, last_us = _replay(pdf)
+        return _row(pdf["user_id"].iloc[0], total, clears, since, last_us)
+
+    return (
+        events.select("user_id", "event_id", "event_type", "ts")
+        .groupBy("user_id")
+        .applyInPandas(fn, OUTPUT_SCHEMA)
+    )
+
+
+def replay_sessions_streaming(events_stream: DataFrame) -> DataFrame:
+    """Streaming path: same replay, state carried across micro-batches."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            total, clears, since, last_us = state.get
+        else:
+            total, clears, since, last_us = 0, 0, 0, None
+        for pdf in pdfs:
+            total, clears, since, last_us = _replay(pdf, total, clears, since, last_us)
+        state.update((total, clears, since, last_us))
+        yield _row(key[0], total, clears, since, last_us)
+
+    return (
+        events_stream.select("user_id", "event_id", "event_type", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, OUTPUT_SCHEMA, STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -1,0 +1,190 @@
+"""True Structured-Streaming execution of the §2.9 operators, asserted
+equal to their oracle-checked batch twins (the unified-API invariant;
+watermark drops excepted, per SURVEY §2.9).
+
+The fixture events table is re-written as multiple parquet files split
+by event_id range with strictly increasing mtimes, so a file-source
+stream with maxFilesPerTrigger=1 replays them as ordered micro-batches
+— exercising real state carry-over across batches."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.sources.loaders import (
+    load_table,
+)
+from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.streaming.session_state import (
+    replay_sessions_batch,
+    replay_sessions_streaming,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+N_SPLITS = 3
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    """Events split into N ordered parquet files (one micro-batch each)."""
+    base = tmp_path_factory.mktemp("events_stream")
+    ev = load_table(spark, "events", SF_DIR)
+    max_id = ev.agg(F.max("event_id")).first()[0]
+    step = (max_id + N_SPLITS) // N_SPLITS
+    for i in range(N_SPLITS):
+        part = ev.filter(
+            (F.col("event_id") >= i * step) & (F.col("event_id") < (i + 1) * step)
+        ).coalesce(1)
+        d = base / f"part{i}"
+        part.write.mode("overwrite").parquet(str(d))
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1
+        dst = base / f"{i:03d}.parquet"
+        os.rename(d / files[0], dst)
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    return str(base)
+
+
+def _read_stream(spark, stream_dir, per_trigger=True):
+    ev = load_table(spark, "events", SF_DIR)
+    reader = spark.readStream.schema(ev.schema)
+    if per_trigger:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    return reader.parquet(stream_dir)
+
+
+def _run(df, name, mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_stateful_session_stream_equals_batch(spark, stream_dir):
+    """T1: applyInPandasWithState across 3 micro-batches converges to
+    the batch-twin replay (state survives batch boundaries)."""
+    _run(
+        replay_sessions_streaming(_read_stream(spark, stream_dir)),
+        "t1_state",
+        "update",
+    )
+    out = spark.sql("SELECT * FROM t1_state").toPandas()
+    # update mode emits one row per key per touching batch; the final
+    # state has the (monotonically increasing) max total_events per key
+    final = out.sort_values("total_events").groupby("user_id").tail(1)
+    got = {
+        int(r.user_id): (int(r.total_events), int(r.n_clears), int(r.n_since_clear), r.last_ts)
+        for r in final.itertuples()
+    }
+    batch = replay_sessions_batch(load_table(spark, "events", SF_DIR)).collect()
+    want = {
+        r.user_id: (r.total_events, r.n_clears, r.n_since_clear, r.last_ts)
+        for r in batch
+    }
+    assert got == want
+
+
+def test_tumbling_stream_equals_batch(spark, stream_dir):
+    """T2: streaming tumbling-window agg (complete mode) == batch."""
+    agg = (
+        _read_stream(spark, stream_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    _run(agg, "t2_tumbling", "complete")
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM t2_tumbling").collect()
+    }
+    batch = (
+        load_table(spark, "events", SF_DIR)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        .collect()
+    )
+    want = {(r.window_start, r.event_type): r.n_events for r in batch}
+    assert got == want
+
+
+def test_session_window_stream_equals_batch(spark, stream_dir):
+    """T3: streaming session windows (complete mode) == batch — windows
+    merge correctly even when a session spans micro-batches."""
+    def sessions(df):
+        return (
+            df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+        )
+
+    _run(sessions(_read_stream(spark, stream_dir)), "t3_session", "complete")
+    got = {
+        (r.user_id, r.session_start): r.n_events
+        for r in spark.sql("SELECT * FROM t3_session").collect()
+    }
+    want = {
+        (r.user_id, r.session_start): r.n_events
+        for r in sessions(load_table(spark, "events", SF_DIR)).collect()
+    }
+    assert got == want
+
+
+def test_watermark_append_emits_closed_windows(spark, stream_dir):
+    """T4: append mode + watermark emits only finalized windows, and
+    every emitted count matches the batch count for that window (the
+    in-order file replay produces no late data, so no drops)."""
+    agg = (
+        _read_stream(spark, stream_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    _run(agg, "t4_watermark", "append")
+    emitted = spark.sql("SELECT * FROM t4_watermark").collect()
+    assert emitted, "append mode should finalize windows across 3 batches"
+    batch = {
+        r.window_start: r.n_events
+        for r in load_table(spark, "events", SF_DIR)
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    for r in emitted:
+        assert batch[r.window_start] == r.n_events
+    # windows still open at end-of-stream are withheld, never wrong
+    assert len(emitted) < len(batch)
+
+
+def test_streaming_dedup(spark, stream_dir, tmp_path):
+    """T5: dropDuplicatesWithinWatermark removes exact duplicates —
+    a doubled corpus streams down to the distinct event count."""
+    import shutil
+
+    dup_dir = tmp_path / "dup"
+    dup_dir.mkdir()
+    for f in os.listdir(stream_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(stream_dir, f), dup_dir / f)
+            shutil.copy(os.path.join(stream_dir, f), dup_dir / ("copy_" + f))
+    deduped = (
+        _read_stream(spark, str(dup_dir), per_trigger=False)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    _run(deduped, "t5_dedup", "append")
+    n = spark.sql("SELECT count(DISTINCT event_id) AS n FROM t5_dedup").first().n
+    total = spark.sql("SELECT count(*) AS n FROM t5_dedup").first().n
+    expected = load_table(spark, "events", SF_DIR).count()
+    assert n == expected
+    assert total == expected
