@@ -194,10 +194,16 @@ def fingerprint(text: Column | str) -> Column:
 
 
 def word_bigrams(toks: Column) -> Column:
-    """Adjacent word bigrams ('a b') from a token array (order kept)."""
-    return F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-        )
+    """Adjacent word bigrams ('a b') from a token array (order kept).
+
+    zip_with over two slices streams both arrays once — no per-index
+    element_at, so cost is linear even if Catalyst inlines ``toks``.
+    Pass a *materialized* column (see sources/loaders.scatter) when the
+    token array is itself an expensive expression.
+    """
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda x, y: F.concat_ws(" ", x, y),
     )

@@ -171,6 +171,66 @@ def jaccard_join(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def inverted_index_jaccard(
+    grams: DataFrame,
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+    grams_col: str = "bigrams",
+    probe_pred=None,
+    threshold: float = 0.0,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard via an inverted index: explode grams,
+    equi-join on (block, gram) so ONLY pairs sharing ≥1 gram ever
+    materialize, count shared grams per pair, derive Jaccard from set
+    sizes. Compared to blocked-pair + array_intersect this replaces an
+    O(|block|²) pair space with one scaled by actual co-occurrence, and
+    the shuffle key is the gram itself — partitionable at corpus scale.
+
+    ``max_df`` (document frequency cap) drops grams occurring in more
+    than that many documents before the self-join: the standard
+    stop-shingle guard against skewed join keys at 100 TB. None = exact
+    (no gram dropped); results then match the naive definition exactly.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    sized = grams.select(
+        F.col(id_col),
+        F.col(block_col).alias("_blk"),
+        F.col(grams_col).alias("_grams"),
+        F.size(grams_col).alias("_sz"),
+    )
+    ex = sized.select(id_col, "_blk", "_sz", F.explode("_grams").alias("_gram"))
+    if max_df is not None:
+        df_counts = ex.groupBy("_blk", "_gram").agg(F.count(F.lit(1)).alias("_df"))
+        ex = ex.join(
+            df_counts.filter(F.col("_df") <= max_df).drop("_df"), ["_blk", "_gram"]
+        )
+    a = ex.select(
+        F.col(id_col).alias("id_a"), "_blk", "_gram", F.col("_sz").alias("_sz_a")
+    )
+    if probe_pred is not None:
+        a = a.filter(probe_pred(F.col("id_a")))
+    b = ex.select(
+        F.col(id_col).alias("id_b"), "_blk", "_gram", F.col("_sz").alias("_sz_b")
+    )
+    inter = (
+        a.join(b, ["_blk", "_gram"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "_sz_a", "_sz_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("_inter"))
+    )
+    jac = F.round(
+        F.col("_inter")
+        / (F.col("_sz_a") + F.col("_sz_b") - F.col("_inter")).cast("double"),
+        6,
+    )
+    return (
+        inter.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float,
@@ -181,14 +241,19 @@ def embedding_near_dup(
     """Semantic near-dup: pairs with cosine ≥ threshold. ``probe_filter``
     (SQL predicate on the left side) bounds the pair space; at scale the
     real pre-filter is an ANN bucketing (operators/similarity.py)."""
+    from ..sources.loaders import scatter
+
     a = df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
     )
     if probe_filter:
         a = a.filter(F.expr(probe_filter.replace(id_col, "id_a")))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    # scatter the full (right) side: pair scoring parallelizes over it
+    b = scatter(
+        df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    )
     return (
-        a.crossJoin(b)
+        b.crossJoin(F.broadcast(a))  # broadcast probes; stream the index
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",

@@ -48,8 +48,14 @@ def build_chunk_index(
     dim: int = EMBED_DIM,
 ) -> DataFrame:
     """documents → chunk_embeddings(doc_id, chunk_id, text, embedding,
-    content_hash); the engine's vector-index build (S4 + F6 + F8)."""
-    chunks = chunk_documents(docs, chunk_size=chunk_size)
+    content_hash); the engine's vector-index build (S4 + F6 + F8).
+
+    The input is scattered to engine parallelism first: the chunker and
+    embedder are the pipeline's two Python stages, and a small
+    single-file scan would otherwise feed them ONE task."""
+    from ..sources.loaders import scatter
+
+    chunks = chunk_documents(scatter(docs), chunk_size=chunk_size)
     embed = embedding_udf(dim)
     return chunks.select(
         "doc_id",

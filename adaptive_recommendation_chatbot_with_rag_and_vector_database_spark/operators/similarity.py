@@ -73,9 +73,12 @@ def lsh_knn(
     """Approximate kNN via banded cosine LSH; returns
     (query_id, vec_id, score, rnk) with rnk <= k per probe. Pairs that
     share no band bucket are never scored — that is the approximation."""
+    from ..sources.loaders import scatter
+
     rng = np.random.RandomState(SEED)
     planes = rng.normal(size=(n_planes, dim))
 
+    index = scatter(index)  # signature computation at full parallelism
     idx_b = index.select(
         F.col(index_id),
         F.col(index_vec),
@@ -164,10 +167,13 @@ def ivf_knn(
     centroid cell, probe the ``nprobe`` nearest cells per query, exact
     re-rank within candidates. At scale the index side would be written
     partitioned by ``cell`` so probing prunes partitions at the scan."""
+    from ..sources.loaders import scatter
+
     if centroids is None:
+        # train BEFORE scattering: sample order stays scan-deterministic
         centroids = train_centroids_sample(index, n_cells, index_vec)
 
-    idx_c = index.select(
+    idx_c = scatter(index).select(
         F.col(index_id),
         F.col(index_vec),
         _nearest_cells(F.col(index_vec), centroids, 1)[0].alias("cell"),

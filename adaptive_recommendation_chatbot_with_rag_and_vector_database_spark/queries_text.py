@@ -40,9 +40,13 @@ from .functions.text import (
     tokens,
     word_bigrams,
 )
-from .operators.dedup import embedding_near_dup, exact_dedup, jaccard_join
+from .operators.dedup import (
+    embedding_near_dup,
+    exact_dedup,
+    inverted_index_jaccard,
+)
 from .registry import query
-from .sources.loaders import load_table
+from .sources.loaders import load_table, scatter
 
 # --- shared DuckDB SQL fragments (from the same constants) -----------------
 
@@ -128,12 +132,17 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the buckets whose equi-join produces candidate pairs (full pair
     pipeline: operators/dedup.minhash_near_dup, planted-dup tested).
     Oracle recomputes the identical signatures from shared constants."""
-    docs = _docs(spark, sf_dir)
-    sk = docs.select(
+    # Barrier after the md5 token hashes: the 32 permutation lambdas in
+    # minhash_signature then read a materialized attribute instead of
+    # re-hashing every token per permutation (sources/loaders.scatter).
+    tokh = scatter(
+        _docs(spark, sf_dir).select(
+            "doc_id", token_hashes(distinct_tokens("text")).alias("tokh")
+        )
+    )
+    sk = tokh.select(
         "doc_id",
-        minhash_bands(minhash_signature(token_hashes(distinct_tokens("text")))).alias(
-            "bands"
-        ),
+        minhash_bands(minhash_signature(F.col("tokh"))).alias("bands"),
     )
     return sk.select(
         "doc_id",
@@ -163,9 +172,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charikar simhash sketch (X2): 32-bit packed signature per doc;
     Hamming-blocked pair detection lives in operators/dedup
     (simhash_near_dup, planted-dup tested)."""
-    return _docs(spark, sf_dir).select(
-        "doc_id", simhash(token_hashes(distinct_tokens("text"))).alias("simhash")
+    tokh = scatter(
+        _docs(spark, sf_dir).select(
+            "doc_id", token_hashes(distinct_tokens("text")).alias("tokh")
+        )
     )
+    return tokh.select("doc_id", simhash(F.col("tokh")).alias("simhash"))
 
 
 # --- n-gram jaccard (X2) ---------------------------------------------------
@@ -198,29 +210,24 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-bigram Jaccard similarity over blocked pairs (X2): language
-    blocking + a probe-side decimation bound the pair space; only pairs
-    sharing ≥1 bigram are emitted."""
-    docs = _docs(spark, sf_dir)
-    grams = docs.select(
-        "doc_id",
-        "lang",
-        F.array_distinct(word_bigrams(tokens("text"))).alias("bigrams"),
+    """Word-bigram Jaccard similarity (X2) via an inverted index: pairs
+    materialize only where a bigram is actually shared (equi-join on the
+    bigram within a language block), so the pair space scales with
+    co-occurrence, not |block|². Probe-side decimation mirrors the
+    oracle's bound."""
+    # Barrier after the bigram arrays: both sides of the inverted-index
+    # self-join reuse ONE materialized exchange (ReuseExchange) instead
+    # of re-tokenizing the corpus per side.
+    grams = scatter(
+        _docs(spark, sf_dir).select(
+            "doc_id",
+            "lang",
+            F.array_distinct(word_bigrams(tokens("text"))).alias("bigrams"),
+        )
     )
-    a = grams.select(
-        F.col("doc_id").alias("id_a"), "lang", F.col("bigrams").alias("toks_a")
-    ).filter(F.col("id_a") % 10 == 0)
-    b = grams.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("bigrams").alias("toks_b"),
-    )
-    pairs = jaccard_join(
-        a,
-        b,
-        on=(F.col("lang") == F.col("lang_b")) & (F.col("id_a") < F.col("id_b")),
-    )
-    return pairs.filter(F.col("jaccard") > 0)
+    return inverted_index_jaccard(
+        grams, probe_pred=lambda ida: ida % 10 == 0
+    ).filter(F.col("jaccard") > 0)
 
 
 # --- embedding cosine near-dup (X2 semantic) -------------------------------

@@ -95,6 +95,8 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is broadcast so the index — the 100 TB side — is never
     shuffled; the per-probe cut is a window row_number. The sub-linear
     alternative is operators/similarity.lsh_knn (q_ann_lsh)."""
+    from .sources.loaders import scatter
+
     emb = _emb(spark, sf_dir)
     probes = F.broadcast(
         emb.filter(F.expr(_KNN_PROBE_FILTER)).select(
@@ -102,7 +104,7 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        emb.crossJoin(probes)
+        scatter(emb).crossJoin(probes)
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",

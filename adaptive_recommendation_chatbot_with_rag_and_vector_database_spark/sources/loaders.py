@@ -40,6 +40,25 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     return df
 
 
+def scatter(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition to engine parallelism. Two jobs in one:
+
+    1. Small single-file inputs arrive as ONE partition; per-row
+       expensive stages (UDFs, sketch expressions) would run on one
+       core. At cluster scale the scan has many splits and this is a
+       no-op cost-wise; on small files it is the difference between 1
+       and ``defaultParallelism`` concurrent tasks.
+    2. The exchange is an optimizer barrier: Catalyst's CollapseProject
+       re-inlines aliased columns into downstream higher-order-function
+       lambdas, re-evaluating the alias PER lambda reference (measured
+       10×+ on minhash/bigram sketches). A projection computed *before*
+       the shuffle is physically materialized, so downstream lambdas
+       read an attribute instead of recomputing an expression.
+    """
+    spark = df.sparkSession
+    return df.repartition(partitions or spark.sparkContext.defaultParallelism)
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {name: load_table(spark, name, sf_dir) for name in TABLES}
 
