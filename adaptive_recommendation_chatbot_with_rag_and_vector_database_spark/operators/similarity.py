@@ -15,47 +15,66 @@ join shape that survives a 100 TB index:
   candidates).
 - ``ivf_knn``: inverted-file index (IVF-Flat, à la Faiss). Centroids
   are trained driver-side on a bounded sample (classic IVF practice —
-  the codebook is tiny and static), broadcast as literals; assignment
-  and probing are pure Catalyst expressions. Probing ``nprobe`` of
-  ``n_cells`` cells scans ~nprobe/n_cells of the index.
+  the codebook is tiny and static) and shipped in a UDF closure.
+  Probing ``nprobe`` of ``n_cells`` cells scans ~nprobe/n_cells of the
+  index.
 
-Both are deterministic (fixed seed → fixed planes/centroids) and keep
-every per-row computation JVM-side; numpy appears only at codebook
-training time on the driver.
+Both are deterministic (fixed seed → fixed planes/centroids). Signature
+and cell assignment are Arrow-batched numpy matrix multiplies (dense
+vector math is the one place a vectorized kernel beats interpreted
+Catalyst folds by ~100×); candidate re-ranking stays JVM-side so exact
+and approximate paths score identically.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.vector import cosine_sim
 
 SEED = 42
 
 
-def _dot_lit(vec_col, plane: np.ndarray):
-    lit = F.array(*[F.lit(float(x)) for x in plane])
-    return F.aggregate(
-        F.zip_with(vec_col, lit, lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def _band_codes(vec_col, planes: np.ndarray, n_bands: int):
-    """Bit signature from hyperplane signs, packed into per-band codes."""
+def _band_codes_udf(planes: np.ndarray, n_bands: int):
+    """Arrow-batched band codes: one (batch × dim) @ (dim × planes)
+    matrix multiply per batch, sign bits packed into per-band integer
+    codes. The codebook rides to executors inside the UDF closure (it
+    is tiny and static — the broadcast-variable shape). A per-plane
+    Catalyst expression would evaluate an interpreted fold per plane
+    per row; the numpy kernel is two orders of magnitude faster."""
     n_planes = planes.shape[0]
     per_band = n_planes // n_bands
-    bits = [(_dot_lit(vec_col, planes[i]) >= 0).cast("int") for i in range(n_planes)]
-    codes = []
-    for b in range(n_bands):
-        code = F.lit(0)
-        for j in range(per_band):
-            code = code * 2 + bits[b * per_band + j]
-        codes.append(code)
-    return F.array(*codes)
+    weights = (2 ** np.arange(per_band - 1, -1, -1)).astype(np.int64)
+    pl = planes.T.copy()  # dim × n_planes
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType(), containsNull=False))
+    def codes(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # batch × dim
+        bits = (mat.astype(np.float64) @ pl >= 0).astype(np.int64)
+        banded = bits.reshape(len(mat), n_bands, per_band) @ weights
+        return pd.Series(list(banded.astype(np.int32)))
+
+    return codes
+
+
+def _nearest_cells_udf(centroids: np.ndarray, n: int):
+    """Arrow-batched IVF cell assignment: cosine scores against the
+    broadcast codebook in one matrix multiply, stable argsort (ties →
+    lower cell id), top-``n`` cell ids per vector."""
+    cb = centroids.T.copy()  # dim × n_cells
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType(), containsNull=False))
+    def cells(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        sims = mat @ cb
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return cells
 
 
 def lsh_knn(
@@ -78,20 +97,17 @@ def lsh_knn(
     rng = np.random.RandomState(SEED)
     planes = rng.normal(size=(n_planes, dim))
 
+    codes = _band_codes_udf(planes, n_bands)
     index = scatter(index)  # signature computation at full parallelism
     idx_b = index.select(
         F.col(index_id),
         F.col(index_vec),
-        F.posexplode(_band_codes(F.col(index_vec), planes, n_bands)).alias(
-            "band", "code"
-        ),
+        F.posexplode(codes(F.col(index_vec))).alias("band", "code"),
     )
     prb_b = probes.select(
         F.col(query_id),
         F.col(query_vec),
-        F.posexplode(_band_codes(F.col(query_vec), planes, n_bands)).alias(
-            "band", "code"
-        ),
+        F.posexplode(codes(F.col(query_vec))).alias("band", "code"),
     )
     cand = (
         idx_b.join(F.broadcast(prb_b), ["band", "code"])
@@ -137,20 +153,6 @@ def train_centroids_sample(
     return centroids
 
 
-def _nearest_cells(vec_col, centroids: np.ndarray, n: int):
-    """Indices of the n nearest centroids as an array column (JVM-side:
-    score array → sorted (score, idx) structs → slice)."""
-    scores = F.array(*[_dot_lit(vec_col, c) for c in centroids])
-    ranked = F.array_sort(
-        F.zip_with(
-            scores,
-            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-            lambda s, i: F.struct((-s).alias("neg"), i.alias("cell")),
-        )
-    )
-    return F.transform(F.slice(ranked, 1, n), lambda s: s["cell"])
-
-
 def ivf_knn(
     probes: DataFrame,
     index: DataFrame,
@@ -173,15 +175,17 @@ def ivf_knn(
         # train BEFORE scattering: sample order stays scan-deterministic
         centroids = train_centroids_sample(index, n_cells, index_vec)
 
+    assign1 = _nearest_cells_udf(centroids, 1)
+    assignp = _nearest_cells_udf(centroids, nprobe)
     idx_c = scatter(index).select(
         F.col(index_id),
         F.col(index_vec),
-        _nearest_cells(F.col(index_vec), centroids, 1)[0].alias("cell"),
+        assign1(F.col(index_vec))[0].alias("cell"),
     )
     prb_c = probes.select(
         F.col(query_id),
         F.col(query_vec),
-        F.explode(_nearest_cells(F.col(query_vec), centroids, nprobe)).alias("cell"),
+        F.explode(assignp(F.col(query_vec))).alias("cell"),
     )
     cand = (
         idx_c.join(F.broadcast(prb_c), "cell")

@@ -43,20 +43,17 @@ def flagship(
     )
 
     # Assemble the stuffed context (best chunk first) and attach it to
-    # every retrieved row — a broadcastable 1-row aggregate.
-    ctx = top.select(
-        F.concat_ws(
-            "\n\n",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct((-F.col("score")).alias("o"), F.col("text").alias("t"))
-                    )
-                ),
-                lambda s: s["t"],
-            ),
-        ).alias("context")
+    # every retrieved row. A global-frame window over the k retrieved
+    # rows keeps the whole pipeline ONE plan subtree — an aggregate-
+    # and-rejoin would execute the chunk→embed→score lineage twice.
+    # The unpartitioned window is safe here: its input is exactly k rows
+    # (post TakeOrderedAndProject), never the corpus.
+    from pyspark.sql import Window
+
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pair = F.struct((-F.col("score")).alias("o"), F.col("text").alias("t"))
+    ctx = F.concat_ws(
+        "\n\n",
+        F.transform(F.array_sort(F.collect_list(pair).over(w)), lambda s: s["t"]),
     )
-    return top.crossJoin(F.broadcast(ctx)).select(
-        "chunk_id", "doc_id", "score", "text", "context"
-    )
+    return top.select("chunk_id", "doc_id", "score", "text", ctx.alias("context"))
