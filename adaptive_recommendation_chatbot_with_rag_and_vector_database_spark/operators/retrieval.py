@@ -73,6 +73,55 @@ def write_index_if_absent(index: DataFrame, spark, table: str = "chunk_embedding
         index.write.saveAsTable(table)
 
 
+def write_index_incremental(
+    docs: DataFrame,
+    path: str,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    dim: int = EMBED_DIM,
+) -> int:
+    """Content-hash-incremental index build — the storage-backed form of
+    the reference's LRU memoization (/root/reference/AI.py:89-96, keyed
+    on chunk contents): chunks whose ``sha2`` content hash already
+    exists in the index at ``path`` are anti-joined away BEFORE the
+    embedder runs, so re-indexing an unchanged corpus embeds nothing.
+
+    At scale this is the only index-build shape that works: embedding is
+    the expensive stage (a model call per chunk), and the anti-join on
+    the hash — a shuffle on a high-cardinality uniform key — costs a
+    scan of the existing index's hash column only (column-pruned
+    parquet read). Appends new rows; returns how many chunks were newly
+    embedded."""
+    from ..sources.loaders import scatter
+
+    spark = docs.sparkSession
+    chunks = chunk_documents(scatter(docs), chunk_size=chunk_size).withColumn(
+        "content_hash", F.sha2(F.col("text"), 256)
+    )
+    try:
+        existing = spark.read.parquet(path).select("content_hash").distinct()
+        chunks = chunks.join(existing, "content_hash", "left_anti")
+    except Exception:
+        pass  # no index yet → everything is new
+    embed = embedding_udf(dim)
+    new_rows = chunks.select(
+        "doc_id",
+        "chunk_id",
+        "text",
+        embed(F.col("text")).alias("embedding"),
+        "content_hash",
+    )
+    # localCheckpoint would also work; count-then-append keeps it simple
+    # and the count is the caller's idempotency signal.
+    new_rows = new_rows.persist()
+    try:
+        n = new_rows.count()
+        if n:
+            new_rows.write.mode("append").parquet(path)
+        return n
+    finally:
+        new_rows.unpersist()
+
+
 def topk_cosine(
     index: DataFrame,
     query_vec,

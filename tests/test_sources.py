@@ -1,0 +1,89 @@
+"""Binary document source (S2/S3) and incremental index sink (S4+F6)."""
+
+from __future__ import annotations
+
+import pytest
+
+from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators.retrieval import (
+    write_index_incremental,
+)
+from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.sources.binary_docs import (
+    load_binary_documents,
+    path_doc_id,
+    pdf_extractor,
+    utf8_extractor,
+)
+
+
+@pytest.fixture()
+def corpus_dir(tmp_path):
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha document with some words")
+    (d / "b.txt").write_text("beta document\n\nsecond paragraph")
+    (d / "bad.bin").write_bytes(b"\xff\xfe\xfa broken \xff")
+    return str(d)
+
+
+def test_binary_scan_extracts_utf8(spark, corpus_dir):
+    docs = load_binary_documents(spark, corpus_dir, glob="*.txt").orderBy("path")
+    rows = docs.collect()
+    assert [r.text for r in rows] == [
+        "alpha document with some words",
+        "beta document\n\nsecond paragraph",
+    ]
+    assert all(r.doc_id == path_doc_id(r.path) for r in rows)
+    assert all(r.byte_len > 0 for r in rows)
+
+
+def test_invalid_bytes_yield_empty_text_not_failure(spark, corpus_dir):
+    # the reference's silent-null contract (/root/reference/AI.py:68-71)
+    docs = load_binary_documents(spark, corpus_dir)  # includes bad.bin
+    by_path = {r.path.rsplit("/", 1)[-1]: r.text for r in docs.collect()}
+    assert by_path["bad.bin"] == ""
+    assert by_path["a.txt"].startswith("alpha")
+
+
+def test_pdf_extractor_is_stubbed_loudly():
+    with pytest.raises(NotImplementedError):
+        pdf_extractor(b"%PDF-1.4 fake")
+
+
+def test_doc_id_deterministic_and_positive():
+    assert path_doc_id("/x/y.txt") == path_doc_id("/x/y.txt")
+    assert path_doc_id("/x/y.txt") != path_doc_id("/x/z.txt")
+    assert path_doc_id("/x/y.txt") > 0
+
+
+def test_incremental_index_skips_existing_content(spark, tmp_path):
+    idx = str(tmp_path / "chunk_index")
+    def prose(tag: str) -> str:
+        return " ".join(f"{tag} sentence number {i} of the corpus." for i in range(30))
+
+    docs1 = spark.createDataFrame(
+        [(1, prose("first")), (2, prose("second"))],
+        "doc_id long, text string",
+    )
+    n1 = write_index_incremental(docs1, idx, chunk_size=200)
+    assert n1 > 0
+
+    # identical corpus → nothing new embedded (the LRU-cache semantics)
+    assert write_index_incremental(docs1, idx, chunk_size=200) == 0
+
+    # one new doc → only its chunks are appended
+    docs2 = docs1.union(
+        spark.createDataFrame([(3, prose("third"))], "doc_id long, text string")
+    )
+    n3 = write_index_incremental(docs2, idx, chunk_size=200)
+    assert 0 < n3 < n1 + n3
+
+    total = spark.read.parquet(idx)
+    assert total.count() == n1 + n3
+    assert total.select("content_hash").distinct().count() == n1 + n3
+    assert set(total.schema.fieldNames()) == {
+        "doc_id",
+        "chunk_id",
+        "text",
+        "embedding",
+        "content_hash",
+    }
