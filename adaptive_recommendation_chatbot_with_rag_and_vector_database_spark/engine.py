@@ -1,0 +1,159 @@
+"""The reference's complete user surface as one engine class.
+
+A user of the reference does four things (SURVEY §3): stage documents
+(/root/reference/AI.py:191-201), build the vector index (AI.py:48-96),
+ask questions against it (AI.py:163-185), and manage per-session chat
+history (AI.py:155-161,232-235). ``RagEngine`` exposes exactly those
+verbs on Spark:
+
+- ``index_documents`` / ``index_files`` — chunk → embed → parquet
+  index, content-hash incremental (the reference's LRU memoization at
+  AI.py:89-96, storage-backed — re-indexing unchanged content embeds
+  nothing).
+- ``retrieve`` / ``ask`` — embed question → top-k cosine
+  (TakeOrderedAndProject) → order-preserving context stuffing →
+  pluggable answerer → refusal/first-line post-processing
+  (AI.py:176-185). The query *rewrite hook* (AI.py:137-139) is
+  pluggable and defaults to pass-through, which is also the reference's
+  effective behavior (its history is never written — SURVEY §3.2).
+- ``history`` / ``clear_session`` — append-only per-session message
+  log with get-or-create and clear semantics (AI.py:155-161,29-30).
+  The log lives driver-side like the reference's in-process ``store``
+  dict; the scale path for massive event logs is the streaming surface
+  (streaming/session_state.py), not this convenience store.
+
+The LLM call itself stays outside the deterministic engine (SURVEY
+§3.2 non-goal): ``answerer`` is any ``(question, context) -> str``
+callable; the default answers extractively from the best chunk so the
+whole pipeline is deterministic and testable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.chunker import DEFAULT_CHUNK_SIZE
+from .functions.embedder import EMBED_DIM, embed_text
+from .operators.retrieval import (
+    DEFAULT_K,
+    REFUSAL_PREFIX,
+    postprocess_answers,
+    topk_cosine,
+    write_index_incremental,
+)
+from .sources.binary_docs import load_binary_documents, utf8_extractor
+
+
+def passthrough_rewrite(question: str, history: list[dict]) -> str:
+    """Default query-rewrite hook: identity. The reference wires a
+    history-aware rewriter (AI.py:137-139) but never populates the
+    history it reads, so pass-through is its effective behavior."""
+    return question
+
+
+def extractive_answerer(question: str, context: str) -> str:
+    """Deterministic default answerer: the first context line, or a
+    refusal-shaped answer when there is no context at all (which the
+    post-processor then canonicalizes, AI.py:176-179)."""
+    if not context:
+        return REFUSAL_PREFIX + " to answer this question."
+    return context.split("\n")[0]
+
+
+@dataclass
+class RagEngine:
+    spark: SparkSession
+    index_path: str
+    k: int = DEFAULT_K  # reference default k=4 (AI.py:138)
+    chunk_size: int = DEFAULT_CHUNK_SIZE  # 1000 chars (AI.py:209)
+    dim: int = EMBED_DIM
+    rewrite: Callable[[str, list[dict]], str] = passthrough_rewrite
+    answerer: Callable[[str, str], str] = extractive_answerer
+    _sessions: dict[str, list[dict]] = field(default_factory=dict)
+
+    # -- index build (S2-S5, F5, F6, F8) -----------------------------------
+
+    def index_documents(self, docs: DataFrame) -> int:
+        """Chunk+embed ``docs(doc_id, text, ...)`` into the index;
+        returns newly embedded chunk count (0 ⇒ fully cached)."""
+        return write_index_incremental(
+            docs, self.index_path, chunk_size=self.chunk_size, dim=self.dim
+        )
+
+    def index_files(
+        self,
+        path: str,
+        glob: str | None = None,
+        extractor: Callable[[bytes], str] = utf8_extractor,
+    ) -> int:
+        """Stage-free file ingestion (reference staged uploads to /tmp,
+        AI.py:194-201; a distributed scan reads in place)."""
+        docs = load_binary_documents(self.spark, path, glob, extractor)
+        return self.index_documents(docs)
+
+    def index(self) -> DataFrame:
+        return self.spark.read.parquet(self.index_path)
+
+    # -- query path (J1, O1, A1, P1, P2) ------------------------------------
+
+    def retrieve(self, question: str, k: int | None = None) -> DataFrame:
+        """Top-k chunks for a question: one broadcastable literal query
+        vector scored against the index scan."""
+        qvec = embed_text(question, self.dim)
+        return topk_cosine(
+            self.index(),
+            qvec,
+            k=k or self.k,
+            id_cols=("doc_id", "chunk_id"),
+            payload_cols=("text",),
+        )
+
+    def ask(self, question: str, session_id: str | None = None) -> dict:
+        """Full reference query path; returns the reference's result
+        shape {input, context, answer} (AI.py:173-185) plus the
+        retrieved rows."""
+        history = self._sessions.get(session_id, []) if session_id else []
+        effective = self.rewrite(question, history)
+        retrieved = self.retrieve(effective).collect()  # k rows, k≈4
+        context = "\n\n".join(r.text for r in retrieved)
+        raw = self.answerer(effective, context)
+        answer = (
+            postprocess_answers(
+                self.spark.createDataFrame([(raw,)], "answer string")
+            )
+            .collect()[0]
+            .answer
+        )
+        if session_id is not None:
+            log = self._sessions.setdefault(session_id, [])  # get-or-create
+            log.append({"role": "user", "content": question})
+            log.append({"role": "assistant", "content": answer})
+        return {
+            "input": question,
+            "context": context,
+            "answer": answer,
+            "retrieved": retrieved,
+        }
+
+    # -- session lifecycle (T1 batch view; AI.py:155-161,232-235) -----------
+
+    def history(self, session_id: str) -> list[dict]:
+        return list(self._sessions.get(session_id, []))
+
+    def history_df(self, session_id: str) -> DataFrame:
+        rows = [
+            (session_id, i, m["role"], m["content"])
+            for i, m in enumerate(self._sessions.get(session_id, []))
+        ]
+        return self.spark.createDataFrame(
+            rows, "session_id string, turn int, role string, content string"
+        ).orderBy("turn") if rows else self.spark.createDataFrame(
+            [], "session_id string, turn int, role string, content string"
+        )
+
+    def clear_session(self, session_id: str) -> None:
+        self._sessions.pop(session_id, None)

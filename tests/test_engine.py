@@ -1,0 +1,81 @@
+"""End-to-end RagEngine: the reference's full user surface (upload →
+index → ask → history) on Spark, deterministic."""
+
+from __future__ import annotations
+
+import pytest
+
+from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.engine import (
+    RagEngine,
+)
+from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators.retrieval import (
+    REFUSAL_MESSAGE,
+    REFUSAL_PREFIX,
+)
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    eng = RagEngine(spark, index_path=str(tmp_path / "index"))
+    corpus = tmp_path / "files"
+    corpus.mkdir()
+    (corpus / "ships.txt").write_text(
+        "The cargo vessel departed with priority freight. "
+        "Order priorities were set to urgent for all maritime shipments."
+    )
+    (corpus / "fruit.txt").write_text(
+        "Apples and oranges were harvested in autumn. "
+        "The orchard yield doubled compared to last season."
+    )
+    assert eng.index_files(str(corpus), glob="*.txt") > 0
+    return eng
+
+
+def test_reindex_is_cached(engine, tmp_path):
+    # the reference's LRU semantics: identical corpus → zero new embeds
+    assert engine.index_files(str(tmp_path / "files"), glob="*.txt") == 0
+
+
+def test_retrieve_returns_k_scored_chunks(engine):
+    rows = engine.retrieve("priority freight shipments", k=2).collect()
+    assert len(rows) == 2
+    assert rows[0].score >= rows[1].score
+    assert {"doc_id", "chunk_id", "text", "score"} <= set(rows[0].asDict())
+
+
+def test_ask_returns_reference_result_shape(engine):
+    out = engine.ask("What were the order priorities?")
+    assert set(out) == {"input", "context", "answer", "retrieved"}
+    assert out["context"]  # stuffed, non-empty
+    assert "\n" not in out["answer"]  # first-line projection (P2)
+    assert len(out["retrieved"]) <= 4  # reference k=4 default
+
+
+def test_refusal_postprocessing(engine):
+    engine.answerer = lambda q, c: REFUSAL_PREFIX + " about llamas."
+    out = engine.ask("Anything about llamas?")
+    assert out["answer"] == REFUSAL_MESSAGE  # P1 canned message
+
+
+def test_session_history_lifecycle(engine):
+    sid = "s1"
+    assert engine.history(sid) == []  # get-or-create: absent reads empty
+    engine.ask("q one", session_id=sid)
+    engine.ask("q two", session_id=sid)
+    log = engine.history(sid)
+    assert [m["role"] for m in log] == ["user", "assistant"] * 2
+    assert engine.history_df(sid).count() == 4
+    engine.clear_session(sid)  # AI.py:29-30,232-235
+    assert engine.history(sid) == []
+
+
+def test_rewrite_hook_is_pluggable(engine):
+    seen = {}
+
+    def rw(q, hist):
+        seen["q"] = q
+        return q + " freight"
+
+    engine.rewrite = rw
+    engine.ask("priority")
+    assert seen["q"] == "priority"

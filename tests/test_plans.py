@@ -1,0 +1,67 @@
+"""Physical-plan shape regressions (SURVEY §4.2: the Catalyst rewrites
+we rely on must actually fire). These assertions are the scale
+contract: a plan that loses its pushdown/broadcast/top-k shape would
+still pass value checks on fixtures but regress catastrophically at
+100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return E.queries()[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    plan = _plan(spark, "q_filter_pushdown")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_ship" in plan  # the real predicate, not just IsNotNull
+    # column pruning: projection columns only, not the 16-col lineitem schema
+    read_schema = plan.split("ReadSchema:")[1]
+    assert "l_comment" not in read_schema
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    plan = _plan(spark, "q_topk_cosine")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dim_joins_broadcast_with_partial_agg(spark):
+    plan = _plan(spark, "q_join_broadcast")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation AND region stay broadcast
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    assert "SortMergeJoin" not in plan
+
+
+def test_knn_join_never_shuffles_index_before_scoring(spark):
+    plan = _plan(spark, "q_knn_join")
+    # probe side broadcast; the only exchange is the per-query window cut
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # Spark 3.5+ pushes a partial top-k below the exchange
+    assert "WindowGroupLimit" in plan
+
+
+def test_semi_anti_stay_semi_anti(spark):
+    plan = _plan(spark, "q_join_semi_anti")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_exact_dedup_aggregates_map_side(spark):
+    plan = _plan(spark, "q_dedup_exact")
+    assert "partial_min" in plan or "partial_count" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram_jaccard"]
+)
+def test_sketches_materialize_before_reuse(spark, name):
+    # the scatter barrier must survive optimization: an Exchange between
+    # the token/sketch projection and its consumers (see loaders.scatter)
+    plan = _plan(spark, name)
+    assert "Exchange RoundRobinPartitioning" in plan
