@@ -153,6 +153,76 @@ def train_centroids_sample(
     return centroids
 
 
+def write_ivf_index(
+    index: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    index_id: str = "vec_id",
+    index_vec: str = "embedding",
+) -> None:
+    """Persist the index PARTITIONED BY its IVF cell — the 100 TB
+    layout: a probe touching ``nprobe`` of ``n_cells`` cells then reads
+    only those partition directories (PartitionFilters at the scan; see
+    ``ivf_knn_pruned``), so query cost scales with nprobe/n_cells of
+    the index instead of a full scan."""
+    from ..sources.loaders import scatter
+
+    assign = _nearest_cells_udf(centroids, 1)
+    (
+        scatter(index)
+        .select(
+            F.col(index_id),
+            F.col(index_vec),
+            assign(F.col(index_vec))[0].alias("cell"),
+        )
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ivf_knn_pruned(
+    spark,
+    path: str,
+    probes: DataFrame,
+    centroids: np.ndarray,
+    k: int = 4,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+    index_id: str = "vec_id",
+    index_vec: str = "embedding",
+) -> DataFrame:
+    """IVF probe over a cell-partitioned index with STATIC partition
+    pruning: the probe set is small by definition, so its ``nprobe``
+    cells are resolved driver-side and pushed as a partition filter —
+    the scan never opens a non-probed cell's files. Same candidate
+    semantics as ``ivf_knn``."""
+    assignp = _nearest_cells_udf(centroids, nprobe)
+    prb_c = probes.select(
+        F.col(query_id),
+        F.col(query_vec),
+        F.explode(assignp(F.col(query_vec))).alias("cell"),
+    )
+    probed_cells = sorted(
+        {r.cell for r in prb_c.select("cell").distinct().collect()}
+    )
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(probed_cells))
+    cand = (
+        idx.join(F.broadcast(prb_c), "cell")
+        .filter(F.col(index_id) != F.col(query_id))
+        .select(query_id, index_id, query_vec, index_vec)
+        .dropDuplicates([query_id, index_id])
+    )
+    scored = cand.select(
+        query_id,
+        index_id,
+        F.round(cosine_sim(F.col(index_vec), F.col(query_vec)), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(index_id))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
 def ivf_knn(
     probes: DataFrame,
     index: DataFrame,

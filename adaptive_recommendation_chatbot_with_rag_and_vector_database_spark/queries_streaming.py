@@ -22,7 +22,6 @@ from pyspark.sql import functions as F
 
 from .registry import query
 from .sources.loaders import load_table
-from .streaming.session_state import replay_sessions_batch
 
 SESSION_GAP = "30 minutes"
 WATERMARK_DELAY = "10 minutes"
@@ -55,10 +54,39 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stateful_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed session state (T1): get-or-create / append / clear-tombstone
     replay of the reference's session store (/root/reference/AI.py:155-161,
-    23-30). Batch twin = grouped-map replay; the applyInPandasWithState
-    streaming path over the identical state machine is equality-tested in
-    tests/test_streaming.py."""
-    return replay_sessions_batch(_events(spark, sf_dir))
+    23-30), as the BATCH view: pure relational aggregation (map-side
+    partial agg + one broadcast-able "last clear" join) — the shape that
+    scans a 100 TB event log without a Python stage. The imperative
+    state machine itself lives in streaming/session_state.py: its
+    ``applyInPandasWithState`` streaming path and grouped-map batch twin
+    (``replay_sessions_batch``, SURVEY §2.10 D3) are equality-tested
+    against each other AND against this relational form in
+    tests/test_streaming.py — three independent implementations of one
+    semantic."""
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "event_type", "ts")
+    lc = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.max("event_id").alias("clear_id"))
+    )
+    return (
+        ev.join(lc, "user_id", "left")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_events"),
+            F.sum(
+                F.when(F.col("event_type") == "signup", 1).otherwise(0)
+            ).alias("n_clears"),
+            F.sum(
+                F.when(
+                    F.col("clear_id").isNull()
+                    | (F.col("event_id") > F.col("clear_id")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_since_clear"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
 
 
 # --- T2: tumbling event-time windows ---------------------------------------

@@ -56,18 +56,31 @@ def _replay(
     since: int = 0,
     last_us: int | None = None,
 ) -> tuple[int, int, int, int | None]:
-    """Replay one key's events (arrival order) over carried-in state."""
+    """Replay one key's events (arrival order) over carried-in state.
+
+    Vectorized but exactly the per-event machine: every event increments
+    ``total``; a clear event increments ``clears`` and resets ``since``;
+    any other event increments ``since``. Post-batch ``since`` is
+    therefore the event count after the batch's last clear (all
+    non-clear by construction), or carried ``since`` plus the batch size
+    when the batch holds no clear."""
+    n = len(pdf)
+    if n == 0:
+        return total, clears, since, last_us
     pdf = pdf.sort_values("event_id")
     ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs (truncating, as DuckDB)
-    for et, t in zip(pdf["event_type"], ts_us):
-        total += 1
-        if et == CLEAR_EVENT:
-            clears += 1
-            since = 0
-        else:
-            since += 1
-        if last_us is None or t > last_us:
-            last_us = int(t)
+    is_clear = (pdf["event_type"] == CLEAR_EVENT).to_numpy()
+    n_clear = int(is_clear.sum())
+    total += n
+    clears += n_clear
+    if n_clear:
+        import numpy as np
+
+        since = n - int(np.flatnonzero(is_clear)[-1]) - 1
+    else:
+        since += n
+    batch_max = int(ts_us.max())
+    last_us = batch_max if last_us is None else max(last_us, batch_max)
     return total, clears, since, last_us
 
 

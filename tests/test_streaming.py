@@ -92,6 +92,22 @@ def test_stateful_session_stream_equals_batch(spark, stream_dir):
     assert got == want
 
 
+def test_stateful_relational_equals_grouped_map(spark):
+    """T1 third implementation: the registered q_stateful_session (pure
+    relational aggregation, the 100 TB batch view) must agree with the
+    grouped-map state-machine replay row for row."""
+    import __spark_entry__ as E
+
+    rel = E.queries()["q_stateful_session"](spark, SF_DIR).collect()
+    gm = replay_sessions_batch(load_table(spark, "events", SF_DIR)).collect()
+    key = lambda r: r.user_id  # noqa: E731
+    as_map = lambda rows: {  # noqa: E731
+        r.user_id: (r.total_events, r.n_clears, r.n_since_clear, r.last_ts)
+        for r in rows
+    }
+    assert as_map(rel) == as_map(gm)
+
+
 def test_tumbling_stream_equals_batch(spark, stream_dir):
     """T2: streaming tumbling-window agg (complete mode) == batch."""
     agg = (
