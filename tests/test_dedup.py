@@ -72,3 +72,72 @@ def test_simhash_is_deterministic_and_tokenset_invariant(spark):
     # case-folding makes 4 and 5 identical too
     assert vals[4] == vals[5]
     assert vals[0] != vals[4]
+
+
+# --- inverted-index jaccard: equivalence to the naive definition -----------
+
+
+def _naive_jaccard_pairs(spark, rows):
+    """Reference semantics in plain Python: all same-block pairs,
+    Jaccard of distinct-bigram sets, emitted when intersection > 0."""
+    import itertools
+
+    def bigrams(text):
+        toks = [t for t in text.lower().split() if t]
+        return set(" ".join(p) for p in zip(toks, toks[1:]))
+
+    by_id = {i: (blk, bigrams(t)) for i, blk, t in rows}
+    out = {}
+    for a, b in itertools.combinations(sorted(by_id), 2):
+        blk_a, ga = by_id[a]
+        blk_b, gb = by_id[b]
+        if blk_a != blk_b:
+            continue
+        inter = len(ga & gb)
+        if inter:
+            out[(a, b)] = round(inter / len(ga | gb), 6)
+    return out
+
+
+def test_inverted_index_jaccard_matches_naive(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators.dedup import (
+        inverted_index_jaccard,
+    )
+
+    words = st.sampled_from("alpha beta gamma delta epsilon zeta".split())
+    texts = st.lists(words, min_size=0, max_size=8).map(" ".join)
+    corpora = st.lists(
+        st.tuples(st.sampled_from(["en", "fr"]), texts), min_size=2, max_size=8
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(corpora)
+    def check(corpus):
+        rows = [(i, blk, t) for i, (blk, t) in enumerate(corpus)]
+        df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+        toked = df.select(
+            "doc_id",
+            "lang",
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "").alias("toks"),
+        )
+        grams = toked.select(
+            "doc_id",
+            "lang",
+            F.array_distinct(
+                F.zip_with(
+                    F.slice("toks", 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+                    F.slice("toks", 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+                    lambda x, y: F.concat_ws(" ", x, y),
+                )
+            ).alias("bigrams"),
+        )
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in inverted_index_jaccard(grams).filter(F.col("jaccard") > 0).collect()
+        }
+        assert got == _naive_jaccard_pairs(spark, rows)
+
+    check()
