@@ -59,6 +59,25 @@ def scatter(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(partitions or spark.sparkContext.defaultParallelism)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 8,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` bucketed (and optionally sorted) by ``key`` — the
+    co-located-join layout: two tables bucketed the same way join
+    bucket-to-bucket with NO exchange on either side (asserted in
+    tests/test_scale_ops.py). At 100 TB this converts every recurring
+    join/agg on the key from a full shuffle into a local merge —
+    bucketing is amortized once at write time."""
+    writer = df.write.mode("overwrite").bucketBy(buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.format("parquet").saveAsTable(table)
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {name: load_table(spark, name, sf_dir) for name in TABLES}
 

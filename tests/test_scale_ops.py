@@ -77,3 +77,31 @@ def test_salted_left_join_keeps_unmatched(spark):
     out = salted_join(f, d, on="k", how="left").collect()
     assert len(out) == 3
     assert {r.k: r.name for r in out}[99] is None
+
+
+def test_bucketed_tables_join_without_exchange(spark):
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.sources.loaders import (
+        write_bucketed,
+    )
+
+    li = load_table(spark, "lineitem", SF).select("l_orderkey", "l_quantity")
+    orders = load_table(spark, "orders", SF).select("o_orderkey", "o_totalprice")
+    try:
+        write_bucketed(
+            li.withColumnRenamed("l_orderkey", "okey"), "t_li_bkt", "okey"
+        )
+        write_bucketed(
+            orders.withColumnRenamed("o_orderkey", "okey"), "t_ord_bkt", "okey"
+        )
+        a = spark.table("t_li_bkt")
+        b = spark.table("t_ord_bkt")
+        joined = a.join(b, "okey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located: sort-merge join with ZERO shuffle on either side
+        assert "Exchange hashpartitioning" not in plan
+        # and it is still the correct join
+        expect = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        assert joined.count() == expect
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_ord_bkt")
