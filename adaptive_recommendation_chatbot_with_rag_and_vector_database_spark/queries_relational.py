@@ -400,8 +400,11 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (J7): for each event, the latest prior order of the
-    same customer — equi-join on key + window row_number()=1, the
-    composition Spark expresses it with (SURVEY J7)."""
+    same customer — equi-join on key, then ``max_by`` on the
+    (orderdate, orderkey) struct. A hash aggregate with map-side
+    partial combine replaces the sort+window cut: at scale the partial
+    aggregation collapses each event's candidate set inside the join
+    task before anything shuffles, and nothing is ever sorted."""
     ev = _t(spark, sf_dir, "events").alias("e")
     o = _t(spark, sf_dir, "orders").alias("o")
     joined = ev.join(
@@ -409,13 +412,17 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o.o_custkey") == F.col("e.user_id"))
         & (F.col("o.o_orderdate") <= F.col("e.ts")),
     )
-    w = Window.partitionBy("e.event_id").orderBy(
-        F.desc("o.o_orderdate"), F.desc("o.o_orderkey")
-    )
+    # max of the struct is lexicographic: latest o_orderdate, then
+    # largest o_orderkey — identical tie-break to the window form
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("e.event_id", "e.user_id", F.col("o.o_orderkey").alias("last_orderkey"))
+        joined.groupBy("e.event_id", "e.user_id")
+        .agg(
+            F.max_by(
+                F.col("o.o_orderkey"),
+                F.struct(F.col("o.o_orderdate"), F.col("o.o_orderkey")),
+            ).alias("last_orderkey")
+        )
+        .select("event_id", "user_id", "last_orderkey")
     )
 
 
