@@ -212,7 +212,6 @@ def ivf_knn_pruned(
         idx.join(F.broadcast(prb_c), "cell")
         .filter(F.col(index_id) != F.col(query_id))
         .select(query_id, index_id, query_vec, index_vec)
-        .dropDuplicates([query_id, index_id])
     )
     scored = cand.select(
         query_id,
@@ -261,7 +260,6 @@ def ivf_knn(
         idx_c.join(F.broadcast(prb_c), "cell")
         .filter(F.col(index_id) != F.col(query_id))
         .select(query_id, index_id, query_vec, index_vec)
-        .dropDuplicates([query_id, index_id])
     )
     scored = cand.select(
         query_id,

@@ -204,3 +204,66 @@ def test_streaming_dedup(spark, stream_dir, tmp_path):
     expected = load_table(spark, "events", SF_DIR).count()
     assert n == expected
     assert total == expected
+
+
+def test_checkpoint_recovery_resumes_state(spark, tmp_path):
+    """Stop a stateful query mid-corpus, restart it from its checkpoint
+    with new files present: the restarted query must NOT reprocess the
+    consumed files yet its state must carry — totals equal the full
+    batch replay. This is the exactly-once recovery contract a durable
+    pipeline relies on."""
+    import shutil
+
+    ev = load_table(spark, "events", SF_DIR)
+    max_id = ev.agg(F.max("event_id")).first()[0]
+    half = max_id // 2
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def add_file(idx, lo, hi):
+        part = ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+        d = tmp_path / f"stage{idx}"
+        part.coalesce(1).write.mode("overwrite").parquet(str(d))
+        f = next(p for p in os.listdir(d) if p.endswith(".parquet"))
+        shutil.move(str(d / f), str(src / f"{idx:03d}.parquet"))
+
+    def run_once(out_name):
+        # memory sink can't recover from a checkpoint; foreachBatch can
+        out_dir = str(tmp_path / out_name)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        stream = spark.readStream.schema(ev.schema).parquet(str(src))
+        q = (
+            replay_sessions_streaming(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return out_dir
+
+    add_file(0, 0, half)
+    run_once("ckpt_run1")  # consumes first half, checkpoints state
+
+    add_file(1, half, max_id + 1)
+    out_dir = run_once("ckpt_run2")  # restart: only new file, state recovered
+
+    out = spark.read.parquet(out_dir).toPandas()
+    # run2's sink only holds keys touched by the second half — but their
+    # totals must include run1's consumed events (state, not replay)
+    got = {
+        int(r.user_id): (int(r.total_events), int(r.n_clears), int(r.n_since_clear))
+        for r in out.itertuples()
+    }
+    full = replay_sessions_batch(ev).collect()
+    want = {
+        r.user_id: (r.total_events, r.n_clears, r.n_since_clear) for r in full
+    }
+    assert got  # second half touched at least one session
+    for uid, triple in got.items():
+        assert triple == want[uid], uid
