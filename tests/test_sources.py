@@ -87,3 +87,52 @@ def test_incremental_index_skips_existing_content(spark, tmp_path):
         "embedding",
         "content_hash",
     }
+
+
+def test_streaming_index_build_equals_batch(spark, tmp_path):
+    """Streaming index maintenance: documents arriving as stream files
+    produce the same index as one batch build, and replaying the corpus
+    (duplicate arrivals) appends nothing — content-hash idempotency."""
+    from pyspark.sql import functions as F
+
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.streaming.index_stream import (
+        index_stream,
+    )
+
+    def prose(tag):
+        return " ".join(f"{tag} sentence number {i} here." for i in range(25))
+
+    docs = spark.createDataFrame(
+        [(i, prose(f"doc{i}")) for i in range(6)], "doc_id long, text string"
+    )
+    src = tmp_path / "docs_src"
+    docs.filter("doc_id < 3").coalesce(1).write.mode("append").parquet(str(src))
+
+    idx = str(tmp_path / "stream_index")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(docs.schema).parquet(str(src))
+    index_stream(stream, idx, ckpt, chunk_size=120).awaitTermination()
+    n_first = spark.read.parquet(idx).count()
+    assert n_first > 0
+
+    # second wave of documents + a duplicate of the first wave
+    docs.filter("doc_id >= 3").coalesce(1).write.mode("append").parquet(str(src))
+    docs.filter("doc_id < 3").coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(docs.schema).parquet(str(src))
+    index_stream(stream, idx, ckpt, chunk_size=120).awaitTermination()
+
+    got = spark.read.parquet(idx)
+    batch = str(tmp_path / "batch_index")
+    write_index_incremental(docs, batch, chunk_size=120)
+    want = spark.read.parquet(batch)
+    # same indexed CONTENT as one batch build over the full corpus...
+    hashes = lambda df: {r.content_hash for r in df.select("content_hash").collect()}  # noqa: E731
+    assert hashes(got) == hashes(want)
+    # ...no duplicate-arrival inflation (the wave-1 replay files added
+    # nothing: stream rows never exceed the one-shot batch build)...
+    n_stream = got.count()
+    assert n_stream <= want.count()
+    # ...and a third run with no new files appends nothing at all
+    stream = spark.readStream.schema(docs.schema).parquet(str(src))
+    index_stream(stream, idx, ckpt, chunk_size=120).awaitTermination()
+    assert spark.read.parquet(idx).count() == n_stream
