@@ -101,20 +101,40 @@ def minhash_bands(signature: Column, n_bands: int = N_BANDS) -> Column:
 def simhash(tok_hashes: Column, bits: int = SIMHASH_BITS) -> Column:
     """SIMHASH_BITS-bit simhash (Charikar): per bit j, sign of the sum of
     ±1 votes from each distinct token's hash bit j; bits packed little-
-    endian into one int64."""
-    def bit_vote(j: int):
-        return lambda acc, h: acc + (
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1
-        )
+    endian into one int64.
 
-    total = F.lit(0).cast("bigint")
-    for j in range(bits):
-        vote = F.aggregate(tok_hashes, F.lit(0).cast("bigint"), bit_vote(j))
-        total = total + F.when(vote >= 0, F.lit(2**j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
+    Single pass over the token array: the fold accumulator is the whole
+    ``bits``-wide vote vector (one ``zip_with`` per token), then the
+    finish lambda packs the signs. The per-bit-aggregate formulation
+    would traverse the token array ``bits`` times."""
+    weights = F.array(*[F.lit(2**j).cast("bigint") for j in range(bits)])
+    votes = F.aggregate(
+        tok_hashes,
+        F.array_repeat(F.lit(0).cast("bigint"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("bigint") * 2 - 1
+                    for j in range(bits)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+        lambda acc: F.aggregate(
+            F.zip_with(
+                acc,
+                weights,
+                lambda vote, weight: F.when(vote >= 0, weight).otherwise(
+                    F.lit(0).cast("bigint")
+                ),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ),
+    )
     # empty token set → 0, not all-bits-set (the seed makes every vote 0)
-    return F.when(F.size(tok_hashes) == 0, F.lit(0).cast("bigint")).otherwise(total)
+    return F.when(F.size(tok_hashes) == 0, F.lit(0).cast("bigint")).otherwise(votes)
 
 
 # --- analysis scores -------------------------------------------------------

@@ -179,6 +179,57 @@ def knn_join(
     )
 
 
+def knn_auto(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int = DEFAULT_K,
+    ann_threshold_rows: int = 1_000_000,
+    index_rows: int | None = None,
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+    index_id: str = "vec_id",
+    index_vec: str = "embedding",
+) -> DataFrame:
+    """Route the batch kNN join: exact brute force below
+    ``ann_threshold_rows`` index rows, banded cosine LSH above — the
+    reference's brute-force→ANN delegation split
+    (/root/reference/AI.py:49-55, Pinecone serverless ANN) as an
+    API-level pre-plan decision (SURVEY §4.3: deliberately NOT an
+    injected Catalyst rule). Pass ``index_rows`` when the caller already
+    knows the cardinality (catalog stats, manifest) to skip the count.
+
+    Uniform output shape either way: (query_id, index_id, score, rank).
+    """
+    if index_rows is None:
+        index_rows = index.count()
+    if index_rows <= ann_threshold_rows:
+        out = knn_join(
+            queries,
+            index,
+            k=k,
+            query_id=query_id,
+            query_vec=query_vec,
+            index_id=index_id,
+            index_vec=index_vec,
+        ).select(
+            query_id, index_id, F.round(F.col("score"), 6).alias("score"), "rank"
+        )
+        return out
+    from .similarity import lsh_knn
+
+    dim = len(index.select(index_vec).first()[0])
+    return lsh_knn(
+        queries,
+        index,
+        k=k,
+        dim=dim,
+        query_id=query_id,
+        query_vec=query_vec,
+        index_id=index_id,
+        index_vec=index_vec,
+    ).select(query_id, index_id, "score", F.col("rnk").alias("rank"))
+
+
 def stuff_context(
     retrieved: DataFrame,
     group_cols: tuple[str, ...] = (),

@@ -83,3 +83,29 @@ def test_lsh_scores_match_exact_for_found_pairs(emb, probes, exact_rows):
         key = (r.query_id, r.vec_id)
         if key in exact_scores:
             assert abs(exact_scores[key] - r.score) < 2e-6
+
+
+def test_knn_auto_routes_by_index_size(spark):
+    """SURVEY §4.3 routing: small index → exact brute force; above the
+    threshold → LSH. Same output shape either way, and on this fixture
+    the LSH route recalls most of the exact top-k."""
+    from pyspark.sql import functions as F
+
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators.retrieval import (
+        knn_auto,
+    )
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.sources.loaders import (
+        load_table,
+    )
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    probes = emb.filter(F.expr("vec_id % 100 = 0")).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = knn_auto(probes, emb, k=4, ann_threshold_rows=10**9)
+    approx = knn_auto(probes, emb, k=4, ann_threshold_rows=1)
+    assert exact.columns == approx.columns == ["query_id", "vec_id", "score", "rank"]
+
+    ex = {(r.query_id, r.vec_id) for r in exact.collect() if r.query_id != r.vec_id}
+    ap = {(r.query_id, r.vec_id) for r in approx.collect()}
+    assert len(ex & ap) / len(ex) >= 0.5  # bucketed candidates recall
