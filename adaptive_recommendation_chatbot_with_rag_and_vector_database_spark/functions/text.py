@@ -70,19 +70,29 @@ def token_hashes(toks: Column) -> Column:
 
 def minhash_signature(tok_hashes: Column) -> Column:
     """Array of N_MINHASH minhash values over the hashed-token set:
-    sig_i = min_t (a_i * h(t) + b_i) mod P  (empty set → P sentinel)."""
-    def perm(a: int, b: int):
-        # closure, not default-args: pyspark counts lambda params
-        return lambda h: (a * h + b) % MERSENNE_P
+    sig_i = min_t (a_i * h(t) + b_i) mod P  (empty set → P sentinel).
 
-    sigs = [
-        F.coalesce(
-            F.array_min(F.transform(tok_hashes, perm(a, b))),
-            F.lit(MERSENNE_P),
-        )
-        for a, b in zip(MINHASH_A, MINHASH_B)
-    ]
-    return F.array(*sigs)
+    Single fold over the token array with the whole signature as the
+    accumulator (one ``zip_with`` min per token) — the per-permutation
+    ``transform``+``array_min`` formulation traverses the array
+    N_MINHASH times."""
+    init = F.array(
+        *[F.lit(MERSENNE_P).cast("bigint") for _ in range(len(MINHASH_A))]
+    )
+    return F.aggregate(
+        tok_hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (F.lit(a).cast("bigint") * h + F.lit(b)) % MERSENNE_P
+                    for a, b in zip(MINHASH_A, MINHASH_B)
+                ]
+            ),
+            lambda cur, cand: F.least(cur, cand),
+        ),
+    )
 
 
 def minhash_bands(signature: Column, n_bands: int = N_BANDS) -> Column:
