@@ -61,24 +61,37 @@ def _with_sketch(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def minhash_candidates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Candidate pairs (id_a < id_b) that collide in ≥1 LSH band."""
-    sk = _with_sketch(df, id_col, text_col).select(
-        id_col, "toks", minhash_bands(minhash_signature(F.col("tokh"))).alias("bands")
+    """Candidate pairs (id_a < id_b) that collide in ≥1 LSH band.
+
+    The band equi-join and the pair dedup run over bare (id_a, id_b)
+    ints; the token arrays are attached afterwards by two id-keyed
+    joins. On near-dup-heavy corpora a document pair collides in
+    several bands, so deduping BEFORE attaching payload keeps the wide
+    arrays out of both the join shuffle and the dropDuplicates
+    exchange — on the sf0.1 corpus (≥4M colliding pairs) this is the
+    difference between shuffling megabytes and gigabytes."""
+    from ..sources.loaders import scatter
+
+    sk = scatter(_with_sketch(df, id_col, text_col))
+    bands = sk.select(
+        id_col, minhash_bands(minhash_signature(F.col("tokh"))).alias("bands")
     )
-    b = sk.select(
-        id_col, "toks", F.posexplode("bands").alias("band", "key")
-    )
-    left = b.select(
-        F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a"), "band", "key"
-    )
-    right = b.select(
-        F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b"), "band", "key"
-    )
-    return (
+    b = bands.select(id_col, F.posexplode("bands").alias("band", "key"))
+    left = b.select(F.col(id_col).alias("id_a"), "band", "key")
+    right = b.select(F.col(id_col).alias("id_b"), "band", "key")
+    ids = (
         left.join(right, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "toks_a", "toks_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    toks = sk.select(id_col, "toks")
+    return ids.join(
+        toks.select(F.col(id_col).alias("id_a"), F.col("toks").alias("toks_a")),
+        "id_a",
+    ).join(
+        toks.select(F.col(id_col).alias("id_b"), F.col("toks").alias("toks_b")),
+        "id_b",
     )
 
 
@@ -261,4 +274,81 @@ def embedding_near_dup(
             F.round(cosine_sim(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: the
+    clustering step of a corpus dedup pipeline (pairs → clusters →
+    keep one representative per cluster). Generalizes the reference's
+    content-identity dedup (/root/reference/AI.py:89-96) to transitive
+    near-identity.
+
+    Algorithm: iterative min-label propagation. Each round every vertex
+    takes the min component id over itself and its neighbors — one
+    equi-join (labels ⋈ edges on vertex id) plus one groupBy-min per
+    round, both shuffle-partitioned on the vertex id, so successive
+    rounds reuse the same hash partitioning. Converges in O(graph
+    diameter) rounds; LSH near-dup graphs are unions of near-cliques
+    (diameter ≤ ~2), so 3-4 rounds in practice. ``localCheckpoint``
+    truncates lineage each round — without it the plan doubles per
+    iteration and the driver, not the data, becomes the bottleneck.
+    For adversarial long-chain graphs at 100 TB, the alternating
+    large-star/small-star variant (Kiveris et al., "Connected
+    Components in MapReduce") halves long chains per round; the
+    propagation loop below is the right default for dedup-shaped
+    graphs.
+
+    Returns (id_col, component, keep): component = min reachable id,
+    keep = this row is the cluster representative.
+    """
+    # Materialize the symmetric edge list once: every propagation round
+    # joins it, and each round also runs a convergence-count action —
+    # without the checkpoint the (potentially expensive) upstream pair
+    # pipeline would re-execute twice per round. No distinct: the
+    # groupBy-min absorbs duplicate edges for free, so deduping would
+    # only add a full edge shuffle.
+    pairs = edges.select(F.col(src).alias("_v"), F.col(dst).alias("_n"))
+    sym = pairs.union(
+        pairs.select(F.col("_n").alias("_v"), F.col("_v").alias("_n"))
+    ).localCheckpoint(eager=True)
+    labels = vertices.select(
+        F.col(id_col).alias("_v"), F.col(id_col).alias("_comp")
+    ).localCheckpoint(eager=False)
+    for _ in range(max_iter):
+        neighbor_min = (
+            labels.join(sym, "_v")
+            .groupBy(F.col("_n").alias("_v"))
+            .agg(F.min("_comp").alias("_ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "_v", "left")
+            .select(
+                "_v",
+                F.least(F.col("_comp"), F.coalesce("_ncomp", "_comp")).alias(
+                    "_comp"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "_v")
+            .filter(F.col("n._comp") != F.col("o._comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("_v").alias(id_col),
+        F.col("_comp").alias("component"),
+        (F.col("_v") == F.col("_comp")).alias("keep"),
     )

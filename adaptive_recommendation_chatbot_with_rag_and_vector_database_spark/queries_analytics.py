@@ -1,0 +1,470 @@
+"""Analytics wave 2 (SURVEY §2.12): TPC-H-style headline queries,
+distribution statistics, pivot, decorrelated subqueries, stratified
+sampling, funnel/anomaly event analytics, vector centroids, and
+connected-component dedup clustering.
+
+These extend the round-1 operator inventory with the query shapes a
+warehouse user of the engine runs daily. Every query is DataFrame-first
+with an exact DuckDB oracle twin; plan shapes (broadcasts, partial
+aggregation, TakeOrderedAndProject) are asserted in tests/test_plans.py.
+
+Determinism: float aggregates rounded on both sides; every top-k cut
+orders by the rounded measure with an id tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.text import N_BANDS
+from .operators.dedup import connected_components, minhash_near_dup
+from .queries_text import _SQL_DTOKS, _sql_minhash_bands
+from .registry import query
+from .sources.loaders import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# --- TPC-H-style headline queries -----------------------------------------
+
+
+@query(
+    "q_tpch_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary. One scan, filter pushed to
+    parquet, column pruning to 7 columns, map-side partial aggregation
+    into 4 groups — the plan is a single exchange of 4 rows regardless
+    of input size, which is exactly the shape that survives 100 TB."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2000-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "q_tpch_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate  > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority: filtered dim broadcast into the
+    fact join, then top-10 by revenue. The only shuffle is
+    orders⋈lineitem on the order key + the final aggregation; the
+    10-row cut is TakeOrderedAndProject (no global sort)."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-06-01"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-06-01")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q_tpch_local_volume",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style local supplier volume: a 6-table star join where
+    every dimension (supplier⋈nation⋈region, customer) is broadcast —
+    the single data-sized shuffle is lineitem⋈orders on the order key.
+    The c_nationkey = s_nationkey condition rides on the broadcast
+    join, so no extra exchange."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# --- distribution statistics ----------------------------------------------
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (matches DuckDB's
+    quantile_cont). Exact percentile buffers each group's values — fine
+    for low-cardinality groups; at 100 TB with wide groups switch to
+    approx_percentile (t-digest sketch, mergeable map-side, bounded
+    memory) and accept the documented error bound."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = [
+        F.round(F.percentile("l_extendedprice", F.lit(p)), 4).alias(name)
+        for p, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95")]
+    ]
+    return li.groupBy("l_returnflag").agg(*aggs)
+
+
+@query(
+    "q_pivot_events",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event counts per user. Pivot values are passed explicitly,
+    which skips the extra distinct-values job AND keeps the plan a
+    single map-side-combinable hash aggregate — with inferred values
+    the pivot needs a full pass before the plan can even be built."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    piv = ev.groupBy("user_id").pivot("event_type", types).agg(F.count(F.lit(1)))
+    return piv.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+@query(
+    "q_subquery_correlated",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, round(c.c_acctbal, 2) AS acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+      SELECT avg(c2.c_acctbal) FROM customer c2
+      WHERE c2.c_nationkey = c.c_nationkey
+    )
+    """,
+)
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (customers above their nation's mean
+    balance), written as its decorrelated form: aggregate once per
+    nation, broadcast the 25-row result back, filter. This is the plan
+    Catalyst's decorrelation produces from the SQL form — stated
+    explicitly so the join is provably broadcast, never a per-row
+    re-aggregation."""
+    cust = _t(spark, sf_dir, "customer")
+    nation_avg = cust.groupBy("c_nationkey").agg(
+        F.avg("c_acctbal").alias("_nation_avg")
+    )
+    return (
+        cust.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("_nation_avg"))
+        .select(
+            "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal")
+        )
+    )
+
+
+@query(
+    "q_window_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist)
+    per market segment; ordering carries a key tie-break so ranks are
+    deterministic. One shuffle on the partition key, then a per-
+    partition sort — the frame never materializes cross-partition
+    state."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn % 10 = 1
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified 1-in-10 sample per language stratum
+    (every 10th doc by id within stratum) — reproducible across engines
+    and runs, unlike rand()-based sampling. At 100 TB the equivalent
+    seeded-hash form (`pmod(xxhash64(id), 10) = 0`) gives the same
+    guarantee without the per-stratum sort; the window form is the
+    oracle-pinned semantic."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") % 10 == 1)
+        .select("doc_id", "lang")
+    )
+
+
+# --- event analytics -------------------------------------------------------
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'view')     AS t_view,
+             min(ts) FILTER (WHERE event_type = 'click')    AS t_click,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) FILTER (WHERE t_view IS NOT NULL) AS n_viewed,
+           count(*) FILTER (WHERE t_click > t_view)   AS n_clicked,
+           count(*) FILTER (WHERE t_click > t_view AND t_purchase > t_click)
+             AS n_purchased
+    FROM u
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel: first-touch timestamps per user
+    (one hash aggregate keyed on user_id), then a global 3-counter
+    roll-up. Two aggregation levels, no join, no window — the per-user
+    intermediate is 3 timestamps regardless of event volume."""
+    ev = _t(spark, sf_dir, "events")
+
+    def first_ts(etype: str):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    u = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    clicked = F.col("t_click") > F.col("t_view")
+    return u.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_viewed"),
+        F.count(F.when(clicked, 1)).alias("n_clicked"),
+        F.count(
+            F.when(clicked & (F.col("t_purchase") > F.col("t_click")), 1)
+        ).alias("n_purchased"),
+    )
+
+
+@query(
+    "q_anomaly_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, round((e.value - s.m) / s.sd, 4) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE abs((e.value - s.m) / s.sd) > 2.5
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers: aggregate mean/stddev to a 5-row
+    stats table, broadcast it back over the events, filter |z| > 2.5.
+    The grouped-stats + broadcast-join-back shape beats a window
+    function here: a window would shuffle and sort every event by type;
+    this plan shuffles only the 5-row aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("m")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select("event_id", "event_type", F.round(z, 4).alias("z"))
+    )
+
+
+# --- vector centroids ------------------------------------------------------
+
+
+@query(
+    "q_vector_centroid",
+    oracle="""
+    SELECT label, pos, round(avg(e), 4) AS centroid
+    FROM (
+      SELECT label, unnest(embedding) AS e,
+             unnest(generate_series(0, len(embedding) - 1)) AS pos
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+)
+def q_vector_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column (the k-means update
+    step / cluster summarization primitive): posexplode to (label, pos,
+    value), hash-aggregate mean. Partial aggregation combines map-side,
+    so the shuffle carries n_labels × dim partial sums, not the
+    exploded rows — the exchange is O(labels · dim) at any corpus
+    size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "e"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("e"), 4).alias("centroid"))
+    )
+
+
+# --- dedup clustering (connected components) -------------------------------
+
+
+def _sql_dedup_components(threshold: float) -> str:
+    band_eq = " OR ".join(f"a.band{b} = b.band{b}" for b in range(N_BANDS))
+    return f"""
+    WITH RECURSIVE docs_s AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+    bands AS ({_sql_minhash_bands(table="docs_s")}),
+    toks AS (SELECT doc_id, {_SQL_DTOKS} AS dtoks FROM docs_s),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND ({band_eq})
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN toks ta ON ta.doc_id = cand.id_a
+      JOIN toks tb ON tb.doc_id = cand.id_b
+      WHERE CASE
+              WHEN len(ta.dtoks) + len(tb.dtoks) = 0 THEN 0.0
+              ELSE round(
+                len(list_intersect(ta.dtoks, tb.dtoks))::DOUBLE /
+                (len(ta.dtoks) + len(tb.dtoks)
+                 - len(list_intersect(ta.dtoks, tb.dtoks)))::DOUBLE, 6)
+            END >= {threshold}
+    ),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM docs_s
+      UNION
+      SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.id
+    )
+    SELECT id AS doc_id, min(r) AS component, (id = min(r)) AS keep
+    FROM reach GROUP BY id
+    """
+
+
+@query("q_dedup_components", oracle=_sql_dedup_components(0.7))
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup clustering: MinHash-LSH near-dup pairs (Jaccard ≥
+    0.7) → connected components → one canonical doc per cluster. The
+    oracle recomputes the identical pair graph from the shared sketch
+    constants and resolves components with a recursive CTE — two
+    independent implementations of transitive near-dup closure.
+
+    Runs on a deterministic 1-in-10 id stratum: the synthetic corpus is
+    dominated by giant near-dup cliques, so the VERIFIED pair list is
+    quadratic in clique size (~4.7M pairs at sf0.1 full-corpus — an
+    inherent property of emitting every pair, not of this plan). The
+    stratum keeps the demonstration bounded at every tier while
+    exercising the identical pipeline; the operators themselves carry
+    no such limit."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    edges = minhash_near_dup(docs, threshold=0.7)
+    return connected_components(edges, docs, id_col="doc_id")

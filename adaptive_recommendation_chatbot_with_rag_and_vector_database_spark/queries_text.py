@@ -108,7 +108,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- minhash (X2) ----------------------------------------------------------
 
 
-def _sql_minhash_bands() -> str:
+def _sql_minhash_bands(table: str = "documents") -> str:
     sigs = [
         f"coalesce(list_min(list_transform(tokh, h -> ({a} * h + {b}) % {MERSENNE_P})), {MERSENNE_P}) AS s{i}"
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
@@ -120,7 +120,7 @@ def _sql_minhash_bands() -> str:
     ]
     band_cols = ", ".join(f"({expr}) AS band{b}" for b, expr in enumerate(bands))
     return f"""
-    WITH tok AS (SELECT doc_id, {_SQL_TOKH} AS tokh FROM documents),
+    WITH tok AS (SELECT doc_id, {_SQL_TOKH} AS tokh FROM {table}),
     sig AS (SELECT doc_id, {', '.join(sigs)} FROM tok)
     SELECT doc_id, {band_cols} FROM sig
     """

@@ -1,0 +1,42 @@
+"""Unit tests for the connected-components dedup clustering operator."""
+
+from __future__ import annotations
+
+from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators.dedup import (
+    connected_components,
+)
+
+
+def _cc(spark, edges, vertices):
+    e = spark.createDataFrame(edges or [(None, None)], "id_a long, id_b long")
+    if not edges:
+        e = e.filter("id_a is not null")
+    v = spark.createDataFrame([(x,) for x in vertices], "doc_id long")
+    out = connected_components(e, v, id_col="doc_id")
+    return {r.doc_id: (r.component, r.keep) for r in out.collect()}
+
+
+def test_two_components_and_singleton(spark):
+    # chain 1-2-3, pair 10-11, singleton 20
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)], [1, 2, 3, 10, 11, 20])
+    assert got == {
+        1: (1, True),
+        2: (1, False),
+        3: (1, False),
+        10: (10, True),
+        11: (10, False),
+        20: (20, True),
+    }
+
+
+def test_long_chain_converges(spark):
+    # path graph 0-1-2-...-9: diameter 9, worst case for min propagation
+    edges = [(i, i + 1) for i in range(9)]
+    got = _cc(spark, edges, list(range(10)))
+    assert all(comp == 0 for comp, _ in got.values())
+    assert got[0][1] is True and sum(keep for _, keep in got.values()) == 1
+
+
+def test_no_edges_all_singletons(spark):
+    got = _cc(spark, [], [5, 6, 7])
+    assert got == {5: (5, True), 6: (6, True), 7: (7, True)}
