@@ -328,24 +328,21 @@ def connected_components(
             .groupBy(F.col("_n").alias("_v"))
             .agg(F.min("_comp").alias("_ncomp"))
         )
-        new_labels = (
+        # Carry a changed flag through the checkpoint: the convergence
+        # test is then a filter-count over already-materialized rows,
+        # not another labels ⋈ labels join per round.
+        new_comp = F.least(F.col("_comp"), F.coalesce("_ncomp", "_comp"))
+        stepped = (
             labels.join(neighbor_min, "_v", "left")
             .select(
                 "_v",
-                F.least(F.col("_comp"), F.coalesce("_ncomp", "_comp")).alias(
-                    "_comp"
-                ),
+                new_comp.alias("_new"),
+                (new_comp < F.col("_comp")).alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "_v")
-            .filter(F.col("n._comp") != F.col("o._comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = stepped.select("_v", F.col("_new").alias("_comp"))
+        if stepped.filter("_chg").count() == 0:
             break
     return labels.select(
         F.col("_v").alias(id_col),

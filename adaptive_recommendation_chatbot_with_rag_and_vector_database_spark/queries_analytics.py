@@ -182,16 +182,23 @@ def q_tpch_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (matches DuckDB's
-    quantile_cont). Exact percentile buffers each group's values — fine
-    for low-cardinality groups; at 100 TB with wide groups switch to
-    approx_percentile (t-digest sketch, mergeable map-side, bounded
+    quantile_cont). All four quantiles come from ONE array-argument
+    percentile aggregate: four separate aggregates would each buffer
+    the full group (measured 4× slower); the array form buffers once
+    and reads four order statistics. At 100 TB with wide groups switch
+    to approx_percentile (t-digest sketch, mergeable map-side, bounded
     memory) and accept the documented error bound."""
     li = _t(spark, sf_dir, "lineitem")
-    aggs = [
-        F.round(F.percentile("l_extendedprice", F.lit(p)), 4).alias(name)
-        for p, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95")]
-    ]
-    return li.groupBy("l_returnflag").agg(*aggs)
+    ps, names = [0.25, 0.50, 0.75, 0.95], ["p25", "p50", "p75", "p95"]
+    pct = F.percentile("l_extendedprice", F.array(*[F.lit(p) for p in ps]))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("_p"))
+        .select(
+            "l_returnflag",
+            *[F.round(F.col("_p")[i], 4).alias(n) for i, n in enumerate(names)],
+        )
+    )
 
 
 @query(

@@ -65,3 +65,37 @@ def test_sketches_materialize_before_reuse(spark, name):
     # the token/sketch projection and its consumers (see loaders.scatter)
     plan = _plan(spark, name)
     assert "Exchange RoundRobinPartitioning" in plan
+
+
+def test_tpch_q3_broadcasts_dim_and_takes_top10(spark):
+    plan = _plan(spark, "q_tpch_shipping_priority")
+    assert "BroadcastHashJoin" in plan  # filtered customer dim broadcast
+    assert "TakeOrderedAndProject" in plan  # top-10 cut, no global sort
+    assert "partial_sum" in plan  # map-side revenue combine
+
+
+def test_tpch_q5_single_fact_shuffle(spark):
+    plan = _plan(spark, "q_tpch_local_volume")
+    # supplier⋈nation⋈region and customer all ride broadcasts; the only
+    # sort-merge-eligible join is lineitem⋈orders
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_pricing_summary_partial_agg_and_pruned_scan(spark):
+    plan = _plan(spark, "q_tpch_pricing")
+    assert "partial_sum" in plan
+    read_schema = plan.split("ReadSchema:")[1]
+    assert "l_suppkey" not in read_schema  # 7-col projection reaches the scan
+
+
+def test_zscore_broadcasts_stats_not_window(spark):
+    plan = _plan(spark, "q_anomaly_zscore")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan  # grouped-stats shape, not a per-row window
+
+
+def test_centroid_partial_aggregates_exploded_rows(spark):
+    plan = _plan(spark, "q_vector_centroid")
+    assert "Generate posexplode" in plan or "posexplode" in plan
+    assert "partial_avg" in plan or "partial_sum" in plan
