@@ -124,3 +124,50 @@ def frame_sample(assets: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
         (F.length("payload") / every_n_bytes).cast("long").alias("n_frames"),
         F.element_at("meta", "lang").alias("lang"),
     )
+
+
+THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("thumb", T.ArrayType(T.DoubleType(), False), False),
+    ]
+)
+
+
+def resize_thumbnail(payload: bytes, size: int = 8) -> list[float]:
+    """Deterministic stand-in for image resize: strided gather of
+    size² evenly-spaced bytes, scaled to [0,1] (the real resize is a
+    codec call behind ``decode_image``; this keeps the plumbing —
+    fixed-size array out, zero-pad short payloads — byte-exact and
+    testable without codecs)."""
+    n = size * size
+    if not payload:
+        return [0.0] * n
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if len(arr) < n:
+        arr = np.pad(arr, (0, n - len(arr)))
+    idx = np.linspace(0, len(arr) - 1, n).astype(np.int64)
+    return [round(float(v) / 255.0, 6) for v in arr[idx]]
+
+
+def resize_images(assets: DataFrame, size: int = 8) -> DataFrame:
+    """Arrow-batched 'resize' over binary payloads (mapInPandas): one
+    fixed-size thumbnail vector per asset. Identical batch shape and
+    partitioning to a real codec resize — swap ``resize_thumbnail``
+    for a decoder call when codecs are present."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "thumb": [
+                        resize_thumbnail(p if p is not None else b"", size)
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return assets.mapInPandas(run, THUMB_SCHEMA)

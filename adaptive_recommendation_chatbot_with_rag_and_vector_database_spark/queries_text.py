@@ -384,6 +384,50 @@ def q_multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_multimodal_frames",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           octet_length(encode(text)) // 1024 AS n_frames,
+           lang
+    FROM documents
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video-shaped binary assets (stub decode:
+    frame count derived from payload size — operators/multimodal.py)
+    plus typed-metadata projection. The Spark-side plumbing (binary
+    column, map metadata, per-asset fan-out) is the real surface."""
+    from .operators.multimodal import frame_sample, synth_assets_from_documents
+
+    assets = synth_assets_from_documents(_docs(spark, sf_dir))
+    return frame_sample(assets)
+
+
+@query("q_multimodal_resize")  # no SQL oracle: byte-strided gather is
+# not expressible over DuckDB's character-indexed strings; exactness is
+# pinned by tests/test_multimodal.py against the pure-Python reference.
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/thumbnail step over image-shaped binary assets: Arrow-
+    batched mapInPandas producing a fixed 64-d [0,1] vector per asset
+    (codec decode stubbed; plumbing — batch shape, schema, zero-pad —
+    real, see operators/multimodal.resize_images)."""
+    from .operators.multimodal import resize_images, synth_assets_from_documents
+
+    assets = synth_assets_from_documents(_docs(spark, sf_dir))
+    out = resize_images(assets)
+    return out.select(
+        "asset_id",
+        "kind",
+        F.size("thumb").alias("thumb_dim"),
+        F.round(F.aggregate("thumb", F.lit(0.0), lambda a, x: a + x), 4).alias(
+            "thumb_sum"
+        ),
+    )
+
+
+@query(
     "q_text_stats",
     oracle=f"""
     WITH tok AS (

@@ -86,3 +86,22 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every fixture table as a temp view for the SQL API."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def roundtrip(
+    df: DataFrame,
+    path: str,
+    fmt: str,
+    timestamp_format: str = "yyyy-MM-dd HH:mm:ss",
+) -> DataFrame:
+    """Write ``df`` in ``fmt`` (csv/json/orc/parquet) and read it back
+    with the SAME explicit schema — never inferSchema, which costs a
+    full extra pass and can silently widen types. Text formats get a
+    pinned timestampFormat so the value roundtrip is exact."""
+    opts = {"timestampFormat": timestamp_format}
+    if fmt == "csv":
+        opts["header"] = "true"
+    df.write.options(**opts).mode("overwrite").format(fmt).save(path)
+    return (
+        df.sparkSession.read.options(**opts).schema(df.schema).format(fmt).load(path)
+    )

@@ -38,3 +38,36 @@ def test_extract_features_matches_pure_reference(spark):
         assert abs(got.byte_entropy - e) < 1e-9
         assert np.allclose(got.histogram8, h)
         assert got.kind in ("image", "audio", "video")
+
+
+def test_resize_thumbnail_pure():
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators.multimodal import (
+        resize_thumbnail,
+    )
+
+    # strided gather: bytes 0,33,66,99 of range(100) at size=2
+    assert resize_thumbnail(bytes(range(100)), 2) == [
+        0.0,
+        round(33 / 255, 6),
+        round(66 / 255, 6),
+        round(99 / 255, 6),
+    ]
+    # short payload zero-pads to size^2 before the gather
+    assert resize_thumbnail(b"\xff", 2) == [round(1.0, 6), 0.0, 0.0, 0.0]
+    assert resize_thumbnail(b"", 2) == [0.0] * 4
+
+
+def test_resize_images_matches_pure_reference(spark):
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators.multimodal import (
+        resize_images,
+        resize_thumbnail,
+        synth_assets_from_documents,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    assets = synth_assets_from_documents(docs)
+    out = {r.asset_id: r.thumb for r in resize_images(assets, size=8).collect()}
+    for row in docs.collect():
+        expect = resize_thumbnail(row.text.encode("utf-8"), 8)
+        assert out[row.doc_id] == expect
+        assert len(out[row.doc_id]) == 64
