@@ -40,3 +40,38 @@ def test_long_chain_converges(spark):
 def test_no_edges_all_singletons(spark):
     got = _cc(spark, [], [5, 6, 7])
     assert got == {5: (5, True), 6: (6, True), 7: (7, True)}
+
+
+def test_matches_union_find_on_random_graphs(spark):
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 30
+        vertices = list(range(n))
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(5, 40))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical min-id per component
+        expect = {}
+        for v in vertices:
+            root = find(v)
+            expect.setdefault(root, []).append(v)
+        want = {v: min(vs) for vs in expect.values() for v in vs}
+
+        got = {k: c for k, (c, _) in _cc(spark, edges, vertices).items()}
+        assert got == want, f"trial {trial}"
