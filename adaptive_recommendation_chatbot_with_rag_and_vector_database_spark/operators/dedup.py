@@ -349,3 +349,47 @@ def connected_components(
         F.col("_comp").alias("component"),
         (F.col("_v") == F.col("_comp")).alias("keep"),
     )
+
+
+def dedup_pipeline(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full corpus dedup at production shape: exact-collapse first
+    (content-hash groupBy → min-id representative), THEN near-dup
+    connected components over representatives only, then expand the
+    component assignment back over all rows.
+
+    Semantics-preserving relative to running CC over the full near-dup
+    graph: identical content ⇒ identical token set ⇒ Jaccard 1 and
+    identical MinHash bands, so each exact-dup group is a clique whose
+    cross-group connectivity is exactly its representative's, and the
+    min-id component of a cluster equals the min over its group
+    representatives. The point is cost: web-scale corpora are
+    duplicate-heavy, and the verified pair list within an exact-dup
+    clique is quadratic in clique size — collapsing first removes that
+    term entirely (measured: the 90 %-duplicate 10× smoke corpus drops
+    from ~50 k docs to ~5 k reps before any pair is enumerated).
+
+    Returns (id_col, component, keep) over ALL input rows.
+    """
+    groups = docs.select(F.col(id_col), fingerprint(text_col).alias("_fp"))
+    reps = groups.groupBy("_fp").agg(F.min(id_col).alias("_rep"))
+    mapping = groups.join(reps, "_fp").select(id_col, "_rep")
+    rep_docs = docs.join(
+        reps.select(F.col("_rep").alias(id_col)), id_col, "left_semi"
+    )
+    edges = minhash_near_dup(rep_docs, threshold, id_col, text_col)
+    cc = connected_components(edges, rep_docs, id_col=id_col)
+    return (
+        mapping.join(
+            cc.select(F.col(id_col).alias("_rep"), "component"), "_rep"
+        )
+        .select(
+            id_col,
+            "component",
+            (F.col(id_col) == F.col("component")).alias("keep"),
+        )
+    )

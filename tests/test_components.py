@@ -75,3 +75,33 @@ def test_matches_union_find_on_random_graphs(spark):
 
         got = {k: c for k, (c, _) in _cc(spark, edges, vertices).items()}
         assert got == want, f"trial {trial}"
+
+
+def test_dedup_pipeline_equals_full_cc(spark):
+    """Exact-collapse → CC-on-reps → expand must equal CC over the full
+    near-dup graph on a corpus with planted exact AND near dups."""
+    from pyspark.sql import functions as F
+
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators.dedup import (
+        connected_components,
+        dedup_pipeline,
+        minhash_near_dup,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").filter(
+        F.col("doc_id") % 25 == 0
+    )
+    # plant exact duplicates of every base doc under shifted ids
+    docs = base.union(
+        base.withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+    )
+    full = {
+        r.doc_id: r.component
+        for r in connected_components(
+            minhash_near_dup(docs, 0.7), docs, id_col="doc_id"
+        ).collect()
+    }
+    piped = {
+        r.doc_id: r.component for r in dedup_pipeline(docs, 0.7).collect()
+    }
+    assert piped == full and len(piped) == 2 * base.count()
