@@ -475,3 +475,105 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     edges = minhash_near_dup(docs, threshold=0.7)
     return connected_components(edges, docs, id_col="doc_id")
+
+
+@query(
+    "q_tpch_order_dist",
+    oracle="""
+    SELECT n_orders, count(*) AS n_customers
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY n_orders
+    """,
+)
+def q_tpch_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style customer order distribution: outer join with an
+    ON-clause residual predicate (customers with zero qualifying orders
+    must survive with count 0), then a second aggregation over the
+    counts. Two shuffles total; the second is over at most
+    max(n_orders) distinct keys."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@query(
+    "q_tpch_big_orders",
+    oracle="""
+    SELECT c_name, o_orderkey, o_orderdate,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey  = o_custkey
+    GROUP BY c_name, o_orderkey, o_orderdate
+    HAVING sum(l_quantity) > 150
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume orders: aggregate lineitem by
+    order, HAVING cut, customer attached via broadcast, top-10 via
+    TakeOrderedAndProject. The quantity aggregation combines map-side,
+    so the shuffle carries one row per order, and the HAVING filter
+    runs before the customer join — never after."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q_tpch_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS n_suppliers
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (5, 10, 15, 20)
+    GROUP BY p_brand, p_size
+    """,
+)
+def q_tpch_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier variety: count distinct suppliers per
+    part brand/size slice. The part dimension broadcasts with its
+    filters applied; count-distinct runs as Spark's two-phase
+    partial-aggregate expansion, never a global de-dup pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(5, 10, 15, 20)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+    )
