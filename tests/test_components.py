@@ -105,3 +105,49 @@ def test_dedup_pipeline_equals_full_cc(spark):
         r.doc_id: r.component for r in dedup_pipeline(docs, 0.7).collect()
     }
     assert piped == full and len(piped) == 2 * base.count()
+
+
+def test_alternating_matches_union_find(spark):
+    import random
+
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators.dedup import (
+        connected_components_alternating,
+    )
+
+    def run(edges, vertices):
+        e = spark.createDataFrame(edges or [(None, None)], "id_a long, id_b long")
+        if not edges:
+            e = e.filter("id_a is not null")
+        v = spark.createDataFrame([(x,) for x in vertices], "doc_id long")
+        out = connected_components_alternating(e, v, id_col="doc_id")
+        return {r.doc_id: r.component for r in out.collect()}
+
+    # long chain: the case this variant exists for
+    got = run([(i, i + 1) for i in range(19)], list(range(20)))
+    assert all(c == 0 for c in got.values())
+
+    # random graphs vs union-find
+    rng = random.Random(7)
+    for trial in range(2):
+        n = 25
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(5, 35))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comps = {}
+        for v in range(n):
+            comps.setdefault(find(v), []).append(v)
+        want = {v: min(vs) for vs in comps.values() for v in vs}
+        assert run(edges, list(range(n))) == want, f"trial {trial}"

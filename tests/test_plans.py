@@ -99,3 +99,20 @@ def test_centroid_partial_aggregates_exploded_rows(spark):
     plan = _plan(spark, "q_vector_centroid")
     assert "Generate posexplode" in plan or "posexplode" in plan
     assert "partial_avg" in plan or "partial_sum" in plan
+
+
+def test_returned_items_top20_and_broadcasts(spark):
+    plan = _plan(spark, "q_tpch_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dormant_customers_anti_join(spark):
+    plan = _plan(spark, "q_tpch_dormant_customers")
+    assert "LeftAnti" in plan
+
+
+def test_nation_volume_all_dims_broadcast(spark):
+    plan = _plan(spark, "q_tpch_nation_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") <= 1
