@@ -300,11 +300,10 @@ def connected_components(
     (diameter ≤ ~2), so 3-4 rounds in practice. ``localCheckpoint``
     truncates lineage each round — without it the plan doubles per
     iteration and the driver, not the data, becomes the bottleneck.
-    For adversarial long-chain graphs at 100 TB, the alternating
-    large-star/small-star variant (Kiveris et al., "Connected
-    Components in MapReduce") halves long chains per round; the
-    propagation loop below is the right default for dedup-shaped
-    graphs.
+    For adversarial long-chain graphs at 100 TB use
+    ``connected_components_alternating`` (large-star/small-star,
+    O(log² n) rounds); the propagation loop below is the right default
+    for dedup-shaped graphs.
 
     Returns (id_col, component, keep): component = min reachable id,
     keep = this row is the cluster representative.
