@@ -216,3 +216,24 @@ def q_build_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("embedding_sq_norm"),
     )
+
+
+@query("q_knn_auto")  # routing operator; exact path below the ANN
+# threshold ranks on unrounded scores (near-ties would make a rounded
+# oracle flaky), approximate above it → rows-only by design. Exactness
+# of both routed paths is covered by q_knn_join's oracle and the
+# recall assertions in tests/test_similarity.py.
+def q_knn_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-routed batch kNN (the reference's brute-force→ANN
+    delegation split, /root/reference/AI.py:49-55, as an API-level
+    pre-plan decision per SURVEY §4.3): exact broadcast-probe brute
+    force below ``ann_threshold_rows`` index rows, banded cosine LSH
+    above. Uniform (query_id, vec_id, score, rank) either way."""
+    from .operators.retrieval import knn_auto
+
+    return knn_auto(
+        _probes(spark, sf_dir),
+        _emb(spark, sf_dir),
+        k=_K,
+        query_vec="qvec",
+    )
