@@ -210,3 +210,46 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_trunc("hour", "ts").alias("window_start"))
         .agg(F.count(F.lit(1)).alias("n_total"), F.sum("kept").alias("n_kept"))
     )
+
+
+# --- T6: stream-static enrichment join -------------------------------------
+
+
+def enrich_events(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static enrichment: attach the customer dimension to an
+    event stream (batch or streaming DataFrame — same code, the
+    unified-API guarantee) and aggregate per (segment, event_type).
+    The static side is broadcast; on a stream, Spark re-plans the
+    broadcast per micro-batch, so dimension updates are picked up
+    without restarting the query. No watermark needed: stream-static
+    joins are stateless."""
+    dim = F.broadcast(
+        customers.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    return (
+        events.join(dim, "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "q_stream_enrich",
+    oracle="""
+    SELECT c_mktsegment, event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    JOIN customer ON c_custkey = user_id
+    GROUP BY c_mktsegment, event_type
+    """,
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join (T6); the
+    streaming execution is asserted equal in tests/test_streaming.py."""
+    return enrich_events(
+        _events(spark, sf_dir), load_table(spark, "customer", sf_dir)
+    )

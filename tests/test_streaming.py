@@ -267,3 +267,25 @@ def test_checkpoint_recovery_resumes_state(spark, tmp_path):
     assert got  # second half touched at least one session
     for uid, triple in got.items():
         assert triple == want[uid], uid
+
+
+def test_stream_static_enrich_equals_batch(spark, stream_dir):
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_streaming import (
+        enrich_events,
+    )
+
+    cust = load_table(spark, "customer", SF_DIR)
+    batch = {
+        (r.c_mktsegment, r.event_type): (r.n_events, r.total_value)
+        for r in enrich_events(load_table(spark, "events", SF_DIR), cust).collect()
+    }
+    _run(
+        enrich_events(_read_stream(spark, stream_dir), cust),
+        "enrich_stream",
+        "complete",
+    )
+    got = {
+        (r.c_mktsegment, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM enrich_stream").collect()
+    }
+    assert got == batch and len(got) > 0
