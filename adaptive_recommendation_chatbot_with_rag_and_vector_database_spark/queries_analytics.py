@@ -792,3 +792,42 @@ def q_tpch_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+@query(
+    "q_unpivot_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, round(val, 4) AS val
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val
+      FROM lineitem WHERE l_orderkey < 100
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+      FROM lineitem WHERE l_orderkey < 100
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount
+      FROM lineitem WHERE l_orderkey < 100
+    )
+    """,
+)
+def q_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (the inverse of Y5's pivot): three measure columns
+    become (measure, value) rows via the native ``unpivot`` operator —
+    a Generate expansion in the plan, no shuffle and no UNION re-scan
+    (the oracle's UNION ALL form reads the table three times; unpivot
+    reads it once)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return (
+        li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "measure",
+            "val",
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.regexp_replace("measure", "^l_", "").alias("measure"),
+            F.round("val", 4).alias("val"),
+        )
+    )
