@@ -831,3 +831,33 @@ def q_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("val", 4).alias("val"),
         )
     )
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (A5's general form — rollup and cube are
+    its special cases, covered by q_agg_rollup): per-flag, per-status,
+    and grand-total rows in ONE pass. Spark expands the sets into a
+    single Expand + hash aggregate — one scan and one exchange instead
+    of a UNION of three aggregations. Uses the SQL entry path
+    (spark.sql over a temp view), which shares Catalyst with the
+    DataFrame API — same plan either way."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               count(*) AS n
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
