@@ -861,3 +861,62 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+@query(
+    "q_resample_ffill",
+    oracle="""
+    WITH per_day AS (
+      SELECT user_id, date_trunc('day', ts) AS d, round(sum(value), 4) AS day_value
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, min(d) AS lo, max(d) AS hi FROM per_day GROUP BY 1),
+    days AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+      FROM bounds
+    ),
+    j AS (
+      SELECT days.user_id, days.d, day_value
+      FROM days LEFT JOIN per_day
+        ON per_day.user_id = days.user_id AND per_day.d = days.d
+    )
+    SELECT user_id, d,
+           last_value(day_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_value
+    FROM j
+    """,
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with forward fill: daily per-user totals,
+    gaps materialized via sequence()+explode over each user's own
+    [min, max] day range, then last-non-null carried forward with an
+    ignore-nulls window. The calendar spine is generated per key — no
+    driver-side date loop, no cross join against a global calendar —
+    and the fill window shuffles once on the same user_id key the
+    aggregation already used."""
+    ev = _t(spark, sf_dir, "events")
+    per_day = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.round(F.sum("value"), 4).alias("day_value"))
+    days = (
+        per_day.groupBy("user_id")
+        .agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("d"),
+        )
+    )
+    j = days.join(per_day, ["user_id", "d"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "d",
+        F.last("day_value", ignorenulls=True).over(w).alias("day_value"),
+    )
