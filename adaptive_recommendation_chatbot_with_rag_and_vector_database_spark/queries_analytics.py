@@ -920,3 +920,60 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         F.last("day_value", ignorenulls=True).over(w).alias("day_value"),
     )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT least(floor(o_totalprice / 60000)::BIGINT, 9) AS bucket,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram via pure bucket arithmetic
+    (floor-division, top bucket clamped) — a single map-side-combinable
+    hash aggregate whose exchange carries one row per bucket regardless
+    of input size. The arithmetic form (not width_bucket) keeps the
+    expression portable across engines."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 60000).cast("bigint"), F.lit(9)
+    )
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
+    "q_stats_corr",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_discount, l_tax), 8) AS disc_tax_covar,
+           round(stddev_samp(l_quantity), 6) AS qty_stddev,
+           round(var_samp(l_extendedprice), 2) AS price_var
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr / covar_samp / stddev_samp /
+    var_samp) per group — all single-pass mergeable moment sketches in
+    Spark's hash aggregate, so the exchange is one moments-tuple per
+    group."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 8).alias("disc_tax_covar"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("price_var"),
+    )
