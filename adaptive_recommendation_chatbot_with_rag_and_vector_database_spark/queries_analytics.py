@@ -977,3 +977,69 @@ def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
         F.round(F.var_samp("l_extendedprice"), 2).alias("price_var"),
     )
+
+
+@query(
+    "q_json_typed",
+    oracle="""
+    SELECT json_extract(props, '$.k')::INT // 10 AS k_decile,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing (F12's strong form): ``from_json`` with an
+    explicit schema parses ``props`` ONCE into a struct the rest of the
+    plan consumes as ordinary typed columns — vs get_json_object
+    re-parsing the string per extraction. At 100 TB the parse cost is
+    the scan-dominant term, so single-parse + schema projection is the
+    required shape."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "value", F.from_json("props", "k INT").alias("_p")
+    )
+    return (
+        parsed.groupBy(
+            (F.col("_p.k") / 10).cast("int").alias("k_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "q_array_hof",
+    oracle="""
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           round(list_sum(list_transform(embedding, x -> (x * x)::DOUBLE)), 4)
+             AS sq_sum,
+           round(list_max(list_transform(embedding, x -> abs(x)::DOUBLE)), 6)
+             AS max_abs
+    FROM embeddings
+    """,
+)
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order-function battery (F11: filter / transform /
+    aggregate lambdas) over the embedding column — all Catalyst
+    expressions evaluated inside codegen, no Python. The sq_sum ≈ 1
+    doubles as a unit-norm invariant check on the embeddings table."""
+    emb = _t(spark, sf_dir, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731 - float→double before arithmetic
+    return emb.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda acc, x: acc + xd(x) * xd(x)
+            ),
+            4,
+        ).alias("sq_sum"),
+        F.round(
+            F.array_max(F.transform("embedding", lambda x: F.abs(xd(x)))), 6
+        ).alias("max_abs"),
+    )
