@@ -1043,3 +1043,60 @@ def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max(F.transform("embedding", lambda x: F.abs(xd(x)))), 6
         ).alias("max_abs"),
     )
+
+
+@query(
+    "q_map_roundtrip",
+    oracle="""
+    SELECT doc_id, 'lang' AS k1, lang AS v1, 'source' AS k2, source AS v2,
+           2 AS n_keys
+    FROM documents
+    """,
+)
+def q_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column construction and extraction (F11 map surface):
+    build MAP<STRING,STRING> metadata per document, then read it back
+    via map_keys / element_at / size. Output is flattened to plain
+    columns so the oracle compare stays scalar — the map round-trip
+    happens entirely inside the Spark plan (metadata maps are the §1.1
+    Document.metadata shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    with_map = docs.select("doc_id", m.alias("_meta"))
+    keys = F.map_keys(F.col("_meta"))
+    return with_map.select(
+        "doc_id",
+        keys.getItem(0).alias("k1"),
+        F.element_at("_meta", keys.getItem(0)).alias("v1"),
+        keys.getItem(1).alias("k2"),
+        F.element_at("_meta", keys.getItem(1)).alias("v2"),
+        F.size("_meta").alias("n_keys"),
+    )
+
+
+@query(
+    "q_join_nullsafe",
+    oracle="""
+    SELECT c_custkey, n_name
+    FROM (SELECT c_custkey, nullif(c_nationkey, 3) AS nk FROM customer) c
+    JOIN (SELECT nullif(n_nationkey, 3) AS nk, n_name FROM nation) n
+      ON c.nk IS NOT DISTINCT FROM n.nk
+    """,
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` ≡ IS NOT DISTINCT FROM): NULL
+    keys match each other instead of dropping out — the semantics
+    dirty-key enrichment joins need. Planned as an ordinary hash join
+    (null-safe equality is still an equi-key), dimension side
+    broadcast. NULLs are planted deterministically via nullif."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey"), F.lit(3)).alias("nk")
+    )
+    nation = _t(spark, sf_dir, "nation").select(
+        F.nullif(F.col("n_nationkey"), F.lit(3)).alias("nk"), "n_name"
+    )
+    return cust.join(
+        F.broadcast(nation), cust.nk.eqNullSafe(nation.nk)
+    ).select("c_custkey", "n_name")
