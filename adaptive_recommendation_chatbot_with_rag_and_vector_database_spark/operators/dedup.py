@@ -260,13 +260,18 @@ def embedding_near_dup(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
     )
     if probe_filter:
-        a = a.filter(F.expr(probe_filter.replace(id_col, "id_a")))
+        # Bounded probe side → broadcast is safe and avoids shuffling
+        # the streamed side entirely.
+        a = F.broadcast(a.filter(F.expr(probe_filter.replace(id_col, "id_a"))))
+    # else: a is the ENTIRE vector table — forcing a broadcast there
+    # risks driver/executor OOM at exactly the corpus scale this
+    # operator targets; leave the join strategy to the planner/AQE.
     # scatter the full (right) side: pair scoring parallelizes over it
     b = scatter(
         df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     )
     return (
-        b.crossJoin(F.broadcast(a))  # broadcast probes; stream the index
+        b.crossJoin(a)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
@@ -321,6 +326,7 @@ def connected_components(
     labels = vertices.select(
         F.col(id_col).alias("_v"), F.col(id_col).alias("_comp")
     ).localCheckpoint(eager=False)
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             labels.join(sym, "_v")
@@ -342,7 +348,21 @@ def connected_components(
         )
         labels = stepped.select("_v", F.col("_new").alias("_comp"))
         if stepped.filter("_chg").count() == 0:
+            converged = True
             break
+    if not converged:
+        # Unconverged propagation returns WRONG labels (some vertices
+        # still carry a non-minimal component id) — never silently.
+        import warnings
+
+        warnings.warn(
+            f"connected_components: max_iter={max_iter} exhausted without "
+            "convergence; returned labels may be non-minimal. Raise "
+            "max_iter or use connected_components_alternating "
+            "(O(log^2 n) rounds) for long-chain graphs.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(
         F.col("_v").alias(id_col),
         F.col("_comp").alias("component"),
@@ -438,6 +458,7 @@ def connected_components_alternating(
         return tuple(r)
 
     prev = stats(e)
+    converged = False
     for _ in range(max_iter):
         # large-star: every neighbor v > u links to min(Γ(u) ∪ {u})
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -473,8 +494,22 @@ def connected_components_alternating(
         )
         cur = stats(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # A non-star residual edge set makes the left join below emit
+        # duplicate rows per vertex — surface it instead of silently
+        # returning a malformed labeling.
+        import warnings
+
+        warnings.warn(
+            f"connected_components_alternating: max_iter={max_iter} "
+            "exhausted without edge-set convergence; labels may be "
+            "duplicated/non-minimal. Raise max_iter.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # converged edge set is a star per component: (member, component-min)
     labels = (
         vertices.select(F.col(id_col).alias("_v"))

@@ -73,6 +73,18 @@ def write_index_if_absent(index: DataFrame, spark, table: str = "chunk_embedding
         index.write.saveAsTable(table)
 
 
+def _path_exists(spark, path: str) -> bool:
+    """Hadoop-FS existence check — distinguishes 'no index yet' from a
+    real read failure (corrupt file, permission error), which must
+    propagate: swallowing it would re-embed and APPEND the whole batch,
+    silently duplicating index rows and breaking the idempotent-replay
+    guarantee streaming/index_stream.py relies on."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def write_index_incremental(
     docs: DataFrame,
     path: str,
@@ -81,35 +93,58 @@ def write_index_incremental(
 ) -> int:
     """Content-hash-incremental index build — the storage-backed form of
     the reference's LRU memoization (/root/reference/AI.py:89-96, keyed
-    on chunk contents): chunks whose ``sha2`` content hash already
-    exists in the index at ``path`` are anti-joined away BEFORE the
-    embedder runs, so re-indexing an unchanged corpus embeds nothing.
+    on chunk contents). Two-level reuse:
 
-    At scale this is the only index-build shape that works: embedding is
-    the expensive stage (a model call per chunk), and the anti-join on
-    the hash — a shuffle on a high-cardinality uniform key — costs a
-    scan of the existing index's hash column only (column-pruned
-    parquet read). Appends new rows; returns how many chunks were newly
-    embedded."""
+    - identity on ``(doc_id, content_hash)``: a chunk already indexed
+      for THIS document is skipped entirely (the anti-join). Keying on
+      the hash alone would drop a new document whose text is
+      byte-identical to another doc's chunk, making it unreachable by
+      doc-scoped retrieval — the reference memoizes the embedding per
+      content but still stores every chunk.
+    - embedding reuse on ``content_hash``: a new (doc, chunk) row whose
+      text hash already exists anywhere in the index copies the stored
+      embedding instead of re-running the embedder — exactly the
+      reference's LRU semantics, storage-backed.
+
+    At scale this shape works because embedding is the expensive stage
+    (a model call per chunk) and both joins are hash-keyed shuffles over
+    column-pruned parquet reads. Appends new rows; returns how many
+    chunk rows were newly appended."""
     from ..sources.loaders import scatter
 
     spark = docs.sparkSession
     chunks = chunk_documents(scatter(docs), chunk_size=chunk_size).withColumn(
         "content_hash", F.sha2(F.col("text"), 256)
     )
-    try:
-        existing = spark.read.parquet(path).select("content_hash").distinct()
-        chunks = chunks.join(existing, "content_hash", "left_anti")
-    except Exception:
-        pass  # no index yet → everything is new
     embed = embedding_udf(dim)
-    new_rows = chunks.select(
-        "doc_id",
-        "chunk_id",
-        "text",
-        embed(F.col("text")).alias("embedding"),
-        "content_hash",
-    )
+    if _path_exists(spark, path):
+        existing = spark.read.parquet(path)
+        seen_keys = existing.select("doc_id", "content_hash").distinct()
+        chunks = chunks.join(seen_keys, ["doc_id", "content_hash"], "left_anti")
+        known = existing.select("content_hash", "embedding").dropDuplicates(
+            ["content_hash"]
+        )
+        reused = chunks.join(known, "content_hash", "inner").select(
+            "doc_id", "chunk_id", "text", "embedding", "content_hash"
+        )
+        fresh = chunks.join(
+            known.select("content_hash"), "content_hash", "left_anti"
+        ).select(
+            "doc_id",
+            "chunk_id",
+            "text",
+            embed(F.col("text")).alias("embedding"),
+            "content_hash",
+        )
+        new_rows = fresh.unionByName(reused)
+    else:
+        new_rows = chunks.select(
+            "doc_id",
+            "chunk_id",
+            "text",
+            embed(F.col("text")).alias("embedding"),
+            "content_hash",
+        )
     # localCheckpoint would also work; count-then-append keeps it simple
     # and the count is the caller's idempotency signal.
     new_rows = new_rows.persist()

@@ -28,10 +28,16 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+        # rejects (PARQUET_TYPE_ILLEGAL) unless nanosAsLong is set. The
+        # conf is runtime-settable, so set it here rather than relying on
+        # the session factory — load_table must work in ANY SparkSession
+        # (the correctness harness builds its own vanilla session).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), surfaced as long under
-        # spark.sql.legacy.parquet.nanosAsLong; truncate to µs exactly as
+        # ts surfaces as long (ns since epoch); truncate to µs exactly as
         # DuckDB does so the oracle sees identical values.
         from pyspark.sql import functions as F
 

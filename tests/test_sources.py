@@ -89,6 +89,47 @@ def test_incremental_index_skips_existing_content(spark, tmp_path):
     }
 
 
+def test_incremental_index_attributes_identical_content_to_new_doc(spark, tmp_path):
+    """A NEW document whose text is byte-identical to an already-indexed
+    document must still get its own index rows (else it is unreachable
+    by doc-scoped retrieval); the embedding is reused per content hash —
+    the reference memoizes the embedding but stores every chunk."""
+    idx = str(tmp_path / "chunk_index")
+    text = " ".join(f"shared sentence number {i} of the corpus." for i in range(30))
+    n1 = write_index_incremental(
+        spark.createDataFrame([(1, text)], "doc_id long, text string"),
+        idx,
+        chunk_size=200,
+    )
+    assert n1 > 0
+
+    both = spark.createDataFrame([(1, text), (2, text)], "doc_id long, text string")
+    n2 = write_index_incremental(both, idx, chunk_size=200)
+    assert n2 == n1  # doc 2 gets the same chunk rows, hash-for-hash
+
+    total = spark.read.parquet(idx)
+    assert {r.doc_id for r in total.select("doc_id").distinct().collect()} == {1, 2}
+    # reused embeddings: one embedding per content hash across both docs
+    assert (
+        total.select("content_hash", "embedding").distinct().count()
+        == total.select("content_hash").distinct().count()
+    )
+    # replay of the full corpus appends nothing
+    assert write_index_incremental(both, idx, chunk_size=200) == 0
+
+
+def test_incremental_index_propagates_corrupt_index_read(spark, tmp_path):
+    """An EXISTING but unreadable index must raise — treating a read
+    failure as 'no index yet' would re-embed and append the whole batch,
+    silently duplicating index rows (ADVICE r1)."""
+    idx = tmp_path / "chunk_index"
+    idx.mkdir()
+    (idx / "part-00000.parquet").write_bytes(b"not a parquet file")
+    docs = spark.createDataFrame([(1, "some text " * 20)], "doc_id long, text string")
+    with pytest.raises(Exception):
+        write_index_incremental(docs, str(idx), chunk_size=100)
+
+
 def test_streaming_index_build_equals_batch(spark, tmp_path):
     """Streaming index maintenance: documents arriving as stream files
     produce the same index as one batch build, and replaying the corpus
