@@ -147,7 +147,11 @@ def resize_thumbnail(payload: bytes, size: int = 8) -> list[float]:
     arr = np.frombuffer(payload, dtype=np.uint8)
     if len(arr) < n:
         arr = np.pad(arr, (0, n - len(arr)))
-    idx = np.linspace(0, len(arr) - 1, n).astype(np.int64)
+    # integer-exact stride (j*(L-1)) // (n-1), NOT float linspace: the
+    # gather must be bit-reproducible in any engine (the DuckDB oracle
+    # recomputes it over hex(payload)) and float step accumulation can
+    # floor off-by-one on exact-integer boundaries
+    idx = (np.arange(n, dtype=np.int64) * (len(arr) - 1)) // (n - 1)
     return [round(float(v) / 255.0, 6) for v in arr[idx]]
 
 

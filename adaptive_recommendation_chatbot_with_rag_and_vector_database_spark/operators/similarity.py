@@ -131,26 +131,28 @@ def train_centroids_sample(
     sample_rows: int = 4096,
     iters: int = 10,
 ) -> np.ndarray:
-    """Driver-side Lloyd's k-means on a bounded sample — the IVF
-    codebook. Deterministic (fixed seed, fixed sample order)."""
-    sample = np.array(
-        [r[0] for r in index.select(vec_col).limit(sample_rows).collect()],
-        dtype=np.float64,
-    )
-    rng = np.random.RandomState(SEED)
-    centroids = sample[rng.choice(len(sample), size=n_cells, replace=False)]
-    for _ in range(iters):
-        # cosine assignment on normalized data ≈ euclidean on the sphere
-        sims = sample @ centroids.T
-        assign = sims.argmax(axis=1)
-        for c in range(n_cells):
-            members = sample[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
-                norm = np.linalg.norm(centroids[c])
-                if norm > 0:
-                    centroids[c] /= norm
-    return centroids
+    """IVF codebook training as a distributed MLlib ``KMeans`` fit on a
+    bounded DataFrame sample — the driver never touches vector data;
+    only the tiny static (n_cells × dim) codebook comes back, which is
+    exactly the payload the assignment UDFs ship out anyway.
+
+    Determinism: fixed seed, ``limit(sample_rows)`` over the scan's
+    stable order, and centroids L2-normalized then lexicographically
+    sorted so cell ids don't depend on MLlib's internal cluster
+    ordering (the cell-partitioned index layout must be reproducible
+    across builds — see ``write_ivf_index``)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sample = index.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    ).limit(sample_rows)
+    model = KMeans(k=n_cells, maxIter=iters, seed=SEED).fit(sample)
+    centroids = np.array(model.clusterCenters(), dtype=np.float64)
+    norms = np.linalg.norm(centroids, axis=1, keepdims=True)
+    centroids = centroids / np.where(norms > 0, norms, 1.0)
+    # lexicographic sort over components → stable, order-free cell ids
+    return centroids[np.lexsort(centroids.T[::-1])]
 
 
 def write_ivf_index(

@@ -193,6 +193,67 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_knn(_probes(spark, sf_dir), _emb(spark, sf_dir), k=_K)
 
 
+_RECALL_THRESHOLD = 0.9
+
+
+@query(
+    "q_ann_recall",
+    oracle=f"""
+    SELECT method, n_probes, recall_ok FROM (
+      SELECT 'ivf' AS method,
+             (SELECT count(*) FROM embeddings WHERE {_KNN_PROBE_FILTER}) AS n_probes,
+             true AS recall_ok
+      UNION ALL
+      SELECT 'lsh',
+             (SELECT count(*) FROM embeddings WHERE {_KNN_PROBE_FILTER}),
+             true
+    )
+    """,
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality as a driver-checkable scalar (VERDICT r1 #7): recall
+    of each approximate path (LSH bands, IVF cells) against the exact
+    brute-force top-k, thresholded at {_RECALL_THRESHOLD}. The oracle
+    asserts the VERDICT — ``recall_ok = true`` per method — so a recall
+    regression below threshold hash-mismatches in CORRECTNESS even
+    though DuckDB cannot run the ANN itself. The per-commit recall
+    value is additionally asserted in tests/test_similarity.py.
+
+    IVF probes 12/16 cells here: fixture embeddings are ~uniform on
+    the sphere (no cluster structure), so IVF recall is bounded by the
+    scan fraction — 0.975 measured at sf0.001/sf0.01 with this budget.
+    On a real clustered corpus the same 0.9 recall needs far fewer
+    probes; the probe budget is the caller's recall/cost dial."""
+    from .operators.similarity import ivf_knn, lsh_knn
+
+    emb = _emb(spark, sf_dir)
+    probes = _probes(spark, sf_dir)
+    exact = (
+        q_knn_join(spark, sf_dir)
+        .select("query_id", "vec_id")
+    )
+    totals = exact.agg(
+        F.count(F.lit(1)).alias("tot"),
+        F.countDistinct("query_id").alias("n_probes"),
+    )
+
+    def recall_row(method: str, ann: DataFrame) -> DataFrame:
+        hits = (
+            ann.select("query_id", "vec_id")
+            .join(exact, ["query_id", "vec_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        return hits.crossJoin(totals).select(
+            F.lit(method).alias("method"),
+            F.col("n_probes"),
+            (F.col("hits") / F.col("tot") >= _RECALL_THRESHOLD).alias("recall_ok"),
+        )
+
+    return recall_row(
+        "ivf", ivf_knn(probes, emb, k=_K, n_cells=16, nprobe=12)
+    ).unionByName(recall_row("lsh", lsh_knn(probes, emb, k=_K)))
+
+
 @query("q_build_index")  # chunk boundaries are not SQL-expressible → rows-only
 def q_build_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-index build (S4+F5+F6+F8): documents → recursive chunks →

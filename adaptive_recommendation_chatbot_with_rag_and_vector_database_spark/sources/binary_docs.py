@@ -11,12 +11,12 @@ Extractors are pluggable ``bytes -> str`` callables:
 
 - ``utf8_extractor`` (default): decode bytes as UTF-8 text (.txt/.md
   corpora). Real and tested.
-- ``pdf_extractor``: PDF page-concatenation via PyMuPDF, matching the
-  reference's ``page.get_text()`` loop. The PDF codec is NOT available
-  in this environment, so the decode step raises
-  ``NotImplementedError`` unless PyMuPDF is importable; the Spark-side
-  plumbing (scan → mapInPandas → schema) is identical to the tested
-  UTF-8 path and is what this module exists to pin down.
+- ``pdf_extractor``: PDF page-concatenation, matching the reference's
+  ``page.get_text()`` loop. Uses PyMuPDF when importable; otherwise a
+  pure-Python fallback parser (stdlib zlib + regex over content-stream
+  text operators) handles simple-font PDFs, so the S2 path runs with
+  zero optional dependencies. The Spark-side plumbing (scan →
+  mapInPandas → schema) is identical to the tested UTF-8 path.
 
 Both honor the reference's error contract: any per-file failure yields
 ``text=""`` rather than failing the job.
@@ -30,6 +30,8 @@ not).
 from __future__ import annotations
 
 import hashlib
+import re
+import zlib
 from typing import Callable, Iterator
 
 import pandas as pd
@@ -55,18 +57,93 @@ def utf8_extractor(content: bytes) -> str:
         return ""
 
 
+# PDF content-stream text operators (simple fonts): literal strings
+# `(..) Tj`, `(..) '`, and arrays `[ (..) n (..) ] TJ`. Escapes per the
+# PDF spec: \( \) \\ \n \r \t \b \f, octal \ddd, and the
+# backslash-newline continuation.
+_PDF_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
+_PDF_TEXTBLOCK_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
+_PDF_SHOWTEXT_RE = re.compile(
+    rb"\(((?:\\.|[^\\()])*)\)\s*(Tj|')"  # literal string + show op
+    rb"|\[((?:\\.|[^\]\\])*)\]\s*TJ",  # TJ array of strings/kerns
+    re.DOTALL,
+)
+_PDF_LITERAL_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)", re.DOTALL)
+_PDF_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _pdf_unescape(raw: bytes) -> str:
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        c = raw[i : i + 1]
+        if c != b"\\":
+            out += c
+            i += 1
+            continue
+        nxt = raw[i + 1 : i + 2]
+        if nxt in _PDF_ESCAPES:
+            out += _PDF_ESCAPES[nxt]
+            i += 2
+        elif nxt.isdigit():  # octal \ddd (1-3 digits)
+            j = i + 1
+            while j < min(i + 4, len(raw)) and raw[j : j + 1].isdigit():
+                j += 1
+            out.append(int(raw[i + 1 : j], 8) & 0xFF)
+            i = j
+        elif nxt in (b"\n", b"\r"):  # line continuation
+            i += 2
+        else:
+            out += nxt
+            i += 2
+    return out.decode("latin-1")
+
+
+def pdf_fallback_extract(content: bytes) -> str:
+    """Pure-Python PDF text extraction — zero dependencies beyond the
+    stdlib. Decompresses FlateDecode streams with ``zlib`` (raw streams
+    pass through), then concatenates the text shown by ``Tj``/``'``/
+    ``TJ`` operators inside ``BT..ET`` blocks. Handles simple-font
+    (byte-encoded) PDFs — the page-text shape the reference's loop
+    produces (AI.py:63-67); CID/Type0 composite encodings and nested
+    unescaped parens are out of scope for the fallback (use PyMuPDF).
+    Silent-empty on malformed input, per the reference contract."""
+    try:
+        if not content.lstrip()[:5].startswith(b"%PDF-"):
+            return ""
+        parts: list[str] = []
+        for m in _PDF_STREAM_RE.finditer(content):
+            data = m.group(1).strip(b"\r\n")
+            try:
+                data = zlib.decompress(data)
+            except Exception:
+                pass  # not Flate-compressed; use as-is
+            for block in _PDF_TEXTBLOCK_RE.finditer(data):
+                for sm in _PDF_SHOWTEXT_RE.finditer(block.group(1)):
+                    if sm.group(3) is not None:  # TJ array
+                        for lit in _PDF_LITERAL_RE.finditer(sm.group(3)):
+                            parts.append(_pdf_unescape(lit.group(1)))
+                    else:
+                        if sm.group(2) == b"'":  # ' = next-line + show
+                            parts.append("\n")
+                        parts.append(_pdf_unescape(sm.group(1)))
+        return "".join(parts)
+    except Exception:
+        return ""  # reference: silent-empty on extraction error
+
+
 def pdf_extractor(content: bytes) -> str:
     """Page-concatenated PDF text (reference loop at AI.py:63-67).
 
-    Requires PyMuPDF; raises NotImplementedError when absent (the
-    decode is stubbed in this environment — see module docstring)."""
+    PyMuPDF when available; otherwise the pure-Python fallback above —
+    the S2 source path never requires an optional dependency."""
     try:
-        import fitz  # PyMuPDF — not installed here; import-gated
-    except ImportError as exc:
-        raise NotImplementedError(
-            "PDF decode requires PyMuPDF, which is not available in this "
-            "environment; the Spark plumbing is identical to utf8_extractor"
-        ) from exc
+        import fitz  # PyMuPDF — optional; import-gated
+    except ImportError:
+        return pdf_fallback_extract(content)
     try:
         with fitz.open(stream=content, filetype="pdf") as doc:
             return "".join(page.get_text() for page in doc)

@@ -47,22 +47,24 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
 
 
 def scatter(df: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition to engine parallelism. Two jobs in one:
+    """Guarantee minimum parallelism for a per-row expensive downstream
+    stage (Python UDFs, sketch expressions): repartition ONLY when the
+    input arrives under-partitioned (e.g. a small single-file scan = ONE
+    partition, so every UDF row would run on one core).
 
-    1. Small single-file inputs arrive as ONE partition; per-row
-       expensive stages (UDFs, sketch expressions) would run on one
-       core. At cluster scale the scan has many splits and this is a
-       no-op cost-wise; on small files it is the difference between 1
-       and ``defaultParallelism`` concurrent tasks.
-    2. The exchange is an optimizer barrier: Catalyst's CollapseProject
-       re-inlines aliased columns into downstream higher-order-function
-       lambdas, re-evaluating the alias PER lambda reference (measured
-       10×+ on minhash/bigram sketches). A projection computed *before*
-       the shuffle is physically materialized, so downstream lambdas
-       read an attribute instead of recomputing an expression.
-    """
+    On well-partitioned input — any real cluster scan, where splits ≥
+    cores — this is a no-op returning ``df`` unchanged: no exchange
+    enters the plan, so at 100 TB scatter costs nothing (asserted in
+    tests/test_plans.py). The earlier unconditional form also served as
+    a CollapseProject barrier; measured on Spark 4.x the optimizer no
+    longer duplicates non-cheap aliased expressions into their
+    references, so the barrier role is obsolete and the exchange was
+    pure overhead."""
     spark = df.sparkSession
-    return df.repartition(partitions or spark.sparkContext.defaultParallelism)
+    target = partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def write_bucketed(

@@ -44,9 +44,88 @@ def test_invalid_bytes_yield_empty_text_not_failure(spark, corpus_dir):
     assert by_path["a.txt"].startswith("alpha")
 
 
-def test_pdf_extractor_is_stubbed_loudly():
-    with pytest.raises(NotImplementedError):
-        pdf_extractor(b"%PDF-1.4 fake")
+def _make_pdf(content_stream: bytes, compress: bool = False) -> bytes:
+    """Minimal one-page PDF around ``content_stream`` (pure Python)."""
+    import zlib
+
+    filt = b""
+    data = content_stream
+    if compress:
+        data = zlib.compress(content_stream)
+        filt = b"/Filter /FlateDecode "
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< " + filt + b"/Length " + str(len(data)).encode() + b" >>\n"
+        b"stream\n" + data + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref = len(out)
+    out += f"xref\n0 {len(objs)+1}\n0000000000 65535 f \n".encode()
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs)+1} /Root 1 0 R >>\n"
+        f"startxref\n{xref}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def test_pdf_fallback_extracts_generated_pdf():
+    """S2 without PyMuPDF (VERDICT r1 #8): the pure-Python parser reads
+    the text back out of PDFs we generate — plain, Flate-compressed,
+    TJ-array, and escaped-string forms."""
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.sources.binary_docs import (
+        pdf_fallback_extract,
+    )
+
+    simple = _make_pdf(b"BT /F1 12 Tf 72 720 Td (Hello world) Tj ET")
+    assert pdf_fallback_extract(simple) == "Hello world"
+    assert pdf_extractor(simple) == "Hello world"  # routes to fallback here
+
+    zipped = _make_pdf(b"BT (compressed text) Tj ET", compress=True)
+    assert pdf_fallback_extract(zipped) == "compressed text"
+
+    tj = _make_pdf(b"BT [(kern) -120 (ed )] TJ [(array)] TJ ET")
+    assert pdf_fallback_extract(tj) == "kerned array"
+
+    esc = _make_pdf(rb"BT (par\(en\) \\ back \101 octal\nnl) Tj ET")
+    assert pdf_fallback_extract(esc) == "par(en) \\ back A octal\nnl"
+
+    quote = _make_pdf(b"BT (line one) Tj (line two) ' ET")
+    assert pdf_fallback_extract(quote) == "line one\nline two"
+
+
+def test_pdf_fallback_silent_empty_on_malformed():
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.sources.binary_docs import (
+        pdf_fallback_extract,
+    )
+
+    assert pdf_fallback_extract(b"not a pdf at all") == ""
+    assert pdf_fallback_extract(b"") == ""
+    # header but garbage body: parses to no text, never raises
+    assert pdf_fallback_extract(b"%PDF-1.4\ngarbage stream \xff\xfe endstream") == ""
+
+
+def test_pdf_documents_flow_through_spark_source(spark, tmp_path):
+    """End-to-end S2: a directory of generated PDFs → binaryFile scan →
+    mapInPandas extraction → documents frame."""
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    (d / "a.pdf").write_bytes(_make_pdf(b"BT (alpha from pdf) Tj ET"))
+    (d / "b.pdf").write_bytes(
+        _make_pdf(b"BT (beta from pdf) Tj ET", compress=True)
+    )
+    docs = load_binary_documents(spark, str(d), glob="*.pdf", extractor=pdf_extractor)
+    got = {r.path.rsplit("/", 1)[-1]: r.text for r in docs.collect()}
+    assert got == {"a.pdf": "alpha from pdf", "b.pdf": "beta from pdf"}
 
 
 def test_doc_id_deterministic_and_positive():
