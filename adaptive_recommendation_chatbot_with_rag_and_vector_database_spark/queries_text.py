@@ -132,11 +132,14 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the buckets whose equi-join produces candidate pairs (full pair
     pipeline: operators/dedup.minhash_near_dup, planted-dup tested).
     Oracle recomputes the identical signatures from shared constants."""
-    # Single-pass scan → project, zero exchanges: Spark 4.x's
-    # CollapseProject keeps the non-cheap tokh alias un-inlined, so the
-    # old scatter() barrier here was pure overhead (measured).
-    tokh = _docs(spark, sf_dir).select(
-        "doc_id", token_hashes(distinct_tokens("text")).alias("tokh")
+    # scatter = min-parallelism guard: the fixture scan is ONE partition
+    # and the signature fold is the whole query's cost, so it must fan
+    # out locally; on a cluster-scale scan scatter is a no-op (zero
+    # exchanges — see loaders.scatter).
+    tokh = scatter(
+        _docs(spark, sf_dir).select(
+            "doc_id", token_hashes(distinct_tokens("text")).alias("tokh")
+        )
     )
     sk = tokh.select(
         "doc_id",
@@ -170,9 +173,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charikar simhash sketch (X2): 32-bit packed signature per doc;
     Hamming-blocked pair detection lives in operators/dedup
     (simhash_near_dup, planted-dup tested)."""
-    # Zero-exchange single pass; see q_dedup_minhash for why no scatter.
-    tokh = _docs(spark, sf_dir).select(
-        "doc_id", token_hashes(distinct_tokens("text")).alias("tokh")
+    # min-parallelism scatter; no-op at cluster scale (see q_dedup_minhash)
+    tokh = scatter(
+        _docs(spark, sf_dir).select(
+            "doc_id", token_hashes(distinct_tokens("text")).alias("tokh")
+        )
     )
     return tokh.select("doc_id", simhash(F.col("tokh")).alias("simhash"))
 

@@ -57,18 +57,14 @@ def test_exact_dedup_aggregates_map_side(spark):
     assert "partial_min" in plan or "partial_count" in plan
 
 
-@pytest.mark.parametrize("name", ["q_dedup_minhash", "q_dedup_simhash"])
-def test_sketches_single_pass_zero_exchange(spark, name):
-    # sketch = scan → project, nothing else: no exchange may enter the
-    # plan (the old scatter barrier was measured pure overhead on 4.x)
-    plan = _plan(spark, name)
-    assert "Exchange" not in plan
-
-
-def test_jaccard_scatter_spreads_single_partition_scan(spark):
+@pytest.mark.parametrize(
+    "name", ["q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram_jaccard"]
+)
+def test_sketch_scatter_spreads_single_partition_scan(spark, name):
     # the fixture scan is one file → one partition; scatter must fire
-    # here so tokenization runs at engine parallelism
-    plan = _plan(spark, "q_dedup_ngram_jaccard")
+    # here so sketch compute runs at engine parallelism (on a cluster-
+    # scale scan it is a no-op — next test)
+    plan = _plan(spark, name)
     assert "Exchange RoundRobinPartitioning" in plan
 
 
