@@ -490,3 +490,152 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nt").alias("max_tokens"),
         )
     )
+
+
+# --- Training-data pipeline wave 3 (SURVEY §2.13 Z1-Z5) --------------------
+
+
+@query(
+    "q_text_scrub",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(text, '\b(customer|spark)\b',
+                              '[REDACTED]', 'g')) AS scrubbed_md5,
+           len(regexp_extract_all(text, '\b(customer|spark)\b')) AS n_hits
+    FROM documents
+    """,
+)
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist term scrub (Z1) — the redaction machinery of a PII
+    pass (emails/phones/SSNs drop into the same regexp_replace +
+    regexp_count pair; the synthetic corpus has no digits, so a term
+    blocklist exercises real matches). Pure codegen'd string
+    expressions, zero exchanges: at 100 TB this is a map-only pass at
+    scan speed. Output carries md5(scrubbed) instead of the full
+    rewritten text so the compare stays narrow."""
+    pat = r"\b(customer|spark)\b"
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(F.regexp_replace("text", pat, "[REDACTED]")).alias("scrubbed_md5"),
+        F.regexp_count("text", F.lit(pat)).alias("n_hits"),
+    )
+
+
+@query(
+    "q_word_topk",
+    oracle="""
+    SELECT word, count(*) AS freq FROM (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word ORDER BY freq DESC, word LIMIT 20
+    """,
+)
+def q_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequency top-k (Z2) — the vocabulary /
+    heavy-hitter scan of a tokenizer-training pipeline. explode +
+    two-phase hash aggregate (map-side partial per word) + global
+    TakeOrderedAndProject of 20 rows; the only exchange carries one
+    row per distinct word, not per token occurrence."""
+    words = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(20)
+    )
+
+
+@query(
+    "q_ngram_freq",
+    oracle="""
+    SELECT bigram, count(*) AS freq FROM (
+      SELECT unnest([toks[i] || ' ' || toks[i+1]
+                     for i in generate_series(1, len(toks)-1)]) AS bigram
+      FROM (SELECT string_split(text, ' ') AS toks FROM documents))
+    GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 20
+    """,
+)
+def q_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-bigram frequency top-k (Z3) — the n-gram statistics
+    pass behind BPE merges and language-model data audits. Bigrams are
+    built inside the array domain (zip_with over the token array and
+    its shifted slice — codegen, no Python), then explode + two-phase
+    aggregate exactly like q_word_topk."""
+    toks = _docs(spark, sf_dir).select(F.split("text", " ").alias("toks"))
+    bigrams = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+                F.slice("toks", 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "bigram")
+        .limit(20)
+    )
+
+
+@query(
+    "q_cdc_latest",
+    oracle="""
+    SELECT user_id, event_id, event_type, value FROM (
+      SELECT user_id, event_id, event_type, round(value, 4) AS value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def q_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-record compaction (Z4): one surviving row per key,
+    newest timestamp with event_id as the deterministic tie-break —
+    the upsert-materialization every changelog consumer runs. Planned
+    as a ranked window whose rn=1 predicate pushes into
+    WindowGroupLimit: each map task keeps only its per-key newest row
+    BEFORE the exchange, so the shuffle carries ~|keys| rows, not
+    |events|."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "event_id", "event_type", F.round("value", 4).alias("value")
+        )
+    )
+
+
+@query(
+    "q_train_test_split",
+    oracle="""
+    SELECT lang, split, count(*) AS n_docs FROM (
+      SELECT lang, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c'
+                   THEN 'train' ELSE 'test' END AS split
+      FROM documents) GROUP BY lang, split
+    """,
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/test split (Z5): membership is a
+    pure function of the stable doc_id (first md5 hex digit ≤ 'c' ≈
+    13/16 = 81% train), so the split is reproducible across runs,
+    engines, and data layouts — never a random() that reshuffles on
+    retry. Map-only expression + a tiny grouped count; at 100 TB the
+    split column costs one hash per row at scan speed."""
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "c", "train"
+    ).otherwise("test")
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

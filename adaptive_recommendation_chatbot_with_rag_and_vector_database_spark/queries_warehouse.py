@@ -1,0 +1,497 @@
+"""Warehouse wave 3 (SURVEY §2.13): the remaining TPC-H query shapes.
+
+Rounds 1-2 covered Q1/Q3/Q5/Q7/Q10/Q13/Q14/Q16/Q18/Q19/Q22 analogs
+(queries_analytics.py); this module completes the set — Q2/Q4/Q6/Q8/
+Q9/Q11/Q12/Q15/Q17/Q20/Q21 analogs adapted to the driver's star schema
+(no partsupp table, no commit/receipt dates — substitutions documented
+per query). With it, every one of the 22 canonical warehouse query
+shapes has a DataFrame-first implementation and an exact DuckDB oracle.
+
+Scale notes follow the repo's exchange-budget discipline (SURVEY §8):
+every dimension side is broadcast, aggregates are map-side partial,
+and each query keeps at most the fact-fact shuffles the shape
+fundamentally requires (Q21's triple lineitem self-join is the known
+worst case of the whole TPC-H suite on any engine).
+
+Determinism: float outputs rounded in BOTH the Spark query and the
+oracle SQL; equality-on-aggregate filters (Q2/Q15) compare rounded
+values so summation order cannot flip them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import query
+from .sources.loaders import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+@query(
+    "q_tpch_simple_agg",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_simple_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style forecast revenue change: pure filter + global
+    aggregate. All three predicates push to the parquet scan
+    (PushedFilters), the projection prunes to 4 columns, and the
+    exchange carries exactly one partial-sum row per task — the
+    cheapest possible shape at any scale."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "q_tpch_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style order-priority checking. The reference schema has
+    no commit/receipt dates, so the EXISTS probes for a returned line
+    (l_returnflag = 'R') instead of a late one — same decorrelated
+    left-semi shape. One shuffle on orderkey for the semi join (both
+    sides filtered first), then a 5-group aggregate."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    returned = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q_tpch_shipmode",
+    oracle="""
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q_tpch_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style shipping-mode priority split (no l_shipmode in
+    the schema — l_linestatus is the grouping stand-in). One fact-fact
+    shuffle on orderkey, then conditional counts combined map-side into
+    two groups."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_count"),
+        )
+    )
+
+
+@query(
+    "q_tpch_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q_tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style top supplier: quarterly revenue per supplier,
+    keep the max (ties all surface, like the spec's view formulation).
+    The revenue aggregate shuffles once on suppkey; the scalar max is a
+    1-row broadcast joined back; supplier names broadcast. Rounding
+    before the max comparison makes the equality robust to summation
+    order."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("_mx"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q_tpch_small_qty_revenue",
+    oracle="""
+    WITH part_avg AS (
+      SELECT l_partkey AS pk, round(0.5 * avg(l_quantity), 6) AS half_avg
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#1'
+      GROUP BY l_partkey)
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_small
+    FROM lineitem JOIN part_avg ON pk = l_partkey
+    WHERE l_quantity < half_avg
+    """,
+)
+def q_tpch_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style small-quantity-order revenue: the correlated
+    `l_quantity < 0.5 * avg(l_quantity) per part` subquery,
+    decorrelated into a per-part aggregate joined back to the fact.
+    Brand filter broadcasts into BOTH passes so only the brand's
+    lineitems are aggregated or probed; the join-back keys on partkey
+    (the correlation key), one shuffle each side. The threshold is
+    rounded on both sides so the float comparison cannot flip at the
+    boundary."""
+    part_b = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    brand_lines = li.join(F.broadcast(part_b), li.l_partkey == part_b.p_partkey)
+    part_avg = brand_lines.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.round(0.5 * F.avg("l_quantity"), 6).alias("half_avg")
+    )
+    return (
+        li.join(part_avg, li.l_partkey == part_avg.pk)
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+@query(
+    "q_tpch_important_nations",
+    oracle="""
+    WITH supp_value AS (
+      SELECT s_nationkey, sum(l_extendedprice * l_quantity) AS val
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      GROUP BY s_nationkey)
+    SELECT n_name, round(val, 2) AS value
+    FROM supp_value JOIN nation ON n_nationkey = s_nationkey
+    WHERE val > (SELECT sum(val) * 0.04 FROM supp_value)
+    """,
+)
+def q_tpch_important_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style important stock value (no partsupp table —
+    shipped value per supplier nation stands in). Supplier dim
+    broadcasts into the fact scan, the per-nation aggregate is ~25
+    partial rows, and the HAVING threshold is a scalar subquery over
+    those same rows — computed once and broadcast back, no second fact
+    scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    sv = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("val"))
+    )
+    thr = sv.agg((F.sum("val") * 0.04).alias("_thr"))
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        sv.join(F.broadcast(thr), sv.val > F.col("_thr"))
+        .join(F.broadcast(nation), sv.s_nationkey == nation.n_nationkey)
+        .select("n_name", F.round("val", 2).alias("value"))
+    )
+
+
+@query(
+    "q_tpch_min_cost_supplier",
+    oracle="""
+    WITH offers AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             min(round(l_extendedprice / l_quantity, 2)) AS unit_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    best AS (SELECT pk, min(unit_price) AS best_price FROM offers GROUP BY pk)
+    SELECT p_partkey, p_name, s_name, unit_price
+    FROM offers JOIN best USING (pk)
+    JOIN part ON p_partkey = pk JOIN supplier ON s_suppkey = sk
+    WHERE p_size <= 5 AND unit_price = best_price
+    """,
+)
+def q_tpch_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style minimum-cost supplier (no partsupp — observed
+    unit price from lineitem stands in for ps_supplycost). The small
+    part filter broadcasts BEFORE the offer aggregate so only eligible
+    parts are grouped; the per-part min is a window over the partkey
+    partition the aggregate already produced (WindowGroupLimit-free:
+    equality keeps ties, as Q2's spec does). Unit prices are rounded
+    before min on both sides."""
+    part_small = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5).select(
+        "p_partkey", "p_name"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    offers = (
+        li.join(F.broadcast(part_small), li.l_partkey == part_small.p_partkey)
+        .groupBy("p_partkey", "p_name", F.col("l_suppkey").alias("sk"))
+        .agg(
+            F.min(F.round(F.col("l_extendedprice") / F.col("l_quantity"), 2)).alias(
+                "unit_price"
+            )
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        offers.withColumn("_best", F.min("unit_price").over(w))
+        .filter(F.col("unit_price") == F.col("_best"))
+        .join(F.broadcast(supp), F.col("sk") == supp.s_suppkey)
+        .select("p_partkey", "p_name", "s_name", "unit_price")
+    )
+
+
+@query(
+    "q_tpch_market_share",
+    oracle="""
+    WITH rev AS (
+      SELECT year(o_orderdate) AS yr, n2.n_name AS supp_nation,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n1.n_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01')
+    SELECT yr, round(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                              ELSE 0 END) / sum(volume), 4) AS mkt_share
+    FROM rev GROUP BY yr
+    """,
+)
+def q_tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style national market share: one nation's slice of the
+    revenue sold into a region's customers, per year. The region filter
+    collapses to a set of nation keys that semi-prunes customers before
+    broadcast; lineitem⋈orders is the single fact-fact shuffle, every
+    other side broadcasts. Numerator and denominator are one
+    conditional-sum pass (no self-join)."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    asia_keys = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey")
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(asia_keys),
+        F.col("c_nationkey") == asia_keys.n_nationkey,
+        "left_semi",
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_nk2"), F.col("n_name").alias("supp_nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("_nk2"))
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_2", volume).otherwise(0.0)
+                )
+                / F.sum(volume),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q_tpch_product_profit",
+    oracle="""
+    SELECT n_name AS supp_nation, year(o_orderdate) AS o_year,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(15,4))
+                            * (1 - CAST(l_discount AS DECIMAL(15,4)))
+                          - 0.5 * CAST(p_retailprice AS DECIMAL(15,4))
+                                * CAST(l_quantity AS DECIMAL(15,4)))
+                      AS DOUBLE), 2) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY supp_nation, o_year
+    """,
+)
+def q_tpch_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style product-line profit (no ps_supplycost — half the
+    part's retail price per unit stands in for cost). The p_name LIKE
+    filter makes the part side small enough to broadcast, which prunes
+    lineitem before the single fact-fact shuffle against orders;
+    supplier and nation broadcast. Profit expression folds into the
+    map-side partial sum. Money arithmetic runs in DECIMAL so the sum
+    is exact and order-independent — the double formulation landed on a
+    round-to-2 boundary that flipped between engines."""
+    part_g = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    dec = lambda c: F.col(c).cast("decimal(15,4)")  # noqa: E731
+    profit = dec("l_extendedprice") * (1 - dec("l_discount")) - F.expr(
+        "CAST(0.5 AS DECIMAL(2,1))"
+    ) * dec("p_retailprice") * dec("l_quantity")
+    return (
+        li.join(F.broadcast(part_g), li.l_partkey == part_g.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit).cast("double"), 2).alias("profit"))
+    )
+
+
+@query(
+    "q_tpch_excess_quantity",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey HAVING sum(l_quantity) > 300)
+    """,
+)
+def q_tpch_excess_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style excess-quantity suppliers: who shipped more than
+    a threshold of the filtered part family this year. The IN-subquery
+    decorrelates to aggregate → HAVING → left-semi join; the part
+    filter broadcasts into the fact scan, the aggregate shuffles once
+    on suppkey, and the surviving keys (≤ |supplier|) broadcast into
+    the supplier dim — the fact table never moves twice."""
+    part_s = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select(
+        "p_partkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    heavy = (
+        li.join(F.broadcast(part_s), li.l_partkey == part_s.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 300)
+        .select("l_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return supp.join(
+        F.broadcast(heavy), supp.s_suppkey == heavy.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@query(
+    "q_tpch_waiting_suppliers",
+    oracle="""
+    SELECT s_name, count(*) AS numwait FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+)
+def q_tpch_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style waiting suppliers (no receipt/commit dates —
+    sole-returner in a multi-supplier finished order stands in for
+    sole-late). EXISTS → left-semi, NOT EXISTS → left-anti, both on
+    the orderkey equi-key with the suppkey inequality as join residual;
+    this is canonically TPC-H's heaviest query (three passes over
+    lineitem) and the semi/anti formulation is the shape every
+    warehouse engine picks — no distinct, no count-filter rewrite, so
+    the anti side short-circuits on first match."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders_f = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .alias("l3")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    cand = (
+        l1.join(orders_f, F.col("l1.l_orderkey") == orders_f.o_orderkey, "left_semi")
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        cand.join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
