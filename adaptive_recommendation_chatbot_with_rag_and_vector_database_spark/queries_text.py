@@ -639,3 +639,49 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "q_edit_distance_join",
+    oracle="""
+    WITH keys AS (
+      SELECT doc_id, lang,
+             substr(array_to_string(list_sort(string_split(text, ' ')), ' '),
+                    1, 40) AS sig
+      FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, levenshtein(a.sig, b.sig) AS dist
+    FROM keys a JOIN keys b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE a.doc_id % 20 = 0 AND levenshtein(a.sig, b.sig) <= 8
+    """,
+)
+def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy join (Z6): Levenshtein over a 40-char
+    sorted-token signature (order-canonicalized so shuffled near-dups
+    compare close), blocked on the language key with probe-side
+    decimation — the same block+probe discipline as every pair
+    operator here. Spark's levenshtein(l, r, threshold) short-circuits
+    the DP once the bound is exceeded, so cost per candidate is
+    O(len·threshold), not O(len²)."""
+    docs = _docs(spark, sf_dir)
+    keys = docs.select(
+        "doc_id",
+        "lang",
+        F.substring(
+            F.array_join(F.sort_array(F.split("text", " ")), " "), 1, 40
+        ).alias("sig"),
+    )
+    a = keys.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("id_a"), F.col("lang").alias("_la"), F.col("sig").alias("_sa")
+    )
+    b = keys.select(
+        F.col("doc_id").alias("id_b"), F.col("lang").alias("_lb"), F.col("sig").alias("_sb")
+    )
+    return (
+        a.join(b, (F.col("_la") == F.col("_lb")) & (F.col("id_a") < F.col("id_b")))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("_sa"), F.col("_sb")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 8)
+    )

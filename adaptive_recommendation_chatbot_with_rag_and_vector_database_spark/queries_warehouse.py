@@ -495,3 +495,115 @@ def q_tpch_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# --- Event-pipeline shapes (§2.13 W12-W14) ---------------------------------
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts - lag(ts) OVER w) > 1800 THEN 1 ELSE 0
+             END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, event_id,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+    FROM marked
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (W12): label every event with its session
+    ordinal via the lag-gap + running-sum idiom (30-minute gap). This
+    is the ASSIGNMENT form — each row keeps its session id for
+    downstream feature joins — complementing q_stream_session_window's
+    per-session AGGREGATE form. Both windows share one partitioning
+    (user_id), so the plan has a single exchange and two window passes
+    over already-sorted partitions."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return ev.select(
+        "user_id", "event_id", F.sum(is_new).over(run).alias("session_idx")
+    )
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+      FROM events)
+    SELECT cohort_week, act_week, count(*) AS n_users
+    FROM firsts JOIN activity USING (user_id)
+    GROUP BY cohort_week, act_week
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (W13): users keyed by first-seen
+    week, counted per activity week — the classic growth-analytics
+    shape. Two aggregates over the same user_id partitioning (min-ts
+    cohort, distinct activity weeks) joined on user_id; the cohort side
+    is |users| rows and broadcastable, the output is |weeks|² cells."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("act_week")
+    ).distinct()
+    return (
+        activity.join(F.broadcast(firsts), "user_id")
+        .groupBy("cohort_week", "act_week")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "q_approx_sketch",
+    oracle="""
+    SELECT count(DISTINCT user_id) AS exact_users,
+           round(quantile_cont(value, 0.5), 4) AS exact_p50,
+           true AS cd_ok, true AS p50_ok
+    FROM events
+    """,
+)
+def q_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-sketch accuracy verdict (W14): HyperLogLog++
+    count-distinct and t-digest-style percentile_approx, each checked
+    against the exact aggregate computed in the same pass. The oracle
+    pins the exact values and the verdict booleans (sketches are
+    deterministic for fixed data), making sketch quality
+    driver-checkable the same way q_ann_recall does for ANN. At 100 TB
+    the sketches are the only viable form — fixed-size partial state
+    vs collect-all-values — so proving their error bound IS the
+    operator's contract."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("exact_p50"),
+        (
+            F.abs(F.approx_count_distinct("user_id", 0.02) - F.countDistinct("user_id"))
+            <= 0.05 * F.countDistinct("user_id")
+        ).alias("cd_ok"),
+        (
+            F.abs(
+                F.expr("approx_percentile(value, 0.5, 10000)")
+                - F.expr("percentile(value, 0.5)")
+            )
+            <= 0.01 * F.abs(F.expr("percentile(value, 0.5)")) + 0.01
+        ).alias("p50_ok"),
+    )

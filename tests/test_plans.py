@@ -128,3 +128,70 @@ def test_nation_volume_all_dims_broadcast(spark):
     plan = _plan(spark, "q_tpch_nation_volume")
     assert plan.count("BroadcastHashJoin") >= 4
     assert plan.count("SortMergeJoin") <= 1
+
+
+def test_simple_agg_pushes_all_predicates(spark):
+    plan = _plan(spark, "q_tpch_simple_agg")
+    assert "PushedFilters: [" in plan
+    assert "partial_sum" in plan
+    read_schema = plan.split("ReadSchema:")[1]
+    assert "l_orderkey" not in read_schema  # 4-col projection only
+
+
+def test_order_priority_semi_join(spark):
+    plan = _plan(spark, "q_tpch_order_priority")
+    assert "LeftSemi" in plan
+
+
+def test_top_supplier_scalar_max_broadcast(spark):
+    plan = _plan(spark, "q_tpch_top_supplier")
+    # the 1-row max and the supplier dim both broadcast; the only
+    # data-sized exchange is the revenue groupBy on suppkey
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "partial_sum" in plan
+
+
+def test_min_cost_supplier_prunes_parts_before_agg(spark):
+    plan = _plan(spark, "q_tpch_min_cost_supplier")
+    # the p_size predicate reaches the part scan, and the part
+    # broadcast join sits BELOW the offers aggregate (a child prints
+    # after its parent in the top-down tree, so the join must appear
+    # after partial_min) — only eligible parts ever get grouped
+    assert "p_size" in plan  # filter survives into the scan stage
+    assert plan.count("BroadcastHashJoin") >= 2  # part and supplier
+    assert plan.index("partial_min") < plan.rindex("BroadcastHashJoin")
+
+
+def test_product_profit_single_fact_shuffle(spark):
+    plan = _plan(spark, "q_tpch_product_profit")
+    assert plan.count("BroadcastHashJoin") >= 3  # part, supplier, nation
+    assert plan.count("SortMergeJoin") <= 1  # lineitem⋈orders only
+
+
+def test_waiting_suppliers_semi_and_anti(spark):
+    plan = _plan(spark, "q_tpch_waiting_suppliers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_word_topk_two_phase_agg_and_topk(spark):
+    plan = _plan(spark, "q_word_topk")
+    assert "partial_count" in plan  # map-side combine per word
+    assert "TakeOrderedAndProject" in plan  # 20-row cut, no global sort
+
+
+def test_cdc_latest_keeps_topk_below_exchange(spark):
+    plan = _plan(spark, "q_cdc_latest")
+    assert "WindowGroupLimit" in plan  # rn=1 pushed below the shuffle
+
+
+def test_text_scrub_is_map_only(spark):
+    plan = _plan(spark, "q_text_scrub")
+    assert "Exchange" not in plan  # pure scan → project, zero shuffles
+
+
+def test_sessionize_single_exchange_two_windows(spark):
+    plan = _plan(spark, "q_sessionize")
+    # both windows share the user_id partitioning: exactly one
+    # hash-partitioned exchange may appear
+    assert plan.count("Exchange hashpartitioning") == 1
