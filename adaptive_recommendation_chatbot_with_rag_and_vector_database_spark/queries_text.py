@@ -681,7 +681,9 @@ def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            F.levenshtein(F.col("_sa"), F.col("_sb")).alias("dist"),
+            # threshold form returns -1 once the DP exceeds the bound,
+            # so each candidate costs O(len·8) instead of O(len²)
+            F.levenshtein(F.col("_sa"), F.col("_sb"), 8).alias("dist"),
         )
-        .filter(F.col("dist") <= 8)
+        .filter(F.col("dist") >= 0)
     )
