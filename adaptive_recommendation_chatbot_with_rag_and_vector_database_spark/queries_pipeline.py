@@ -1,0 +1,333 @@
+"""Training-data pipeline wave 4 (SURVEY §2.14): the corpus-curation
+operators a large-scale LLM data pipeline runs between raw scrape and
+tokenized shards — decontamination, quality filtering, mixture
+weighting, sequence packing — plus three time-interval operators
+(rolling window, sweep-line concurrency, SCD2) that the reference's
+event-history handling implies (chat session timelines,
+chat_history.py-style recency; see SURVEY §1).
+
+Every query has an exact DuckDB oracle. Portability rules observed
+throughout: floats rounded identically on both sides, double→int casts
+go through floor() (DuckDB CAST rounds, Spark truncates), Spark []
+indexing is 0-based vs DuckDB 1-based, and running sums always pin an
+explicit ROWS frame with a full tie-break (the default RANGE frame
+would merge ties).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import query
+from .sources.loaders import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "documents", sf_dir)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "events", sf_dir)
+
+
+# --- X: corpus curation ----------------------------------------------------
+
+
+@query(
+    "q_contamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                     t[i+3] || ' ' || t[i+4]
+                     for i in generate_series(1, len(t) - 4)]) AS g
+      FROM toks),
+    eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+    train_grams AS (
+      SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 50 <> 0)
+    SELECT t.doc_id, count(*) AS n_hits
+    FROM train_grams t JOIN eval_grams e USING (g)
+    GROUP BY t.doc_id
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (X8): flag training docs sharing any
+    word 5-gram with the eval split (doc_id % 50 = 0), the n-gram
+    overlap check every LLM data pipeline runs before training
+    (WMDP/GPT-3-style 13-gram filtering, here 5-gram to suit the
+    fixture corpus). Both sides explode to DISTINCT per-doc shingles;
+    the eval shingle set is globally distinct and BROADCAST — at 100 TB
+    the eval set is a benchmark suite (MBs), so the contamination scan
+    is one shuffle-free map-side hash probe over training shingles plus
+    one count aggregation, never a fact-fact shuffle."""
+    grams_expr = (
+        "transform(sequence(0, size(t) - 5), "
+        "i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))"
+    )
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t"),
+    )
+    grams = (
+        toks.filter(F.size("t") >= 5)
+        .select("doc_id", F.explode(F.expr(grams_expr)).alias("g"))
+    )
+    eval_grams = grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
+    train_grams = grams.filter(F.col("doc_id") % 50 != 0).distinct()
+    return (
+        train_grams.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+@query(
+    "q_doc_repetition",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    wc AS (
+      SELECT doc_id, w, count(*) AS c FROM words WHERE w <> ''
+      GROUP BY doc_id, w)
+    SELECT doc_id,
+           sum(c) AS n_tok,
+           round(1.0 - count(*) / sum(c), 4) AS dup_ratio,
+           round(max(c) / sum(c), 4) AS top_word_ratio
+    FROM wc GROUP BY doc_id
+    """,
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition scoring (X9), the Gopher/MassiveText
+    quality-filter family: duplicate-token ratio and top-single-word
+    mass per doc. One explode + two hash aggregates: the first shuffle
+    carries map-side-combined (doc_id, word) partial counts (bounded by
+    per-doc vocabulary, not token occurrences), the second one row per
+    doc — both shrink, never amplify, the scan."""
+    words = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    return wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tok"),
+        F.round(1.0 - F.count(F.lit(1)) / F.sum("c"), 4).alias("dup_ratio"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_word_ratio"),
+    )
+
+
+@query(
+    "q_corpus_mixture",
+    oracle="""
+    WITH grp AS (
+      SELECT lang, source,
+             sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+               AS n_tok
+      FROM documents GROUP BY lang, source)
+    SELECT lang, source, n_tok,
+           round(n_tok / sum(n_tok) OVER (), 6) AS token_share,
+           round(sqrt(n_tok) / sum(sqrt(n_tok)) OVER (), 6) AS sample_weight
+    FROM grp
+    """,
+)
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture weighting (X10): token share per (lang, source)
+    bucket and a temperature-smoothed (alpha=0.5, i.e. sqrt) sampling
+    weight — the mixture table a multilingual training run feeds its
+    sampler. The global normalization runs on the POST-aggregate frame
+    (|langs|x|sources| rows, not |docs|), so the single-partition
+    window is a few hundred rows at any corpus scale."""
+    grp = (
+        _docs(spark, sf_dir)
+        .select(
+            "lang",
+            "source",
+            F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("nt"),
+        )
+        .groupBy("lang", "source")
+        .agg(F.sum("nt").alias("n_tok"))
+    )
+    w = Window.partitionBy()
+    return grp.select(
+        "lang",
+        "source",
+        "n_tok",
+        F.round(F.col("n_tok") / F.sum("n_tok").over(w), 6).alias("token_share"),
+        F.round(
+            F.sqrt("n_tok") / F.sum(F.sqrt("n_tok")).over(w), 6
+        ).alias("sample_weight"),
+    )
+
+
+@query(
+    "q_pack_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS nt
+      FROM documents),
+    packed AS (
+      SELECT lang, nt,
+             CAST(floor(
+               (sum(nt) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - nt) / 2048.0) AS BIGINT) AS bucket
+      FROM toks)
+    SELECT lang, bucket, count(*) AS n_docs, sum(nt) AS n_tok
+    FROM packed GROUP BY lang, bucket
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (X11): assign docs to fixed 2048-token context
+    buckets per language by running-token offset (a doc lands in the
+    bucket where it starts) — the deterministic packing step that turns
+    a curated corpus into training shards. Running sum over an explicit
+    ROWS frame keyed (lang, doc_id); at scale the window partitions by
+    lang, so each language packs independently in parallel and the
+    exchange carries one int per doc. Bucket ids via floor() (NOT a
+    bare double cast: Spark truncates, DuckDB rounds)."""
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("nt"),
+    )
+    packed = toks.select(
+        "lang",
+        "nt",
+        F.floor((F.sum("nt").over(w) - F.col("nt")) / 2048.0).alias("bucket"),
+    )
+    return packed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("n_tok")
+    )
+
+
+# --- T: time-interval operators over the event log -------------------------
+
+
+@query(
+    "q_rolling_window",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER trail, 4) AS roll_sum,
+           count(*) OVER trail AS roll_n
+    FROM events
+    WINDOW trail AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour rolling aggregate per user (T7): the
+    time-range-frame window behind rate limiting, rolling engagement,
+    and recency features. Spark expresses the RANGE INTERVAL frame as
+    rangeBetween over unix microseconds — value-based, so it is exact
+    for irregular event spacing (no resample grid needed). One
+    exchange on user_id; each user's timeline sorts locally."""
+    us = 3_600_000_000  # 1 hour in microseconds
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-us, 0)
+    )
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("roll_sum"),
+        F.count(F.lit(1)).over(w).alias("roll_n"),
+    )
+
+
+@query(
+    "q_concurrency_sweep",
+    oracle="""
+    WITH iv AS (
+      SELECT event_id, event_type, epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS e
+      FROM events),
+    pts AS (
+      SELECT event_type, s AS t, 1 AS delta, event_id FROM iv
+      UNION ALL
+      SELECT event_type, e AS t, -1 AS delta, event_id FROM iv),
+    run AS (
+      SELECT event_type,
+             sum(delta) OVER (PARTITION BY event_type
+                              ORDER BY t, delta, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS load
+      FROM pts)
+    SELECT event_type, max(load) AS peak_concurrency
+    FROM run GROUP BY event_type
+    """,
+)
+def q_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrency per event type (T8): each event
+    holds a resource for `value` minutes; the classic interval
+    max-overlap problem as +1/-1 boundary points and a running sum.
+    Ends sort before starts at equal timestamps (delta -1 < +1), so
+    touching intervals don't double-count; event_id completes the
+    deterministic tie-break. The explode doubles rows map-side, then
+    one exchange on event_type; running sums are per-type local
+    sorts."""
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.floor(F.col("value") * 60_000_000).cast("long")
+        ).alias("e"),
+    )
+    pts = ev.select(
+        "event_type",
+        "event_id",
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col("e").alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("p"),
+    ).select("event_type", "event_id", "p.t", "p.delta")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select("event_type", F.sum("delta").over(w).alias("load"))
+    return run.groupBy("event_type").agg(F.max("load").alias("peak_concurrency"))
+
+
+@query(
+    "q_scd2",
+    oracle="""
+    SELECT user_id, event_id, event_type, round(value, 4) AS value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to
+    FROM events
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 (T9): turn an append-only
+    change log into validity intervals — each user state row is valid
+    from its own timestamp until the next change (NULL = current row).
+    The complement of q_cdc_latest (which keeps only the newest):
+    history-preserving dimension builds for as-of analytics. One lead()
+    window per user; the join-free interval construction shuffles each
+    row once."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
