@@ -29,20 +29,34 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects (PARQUET_TYPE_ILLEGAL) unless nanosAsLong is set. The
-        # conf is runtime-settable, so set it here rather than relying on
-        # the session factory — load_table must work in ANY SparkSession
+        # Some fixture generations write events.ts as parquet
+        # TIMESTAMP(NANOS), which Spark's reader rejects
+        # (PARQUET_TYPE_ILLEGAL) unless nanosAsLong is set. The conf is
+        # runtime-settable, so set it here rather than relying on the
+        # session factory — load_table must work in ANY SparkSession
         # (the correctness harness builds its own vanilla session).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts surfaces as long (ns since epoch); truncate to µs exactly as
-        # DuckDB does so the oracle sees identical values.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
-        # integer division: ns values (~1.7e18) overflow double precision
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # NANOS layout: ts surfaced as long (ns since epoch) via
+            # nanosAsLong; truncate to µs exactly as DuckDB does so the
+            # oracle sees identical values. Integer division — ns values
+            # (~1.7e18) overflow double precision.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(ts_type, TimestampNTZType):
+            # MICROS layout (isAdjustedToUTC=false → TIMESTAMP_NTZ):
+            # normalize to TimestampType — NTZ can't be cast to bigint
+            # (epoch math) and isn't a valid watermark/event-time column.
+            # Pin the session tz to UTC first so the NTZ wall-clock maps
+            # to the same instants DuckDB sees (duckdb timestamps are
+            # UTC-naive), in ANY session, not just the factory's.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
