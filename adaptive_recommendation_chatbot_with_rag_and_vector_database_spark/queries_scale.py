@@ -1,0 +1,370 @@
+"""Scale-pattern wave 4: the operational idioms a 100 TB deployment
+leans on, each as a first-class registered query with an exact oracle.
+
+The reference's data plane (/root/reference/AI.py) never needs these —
+it indexes one PDF at a time — but an engine claiming its semantics at
+cluster scale does:
+
+- salted skew join (the hot-key mitigation AQE's skew-split
+  generalizes; here expressed explicitly so the plan is inspectable),
+- merge-able aggregate state (incremental materialized-view refresh),
+- key-skew profiling (the diagnostic that decides WHEN to salt),
+- exact rolling median (order statistics over a moving frame),
+- int8 vector quantization (the index-compression step before ANN),
+- ALS recommendations (the "recommendation" in the reference's name,
+  as a distributed factorization instead of a retrieval heuristic).
+
+Determinism discipline as everywhere: floats rounded in BOTH the Spark
+query and the oracle SQL, identical aliases, id tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import query
+from .sources.loaders import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# --- salted skew join ------------------------------------------------------
+
+
+@query(
+    "q_salted_skew_join",
+    oracle="""
+    SELECT c_mktsegment,
+           round(sum(value), 2) AS total_value,
+           count(*) AS n
+    FROM (
+      SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS k,
+             value
+      FROM events
+    ) e
+    JOIN customer ON c_custkey = k
+    GROUP BY c_mktsegment
+    """,
+)
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact-dim join. The fact side is given a synthetic
+    hot key (70% of events collapse onto key 0 — the deterministic
+    stand-in for a power-law user distribution), then joined with the
+    canonical salting recipe:
+
+    1. profile key counts, flag keys above ``hot_threshold`` — the hot
+       set is tiny BY DEFINITION (it's the head of the distribution),
+       so broadcasting it to both sides is always safe;
+    2. fact rows on hot keys scatter across ``n_salts`` buckets via a
+       deterministic row-id hash; cold rows keep salt 0;
+    3. dim rows on hot keys replicate once per salt (explode), cold
+       rows stay single — the dim grows by |hot| × n_salts rows only;
+    4. equi-join on (key, salt), then aggregate.
+
+    At test scale AQE may still pick a broadcast join for the 1500-row
+    dim (fine — results are identical); the shape matters when the dim
+    is too big to broadcast and one key would otherwise pin a whole
+    shuffle partition on one task. AQE's skewJoin split solves the same
+    problem at runtime; the explicit form works on any engine version,
+    composes with bucketing, and is unit-inspectable."""
+    n_salts = 8
+    hot_threshold = 1000
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 10 < 7, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        "event_id",
+        "value",
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+
+    hot = ev.groupBy("k").count().filter(F.col("count") > hot_threshold).select("k")
+
+    fact = ev.join(F.broadcast(hot).withColumn("is_hot", F.lit(True)), "k", "left")
+    fact = fact.withColumn(
+        "salt",
+        F.when(F.col("is_hot"), F.pmod(F.col("event_id"), F.lit(n_salts))).otherwise(
+            F.lit(0)
+        ),
+    )
+
+    dim = cust.join(
+        F.broadcast(hot).withColumnRenamed("k", "c_custkey").withColumn(
+            "is_hot", F.lit(True)
+        ),
+        "c_custkey",
+        "left",
+    )
+    dim = dim.withColumn(
+        "salt",
+        F.explode(
+            F.when(
+                F.col("is_hot"), F.sequence(F.lit(0), F.lit(n_salts - 1))
+            ).otherwise(F.array(F.lit(0)))
+        ),
+    )
+
+    joined = fact.join(
+        dim,
+        (fact["k"] == dim["c_custkey"]) & (fact["salt"] == dim["salt"]),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- merge-able aggregate state (incremental MV refresh) -------------------
+
+
+@query(
+    "q_incremental_agg_merge",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value,
+           round(sum(value) / count(*), 4) AS avg_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation via merge-able partial state — the
+    materialized-view-refresh pattern: yesterday's aggregate (base,
+    ts < 2024-01-20) is NOT recomputed when today's delta arrives;
+    the delta is aggregated alone and the two states merge with
+    algebraic combine rules (count+count, sum+sum, min(min), max(max),
+    avg derived from merged sum/count — avg itself is NOT merge-able,
+    which is exactly why state carries sum and count).
+
+    At 100 TB this is the difference between an O(delta) daily refresh
+    and an O(corpus) rescan. The oracle is the direct one-pass
+    aggregate — merged state must be indistinguishable from it."""
+    split = "2024-01-20"
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+
+    def _partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    base = _partial(ev.filter(F.col("ts") < split)).alias("b")
+    delta = _partial(ev.filter(F.col("ts") >= split)).alias("d")
+
+    merged = base.join(delta, "user_id", "full_outer").select(
+        "user_id",
+        (F.coalesce(F.col("b.cnt"), F.lit(0)) + F.coalesce(F.col("d.cnt"), F.lit(0))).alias("cnt"),
+        (F.coalesce(F.col("b.s"), F.lit(0.0)) + F.coalesce(F.col("d.s"), F.lit(0.0))).alias("s"),
+        F.least(F.col("b.mn"), F.col("d.mn")).alias("mn"),
+        F.greatest(F.col("b.mx"), F.col("d.mx")).alias("mx"),
+    )
+    return merged.select(
+        "user_id",
+        F.col("cnt").alias("n_events"),
+        F.round("s", 2).alias("sum_value"),
+        F.round("mn", 4).alias("min_value"),
+        F.round("mx", 4).alias("max_value"),
+        F.round(F.col("s") / F.col("cnt"), 4).alias("avg_value"),
+    )
+
+
+# --- key-skew profile ------------------------------------------------------
+
+
+@query(
+    "q_key_skew_profile",
+    oracle="""
+    WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
+    SELECT count(*) AS n_keys,
+           max(cnt) AS max_cnt,
+           round(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+           round(quantile_cont(cnt, 0.9), 4) AS p90_cnt,
+           round(max(cnt) / avg(cnt), 4) AS skew_ratio
+    FROM c
+    """,
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostic: per-key frequency distribution
+    summarized to head weight (max), exact interpolated percentiles,
+    and the max/mean skew ratio — the number that decides whether a
+    downstream join needs salting (rule of thumb: ratio >> number of
+    cores per executor means one task drags the stage).
+
+    Two-level aggregate: the per-key count shuffles partial sums
+    (O(keys)), the profile collapses those to ONE row — at any corpus
+    size the second exchange carries a few doubles per task."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.expr("percentile(cnt, 0.5)"), 4).alias("p50_cnt"),
+        F.round(F.expr("percentile(cnt, 0.9)"), 4).alias("p90_cnt"),
+        F.round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_ratio"),
+    )
+
+
+# --- exact rolling median --------------------------------------------------
+
+
+@query(
+    "q_rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           round(median(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS roll_med
+    FROM events
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median (7-row frame) per user — the robust
+    smoother for sensor/metric streams where a rolling mean chases
+    outliers. Spark has no exact median window function; the moving
+    order statistic is built from collect_list over the frame +
+    array_sort + middle element(s) (continuous interpolation for even
+    frames, matching ``median()`` semantics).
+
+    The frame is a CONSTANT 7 rows, so the materialized array is O(1)
+    per row and the whole query is one window sort per user partition
+    — the same single exchange a plain lag/lead would cost. (For wide
+    frames this form degrades to O(frame) memory per row; there the
+    two-heap streaming median inside applyInPandas is the scale path.)"""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    a = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(a)
+    lo = F.element_at(a, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(a, (n / 2 + 1).cast("int"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round((lo + hi) / 2.0, 4).alias("roll_med"),
+    )
+
+
+# --- int8 vector quantization ----------------------------------------------
+
+
+@query(
+    "q_vector_quantize",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label,
+             CAST(unnest(embedding) AS DOUBLE) AS e,
+             unnest(generate_series(0, len(embedding) - 1)) AS pos
+      FROM embeddings
+    ), mm AS (
+      SELECT pos, min(e) AS mn, max(e) AS mx FROM ex GROUP BY pos
+    ), se AS (
+      SELECT label, vec_id,
+             CASE WHEN mx = mn THEN 0.0
+                  ELSE (e - (mn + floor((e - mn) / (mx - mn) * 255 + 0.5)
+                             / 255 * (mx - mn))) ^ 2
+             END AS sq
+      FROM ex JOIN mm USING (pos)
+    )
+    SELECT label,
+           round(avg(sq) * 1000000, 2) AS mse_ppm
+    FROM se
+    GROUP BY label
+    """,
+)
+def q_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column with per-label
+    reconstruction error — the compression step that shrinks an ANN
+    index 4× (float32 → uint8) before sharding. Per-dimension min/max
+    ranges aggregate in one pass (the 64-row range table broadcasts
+    back), codes are ``floor(x*255 + 0.5)`` — explicit half-up, NOT
+    round(), whose half-even vs half-away behavior differs across
+    engines — and the error survives as avg squared reconstruction
+    delta per label, in parts-per-million.
+
+    Plan shape: posexplode → 64-row agg → broadcast join back →
+    hash agg on label. Both exchanges are O(dim) or O(labels) — the
+    corpus-sized data never shuffles."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "e_raw"),
+    ).select("vec_id", "label", "pos", F.col("e_raw").cast("double").alias("e"))
+
+    mm = ex.groupBy("pos").agg(F.min("e").alias("mn"), F.max("e").alias("mx"))
+
+    scale = F.col("mx") - F.col("mn")
+    code = F.floor((F.col("e") - F.col("mn")) / scale * 255 + 0.5)
+    recon = F.col("mn") + code / 255 * scale
+    sq = F.when(scale == 0, F.lit(0.0)).otherwise(
+        F.pow(F.col("e") - recon, F.lit(2))
+    )
+
+    return (
+        ex.join(F.broadcast(mm), "pos")
+        .withColumn("sq", sq)
+        .groupBy("label")
+        .agg(F.round(F.avg("sq") * 1_000_000, 2).alias("mse_ppm"))
+    )
+
+
+# --- ALS recommendations (rows-only: iterative MLlib factorization) --------
+
+
+@query("q_recommend_als")
+def q_recommend_als(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed collaborative filtering — the namesake capability of
+    the reference ("Adaptive-Recommendation-Chatbot", whose AI.py:135-153
+    recommends via embedding retrieval) expressed as matrix
+    factorization: customer × part preference from order quantities,
+    factorized with MLlib ALS (block-partitioned alternating least
+    squares — each iteration is a pair of partitioned solves, never a
+    driver-side matrix), top-3 parts recommended per customer.
+
+    Rows-only by design: ALS is iterative and seed-dependent — not
+    SQL-expressible. Fixed seed + fixed blocking keeps the local run
+    deterministic; tests pin schema, row count, and per-user rank
+    cardinality."""
+    from pyspark.ml.recommendation import ALS
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ratings = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey", "l_partkey")
+        .agg(F.sum("l_quantity").cast("float").alias("qty"))
+        .select(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+            "qty",
+        )
+    )
+    als = ALS(
+        rank=8,
+        maxIter=5,
+        regParam=0.1,
+        seed=42,
+        userCol="user",
+        itemCol="item",
+        ratingCol="qty",
+        coldStartStrategy="drop",
+        implicitPrefs=True,
+    )
+    model = als.fit(ratings)
+    recs = model.recommendForAllUsers(3)
+    return recs.select(
+        F.col("user").alias("custkey"),
+        F.posexplode("recommendations").alias("rec_rank", "rec"),
+    ).select("custkey", "rec_rank", F.col("rec.item").alias("part_id"))

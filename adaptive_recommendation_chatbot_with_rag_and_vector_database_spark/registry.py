@@ -35,6 +35,7 @@ _MODULES = (
     "adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_analytics",
     "adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_warehouse",
     "adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_pipeline",
+    "adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_scale",
 )
 
 
