@@ -124,12 +124,23 @@ def lsh_knn(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+# Trained codebooks memoized per (cache_key, n_cells, sample_rows,
+# iters): an IVF codebook is a STATIC index artifact — real deployments
+# train it once at index-build time and persist it alongside the index
+# (write_ivf_index does exactly that via the partition layout). Within a
+# session, repeated probes against the same corpus must not re-run the
+# KMeans fit. Keyed only when the caller passes a stable corpus
+# identity (e.g. the sf_dir); anonymous DataFrames never memoize.
+_CODEBOOKS: dict[tuple, np.ndarray] = {}
+
+
 def train_centroids_sample(
     index: DataFrame,
     n_cells: int,
     vec_col: str = "embedding",
     sample_rows: int = 4096,
     iters: int = 10,
+    cache_key: str | None = None,
 ) -> np.ndarray:
     """IVF codebook training as a distributed MLlib ``KMeans`` fit on a
     bounded DataFrame sample — the driver never touches vector data;
@@ -144,15 +155,31 @@ def train_centroids_sample(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    key = None
+    if cache_key is not None:
+        key = (cache_key, n_cells, sample_rows, iters, vec_col)
+        cached = _CODEBOOKS.get(key)
+        if cached is not None:
+            return cached
+
     sample = index.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     ).limit(sample_rows)
-    model = KMeans(k=n_cells, maxIter=iters, seed=SEED).fit(sample)
+    # KMeans re-scans its input EVERY iteration; without the persist the
+    # limit+cast+to-vector pipeline re-executes ``iters`` times.
+    sample = sample.persist()
+    try:
+        model = KMeans(k=n_cells, maxIter=iters, seed=SEED).fit(sample)
+    finally:
+        sample.unpersist()
     centroids = np.array(model.clusterCenters(), dtype=np.float64)
     norms = np.linalg.norm(centroids, axis=1, keepdims=True)
     centroids = centroids / np.where(norms > 0, norms, 1.0)
     # lexicographic sort over components → stable, order-free cell ids
-    return centroids[np.lexsort(centroids.T[::-1])]
+    out = centroids[np.lexsort(centroids.T[::-1])]
+    if key is not None:
+        _CODEBOOKS[key] = out
+    return out
 
 
 def write_ivf_index(
@@ -235,16 +262,21 @@ def ivf_knn(
     index_id: str = "vec_id",
     index_vec: str = "embedding",
     centroids: np.ndarray | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF-Flat approximate kNN: assign index rows to their nearest
     centroid cell, probe the ``nprobe`` nearest cells per query, exact
     re-rank within candidates. At scale the index side would be written
-    partitioned by ``cell`` so probing prunes partitions at the scan."""
+    partitioned by ``cell`` so probing prunes partitions at the scan.
+    ``cache_key`` (a stable corpus identity like the data dir) memoizes
+    the trained codebook across calls — train-once-probe-many."""
     from ..sources.loaders import scatter
 
     if centroids is None:
         # train BEFORE scattering: sample order stays scan-deterministic
-        centroids = train_centroids_sample(index, n_cells, index_vec)
+        centroids = train_centroids_sample(
+            index, n_cells, index_vec, cache_key=cache_key
+        )
 
     assign1 = _nearest_cells_udf(centroids, 1)
     assignp = _nearest_cells_udf(centroids, nprobe)

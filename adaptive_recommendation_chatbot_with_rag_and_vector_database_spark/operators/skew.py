@@ -52,3 +52,50 @@ def salted_join(
     )
     out = salted_fact.join(replicated_dim, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def salted_join_hot(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    hot_threshold: int,
+    buckets: int = DEFAULT_BUCKETS,
+    salt_src: str | None = None,
+) -> DataFrame:
+    """``salted_join`` refinement that salts ONLY the hot keys, so the
+    dim inflates by |hot| × (buckets − 1) rows instead of |dim| ×
+    buckets — the form to use when the dim itself is large.
+
+    The hot set is derived from the data (per-key count >
+    ``hot_threshold``) and is tiny BY DEFINITION — it is the head of
+    the key distribution — so broadcasting it to both sides is always
+    safe. Cold fact rows keep salt 0 and meet the dim's single salt-0
+    replica; hot rows scatter across ``buckets`` tasks. Inner join
+    only (hot-set membership is symmetric information; outer forms
+    would need null-salt care)."""
+    hot = (
+        fact.groupBy(on)
+        .count()
+        .filter(F.col("count") > hot_threshold)
+        .select(on)
+        .withColumn("_hot", F.lit(True))
+    )
+    salt_cols = [F.col(salt_src)] if salt_src else [F.col(c) for c in fact.columns]
+    salted_fact = fact.join(F.broadcast(hot), on, "left").withColumn(
+        "_salt",
+        F.when(
+            F.col("_hot"), F.pmod(F.xxhash64(*salt_cols), F.lit(buckets)).cast("int")
+        ).otherwise(F.lit(0)),
+    )
+    replicated_dim = dim.join(F.broadcast(hot), on, "left").withColumn(
+        "_salt",
+        F.explode(
+            F.when(
+                F.col("_hot"), F.sequence(F.lit(0), F.lit(buckets - 1))
+            ).otherwise(F.array(F.lit(0)))
+        ),
+    )
+    out = salted_fact.drop("_hot").join(
+        replicated_dim.drop("_hot"), [on, "_salt"], "inner"
+    )
+    return out.drop("_salt")

@@ -70,8 +70,7 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle partition on one task. AQE's skewJoin split solves the same
     problem at runtime; the explicit form works on any engine version,
     composes with bucketing, and is unit-inspectable."""
-    n_salts = 8
-    hot_threshold = 1000
+    from .operators.skew import salted_join_hot
 
     ev = _t(spark, sf_dir, "events").select(
         F.when(F.col("user_id") % 10 < 7, F.lit(0))
@@ -80,37 +79,11 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "value",
     )
-    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-
-    hot = ev.groupBy("k").count().filter(F.col("count") > hot_threshold).select("k")
-
-    fact = ev.join(F.broadcast(hot).withColumn("is_hot", F.lit(True)), "k", "left")
-    fact = fact.withColumn(
-        "salt",
-        F.when(F.col("is_hot"), F.pmod(F.col("event_id"), F.lit(n_salts))).otherwise(
-            F.lit(0)
-        ),
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
     )
-
-    dim = cust.join(
-        F.broadcast(hot).withColumnRenamed("k", "c_custkey").withColumn(
-            "is_hot", F.lit(True)
-        ),
-        "c_custkey",
-        "left",
-    )
-    dim = dim.withColumn(
-        "salt",
-        F.explode(
-            F.when(
-                F.col("is_hot"), F.sequence(F.lit(0), F.lit(n_salts - 1))
-            ).otherwise(F.array(F.lit(0)))
-        ),
-    )
-
-    joined = fact.join(
-        dim,
-        (fact["k"] == dim["c_custkey"]) & (fact["salt"] == dim["salt"]),
+    joined = salted_join_hot(
+        ev, cust, "k", hot_threshold=1000, buckets=8, salt_src="event_id"
     )
     return joined.groupBy("c_mktsegment").agg(
         F.round(F.sum("value"), 2).alias("total_value"),
@@ -353,7 +326,7 @@ def q_recommend_als(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     als = ALS(
         rank=8,
-        maxIter=5,
+        maxIter=3,
         regParam=0.1,
         seed=42,
         userCol="user",

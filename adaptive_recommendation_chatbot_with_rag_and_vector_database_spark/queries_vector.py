@@ -190,7 +190,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook, cell-pruned candidate join, exact re-rank."""
     from .operators.similarity import ivf_knn
 
-    return ivf_knn(_probes(spark, sf_dir), _emb(spark, sf_dir), k=_K)
+    return ivf_knn(
+        _probes(spark, sf_dir), _emb(spark, sf_dir), k=_K, cache_key=sf_dir
+    )
 
 
 _RECALL_THRESHOLD = 0.9
@@ -228,9 +230,13 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     probes = _probes(spark, sf_dir)
+    # the exact top-k feeds three consumers (totals + one semi-join per
+    # method); persist the tiny (n_probes × k) result instead of
+    # re-running the brute-force scoring three times
     exact = (
         q_knn_join(spark, sf_dir)
         .select("query_id", "vec_id")
+        .persist()
     )
     totals = exact.agg(
         F.count(F.lit(1)).alias("tot"),
@@ -250,7 +256,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return recall_row(
-        "ivf", ivf_knn(probes, emb, k=_K, n_cells=16, nprobe=12)
+        "ivf", ivf_knn(probes, emb, k=_K, n_cells=16, nprobe=12, cache_key=sf_dir)
     ).unionByName(recall_row("lsh", lsh_knn(probes, emb, k=_K)))
 
 

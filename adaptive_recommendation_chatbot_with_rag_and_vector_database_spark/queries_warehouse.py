@@ -592,18 +592,24 @@ def q_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs collect-all-values — so proving their error bound IS the
     operator's contract."""
     ev = _t(spark, sf_dir, "events")
-    return ev.agg(
+    # aggregate each function exactly ONCE, derive the verdicts in a
+    # post-agg projection — repeating countDistinct/percentile inside
+    # the boolean expressions made the aggregate evaluate them 3× each
+    # (measured 2× wall on the bench tier)
+    stats = ev.agg(
         F.countDistinct("user_id").alias("exact_users"),
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("exact_p50"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("ap50"),
+    )
+    return stats.select(
+        "exact_users",
+        F.round("p50", 4).alias("exact_p50"),
         (
-            F.abs(F.approx_count_distinct("user_id", 0.02) - F.countDistinct("user_id"))
-            <= 0.05 * F.countDistinct("user_id")
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
         ).alias("cd_ok"),
-        (
-            F.abs(
-                F.expr("approx_percentile(value, 0.5, 10000)")
-                - F.expr("percentile(value, 0.5)")
-            )
-            <= 0.01 * F.abs(F.expr("percentile(value, 0.5)")) + 0.01
-        ).alias("p50_ok"),
+        (F.abs(F.col("ap50") - F.col("p50")) <= 0.01 * F.abs(F.col("p50")) + 0.01).alias(
+            "p50_ok"
+        ),
     )

@@ -70,6 +70,25 @@ def _warmup(spark) -> None:
     # compile the flagship plan's generated code once at the smoke tier
     # (sf0.001); the timed sf0.1 runs then measure execution, not janino
     _force(flagship(spark, "/root/testdata/sf0.001"))
+    # MLlib class-loading + breeze/netlib init is a one-time ~10-15 s
+    # session cost (measured); absorb it here with micro-fits so the
+    # timed KMeans/ALS queries measure the algorithms, not the JVM
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.recommendation import ALS
+
+    tiny = spark.range(0, 64, 1, 4).select(
+        array_to_vector(F.array(F.col("id").cast("double"))).alias("features")
+    )
+    KMeans(k=2, maxIter=1, seed=1).fit(tiny)
+    pairs = spark.range(0, 64, 1, 4).select(
+        (F.col("id") % 8).cast("int").alias("user"),
+        (F.col("id") % 5).cast("int").alias("item"),
+        F.lit(1.0).cast("float").alias("r"),
+    )
+    ALS(rank=2, maxIter=1, seed=1, userCol="user", itemCol="item", ratingCol="r").fit(
+        pairs
+    )
 
 
 def _timed(fn, runs: int) -> float:

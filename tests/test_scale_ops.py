@@ -71,6 +71,29 @@ def test_salted_join_equals_plain_join(spark):
     )
 
 
+def test_salted_join_hot_equals_plain_join(spark):
+    """Hot-key-only salting: identical result to a plain inner join,
+    with only keys above the threshold ever replicated."""
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators.skew import (
+        salted_join_hot,
+    )
+
+    li = load_table(spark, "lineitem", SF).select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    supp = load_table(spark, "supplier", SF).select("s_suppkey", "s_name")
+    plain = li.join(supp, li.l_suppkey == supp.s_suppkey).drop("s_suppkey")
+
+    li2 = li.withColumnRenamed("l_suppkey", "k")
+    supp2 = supp.withColumnRenamed("s_suppkey", "k")
+    salted = salted_join_hot(li2, supp2, on="k", hot_threshold=50).withColumnRenamed(
+        "k", "l_suppkey"
+    )
+    assert sorted(map(tuple, plain.select(sorted(plain.columns)).collect())) == sorted(
+        map(tuple, salted.select(sorted(plain.columns)).collect())
+    )
+
+
 def test_salted_left_join_keeps_unmatched(spark):
     f = spark.createDataFrame([(1, "a"), (2, "b"), (99, "z")], "k int, v string")
     d = spark.createDataFrame([(1, "one"), (2, "two")], "k int, name string")
