@@ -55,6 +55,54 @@ def passthrough_rewrite(question: str, history: list[dict]) -> str:
     return question
 
 
+_ANAPHORA = frozenset(
+    "it they them that this these those he she its their what about more".split()
+)
+_STOPWORDS = frozenset(
+    (
+        "a an the and or but if then else of in on at to for with by from as is are "
+        "was were be been being do does did have has had will would can could should "
+        "i you we they he she it my your our what which who when where why how not no"
+    ).split()
+)
+
+
+def history_aware_rewrite(question: str, history: list[dict]) -> str:
+    """Deterministic stand-in for the reference's history-aware
+    retriever prompt (AI.py:137-139, LangChain
+    ``create_history_aware_retriever``: question + chat history →
+    standalone question). A follow-up question that cannot stand alone
+    — short, or leaning on anaphora ("what about X?", "why is that?")
+    — is contextualized by appending the salient content words of the
+    most recent turns (stopword-filtered, frequency-then-recency
+    ranked), so retrieval sees the topic the pronoun points at.
+    Standalone questions pass through untouched.
+
+    No model call: the rewrite must be reproducible for tests and
+    oracle runs, exactly like the engine's extractive default answerer."""
+    if not history:
+        return question
+    q_tokens = [t for t in question.lower().split() if t.strip("?.,!")]
+    needs_context = len(q_tokens) < 4 or any(
+        t.strip("?.,!") in _ANAPHORA for t in q_tokens
+    )
+    if not needs_context:
+        return question
+    freq: dict[str, int] = {}
+    order: dict[str, int] = {}
+    for i, msg in enumerate(history[-4:]):
+        for raw in msg.get("content", "").lower().split():
+            w = raw.strip("?.,!:;\"'()")
+            if len(w) < 3 or w in _STOPWORDS or w in q_tokens:
+                continue
+            freq[w] = freq.get(w, 0) + 1
+            order[w] = i  # later turn wins the recency tie-break
+    salient = sorted(freq, key=lambda w: (-freq[w], -order[w], w))[:4]
+    if not salient:
+        return question
+    return f"{question} (context: {' '.join(salient)})"
+
+
 def extractive_answerer(question: str, context: str) -> str:
     """Deterministic default answerer: the first context line, or a
     refusal-shaped answer when there is no context at all (which the

@@ -89,6 +89,17 @@ def _warmup(spark) -> None:
     ALS(rank=2, maxIter=1, seed=1, userCol="user", itemCol="item", ratingCol="r").fit(
         pairs
     )
+    # one untimed full decode of every bench-tier table: OS file cache +
+    # parquet reader JIT warm, so the first timed query per table
+    # measures the query, not the cold scan (~3-4 s otherwise lands on
+    # whichever query alphabetically touches the table first)
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.sources.loaders import (
+        TABLES,
+        load_table,
+    )
+
+    for name in TABLES:
+        _force(load_table(spark, name, SF_DIR))
 
 
 def _timed(fn, runs: int) -> float:

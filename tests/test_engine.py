@@ -79,3 +79,25 @@ def test_rewrite_hook_is_pluggable(engine):
     engine.rewrite = rw
     engine.ask("priority")
     assert seen["q"] == "priority"
+
+
+def test_history_aware_rewrite_contextualizes_followups():
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.engine import (
+        history_aware_rewrite,
+    )
+
+    history = [
+        {"role": "user", "content": "Tell me about shipping priority for orders"},
+        {"role": "assistant", "content": "Shipping priority ranks orders by urgency."},
+    ]
+    # anaphoric follow-up pulls salient topic words from history
+    out = history_aware_rewrite("what about it?", history)
+    assert out.startswith("what about it?")
+    assert "context:" in out and "shipping" in out and "priority" in out
+    # standalone questions pass through untouched
+    q = "summarize the revenue trend across all market segments"
+    assert history_aware_rewrite(q, history) == q
+    # no history → identity
+    assert history_aware_rewrite("what about it?", []) == "what about it?"
+    # deterministic
+    assert history_aware_rewrite("what about it?", history) == out
