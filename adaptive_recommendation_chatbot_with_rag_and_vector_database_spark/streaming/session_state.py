@@ -133,3 +133,57 @@ def replay_sessions_streaming(events_stream: DataFrame) -> DataFrame:
             fn, OUTPUT_SCHEMA, STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def replay_sessions_tws(events_stream: DataFrame) -> DataFrame:
+    """Streaming path on the Spark 4.x arbitrary-state API
+    (``transformWithStateInPandas`` + typed ``ValueState``) — the
+    successor to ``applyInPandasWithState`` with composable named state,
+    TTL, and timers. Same ``_replay`` machine, so all THREE execution
+    forms (batch grouped-map, GroupState, TWS ValueState) converge to
+    identical answers (asserted in tests/test_streaming.py).
+
+    At scale TWS is the preferred form: named state objects are stored
+    per-key in RocksDB with changelog checkpointing, and schema
+    evolution of the state is supported — operational requirements for
+    month-long 100 TB streaming jobs that the legacy GroupState tuple
+    cannot meet.
+
+    Runtime dependency: the TWS state protocol speaks protobuf between
+    the JVM and the Python driver worker — running this path requires
+    the ``protobuf`` package (absent in the test container, where the
+    equality test skips and the GroupState twin pins the semantics)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("session", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                total, clears, since, last_us = tuple(self._state.get())
+            else:
+                total, clears, since, last_us = 0, 0, 0, None
+            for pdf in rows:
+                total, clears, since, last_us = _replay(
+                    pdf, total, clears, since, last_us
+                )
+            self._state.update((total, clears, since, last_us))
+            yield _row(key[0], total, clears, since, last_us)
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events_stream.select("user_id", "event_id", "event_type", "ts")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_SessionProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -92,6 +92,37 @@ def test_stateful_session_stream_equals_batch(spark, stream_dir):
     assert got == want
 
 
+def test_tws_stream_equals_batch(spark, stream_dir):
+    """T1 on the Spark 4.x arbitrary-state API: transformWithStateInPandas
+    with a typed ValueState converges to the same answers as both the
+    batch twin and the legacy GroupState path. The TWS state protocol
+    speaks protobuf between the JVM and the Python driver worker;
+    environments without the ``protobuf`` package (this container) skip
+    — the GroupState twin above covers the semantics there."""
+    pytest.importorskip("google.protobuf")
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.streaming.session_state import (
+        replay_sessions_tws,
+    )
+
+    _run(
+        replay_sessions_tws(_read_stream(spark, stream_dir)),
+        "t1_tws",
+        "update",
+    )
+    out = spark.sql("SELECT * FROM t1_tws").toPandas()
+    final = out.sort_values("total_events").groupby("user_id").tail(1)
+    got = {
+        int(r.user_id): (int(r.total_events), int(r.n_clears), int(r.n_since_clear), r.last_ts)
+        for r in final.itertuples()
+    }
+    batch = replay_sessions_batch(load_table(spark, "events", SF_DIR)).collect()
+    want = {
+        r.user_id: (r.total_events, r.n_clears, r.n_since_clear, r.last_ts)
+        for r in batch
+    }
+    assert got == want
+
+
 def test_stateful_relational_equals_grouped_map(spark):
     """T1 third implementation: the registered q_stateful_session (pure
     relational aggregation, the 100 TB batch view) must agree with the

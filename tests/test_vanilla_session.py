@@ -25,6 +25,9 @@ _SMOKE = [
     "q_topk_cosine",  # vector
     "q_dedup_exact",  # text
     "q_resample_ffill",  # analytics, events
+    "q_approx_sketch",  # warehouse, events + sketch aggregates
+    "q_rolling_window",  # pipeline, events time-range frame
+    "q_salted_skew_join",  # scale, events + salting
 ]
 
 _SCRIPT = """
