@@ -341,3 +341,94 @@ def q_recommend_als(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user").alias("custkey"),
         F.posexplode("recommendations").alias("rec_rank", "rec"),
     ).select("custkey", "rec_rank", F.col("rec.item").alias("part_id"))
+
+
+# --- deterministic reservoir sample ---------------------------------------
+
+
+@query(
+    "q_reservoir_sample",
+    oracle="""
+    SELECT doc_id, source, rn
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= 5
+    """,
+)
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-k per-group sample with reservoir semantics, made
+    deterministic: rank by a content-free hash of the key
+    (``md5(doc_id)``) instead of ``rand()``, so every retry, oracle run
+    and backfill draws the SAME sample — the reproducibility property
+    training-data pipelines need from their eval holdouts.
+
+    Plan: one window sort per group; Spark pushes the rn<=5 cut below
+    the exchange as WindowGroupLimit (per-partition top-k heaps), so
+    the shuffle carries at most k rows per group per map task — the
+    same shape as any per-group top-k, independent of group size."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+    )
+
+
+# --- EWMA smoother ---------------------------------------------------------
+
+
+@query(
+    "q_ewma",
+    oracle="""
+    SELECT user_id,
+           len(vals) AS n_events,
+           round(list_reduce(vals, (a, x) -> 0.3 * x + 0.7 * a), 4) AS ewma
+    FROM (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+      FROM events
+      GROUP BY user_id
+    )
+    """,
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per key — the recursive
+    smoother (s_n = αv_n + (1-α)s_{n-1}, seeded with the first value)
+    that no window frame can express because each step depends on the
+    previous OUTPUT. Computed as an ordered fold: collect the key's
+    series once (ordered window frame), left-fold with
+    ``F.aggregate`` — double math in identical operand order on both
+    engines, so the oracle matches to the last bit before rounding.
+
+    Scale note: the fold is O(history) per key in one task — right for
+    bounded per-key series (sessions, sensors). For unbounded keys the
+    streaming form carries s_n in keyed state (streaming/session_state
+    shape) and never materializes the series."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    grouped = (
+        ev.select("user_id", F.collect_list("value").over(w).alias("vals"))
+        .groupBy("user_id")
+        .agg(F.first("vals").alias("vals"))
+    )
+    alpha = F.lit(0.3)
+    n = F.size("vals")
+    fold = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(n - 1, F.lit(0))),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: alpha * x + (F.lit(1.0) - alpha) * acc,
+    )
+    return grouped.select(
+        "user_id", n.alias("n_events"), F.round(fold, 4).alias("ewma")
+    )
