@@ -91,6 +91,17 @@ def test_rolling_median_odd_frame_middle_value(spark):
     assert set(out.columns) == {"event_id", "user_id", "roll_med"}
 
 
+def test_reservoir_sample_single_exchange_with_group_limit(spark):
+    plan = _plan(spark, "q_reservoir_sample")
+    assert "WindowGroupLimit" in plan  # rn<=5 cut below the exchange
+    assert plan.count("Exchange") == 1
+
+
+def test_ewma_single_exchange(spark):
+    plan = _plan(spark, "q_ewma")
+    assert plan.count("Exchange") == 1
+
+
 def test_als_recommendations_shape_and_determinism(spark):
     q = E.queries()["q_recommend_als"]
     a = q(spark, SF)
