@@ -197,12 +197,17 @@ def knn_join(
     Index side vectors are assumed L2-normalized upstream when
     ``normalized=True`` semantics are needed; here full cosine is used.
     """
+    from ..sources.loaders import scatter
+
     q = F.broadcast(
         queries.select(
             F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
         )
     )
-    scored = index.crossJoin(q).select(
+    # min-parallelism guard: a small single-split index scan would run
+    # the whole cross-score (|index| × |probes| cosine folds) in ONE
+    # task; no-op on well-partitioned input (see loaders.scatter)
+    scored = scatter(index).crossJoin(q).select(
         F.col("__qid").alias(query_id),
         F.col(index_id),
         cosine_sim(F.col(index_vec), F.col("__qvec")).alias("score"),

@@ -600,7 +600,10 @@ def q_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.expr("percentile(value, 0.5)").alias("p50"),
-        F.expr("approx_percentile(value, 0.5, 10000)").alias("ap50"),
+        # accuracy=1000: rank error ≤ n/1000, an order cheaper to build
+        # and merge than 10000 while still far inside the 1 % verdict
+        # tolerance below (sketch size is what the exchange carries)
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("ap50"),
     )
     return stats.select(
         "exact_users",
