@@ -256,3 +256,42 @@ def test_streaming_index_build_equals_batch(spark, tmp_path):
     stream = spark.readStream.schema(docs.schema).parquet(str(src))
     index_stream(stream, idx, ckpt, chunk_size=120).awaitTermination()
     assert spark.read.parquet(idx).count() == n_stream
+
+
+def test_load_table_normalizes_both_events_ts_layouts(spark, tmp_path):
+    """load_table must produce identical TimestampType rows whether the
+    fixture generation wrote events.ts as TIMESTAMP(NANOS) (round-1
+    layout, reads as long under nanosAsLong) or TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (round-2 layout, reads as TIMESTAMP_NTZ)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.sources.loaders import (
+        load_table,
+    )
+
+    us = np.array([1704067200_123_456, 1704067260_654_321], dtype="int64")
+    cols = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([1, 2], pa.int64()),
+        "event_type": pa.array(["a", "b"]),
+        "value": pa.array([1.0, 2.0]),
+        "props": pa.array(["{}", "{}"]),
+    }
+    nanos_dir = tmp_path / "nanos"
+    micros_dir = tmp_path / "micros"
+    for d, (unit, vals) in {
+        nanos_dir: ("ns", us * 1000),
+        micros_dir: ("us", us),
+    }.items():
+        d.mkdir()
+        t = pa.table({**cols, "ts": pa.array(vals, pa.timestamp(unit))})
+        pq.write_table(t, str(d / "events.parquet"), version="2.6", coerce_timestamps=None)
+
+    got = {}
+    for d in (nanos_dir, micros_dir):
+        df = load_table(spark, "events", str(d))
+        assert df.schema["ts"].dataType.typeName() == "timestamp"
+        got[str(d)] = sorted((r.event_id, r.ts) for r in df.select("event_id", "ts").collect())
+    assert got[str(nanos_dir)] == got[str(micros_dir)]
