@@ -116,3 +116,54 @@ def test_als_recommendations_shape_and_determinism(spark):
     # fixed seed + fixed blocking ⇒ rerun reproduces the same top-1 set
     b = {(r.custkey, r.part_id) for r in q(spark, SF).collect() if r.rec_rank == 0}
     assert {(r.custkey, r.part_id) for r in rows if r.rec_rank == 0} == b
+
+
+def test_ewma_matches_pandas_reference(spark):
+    """The fold must implement the textbook recursion s_n = αv_n +
+    (1-α)s_{n-1} seeded with the first value — exactly pandas
+    ``ewm(alpha, adjust=False)``. Randomized-but-seeded series across
+    several keys, compared to the last smoothed value per key."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(7)
+    n, keys = 200, 5
+    pdf = pd.DataFrame(
+        {
+            "user_id": rng.randint(0, keys, n).astype("int64"),
+            "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(np.arange(n), "min"),
+            "event_id": np.arange(n, dtype="int64"),
+            "value": rng.normal(size=n),
+        }
+    )
+    want = {
+        int(k): round(float(g.sort_values("event_id")["value"].ewm(alpha=0.3, adjust=False).mean().iloc[-1]), 4)
+        for k, g in pdf.groupby("user_id")
+    }
+
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(pdf)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    grouped = (
+        df.select("user_id", F.collect_list("value").over(w).alias("vals"))
+        .groupBy("user_id")
+        .agg(F.first("vals").alias("vals"))
+    )
+    alpha = F.lit(0.3)
+    size = F.size("vals")
+    fold = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(size - 1, F.lit(0))),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: alpha * x + (F.lit(1.0) - alpha) * acc,
+    )
+    got = {
+        r.user_id: r.e
+        for r in grouped.select("user_id", F.round(fold, 4).alias("e")).collect()
+    }
+    assert got == want
