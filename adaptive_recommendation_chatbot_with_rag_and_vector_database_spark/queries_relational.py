@@ -632,18 +632,19 @@ def q_corpus_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            count(*) AS n_csv,  round(sum(o_totalprice), 2) AS sum_csv,
            count(*) AS n_json, round(sum(o_totalprice), 2) AS sum_json,
-           count(*) AS n_orc,  round(sum(o_totalprice), 2) AS sum_orc
+           count(*) AS n_orc,  round(sum(o_totalprice), 2) AS sum_orc,
+           count(*) AS n_xml,  round(sum(o_totalprice), 2) AS sum_xml
     FROM orders
     GROUP BY o_orderstatus
     """,
 )
 def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source/sink format coverage: the orders table round-trips
-    through CSV, JSON-lines, and ORC sinks, is read back with explicit
-    schemas, and each copy must aggregate identically to the parquet
-    original (the oracle reads parquet only — any serialization drift
-    in any format fails the hash). Text formats carry a pinned
-    timestampFormat; reads never inferSchema."""
+    through CSV, JSON-lines, ORC, and XML (Spark 4 built-in) sinks, is
+    read back with explicit schemas, and each copy must aggregate
+    identically to the parquet original (the oracle reads parquet only
+    — any serialization drift in any format fails the hash). Text
+    formats carry a pinned timestampFormat; reads never inferSchema."""
     import os
 
     from .sources.loaders import roundtrip
@@ -651,7 +652,7 @@ def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     base = f"/tmp/spark_graft_io/{os.path.basename(sf_dir.rstrip('/'))}"
     out = None
-    for fmt in ("csv", "json", "orc"):
+    for fmt in ("csv", "json", "orc", "xml"):
         back = roundtrip(orders, f"{base}/orders_{fmt}", fmt)
         agg = back.groupBy("o_orderstatus").agg(
             F.count(F.lit(1)).alias(f"n_{fmt}"),

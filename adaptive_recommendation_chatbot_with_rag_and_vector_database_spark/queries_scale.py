@@ -432,3 +432,51 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped.select(
         "user_id", n.alias("n_events"), F.round(fold, 4).alias("ewma")
     )
+
+
+# --- partitioned layout + partition-pruned scan ----------------------------
+
+
+@query(
+    "q_partition_prune",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+    GROUP BY event_type
+    """,
+)
+def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition-pruned scan — the
+    storage pattern that makes time-sliced queries O(slice) instead of
+    O(corpus) at 100 TB: events written once ``partitionBy("day")``,
+    then a day-filtered read resolves to PartitionFilters at the scan
+    (asserted in tests/test_scale_queries.py) so non-matching
+    directories are never opened.
+
+    The partitioned copy is built once per sf_dir (guarded on the
+    _SUCCESS marker; on a cluster this check is the Hadoop FS exists
+    call) — the layout is an index artifact like the IVF cell layout in
+    write_ivf_index, amortized across every slice query after it."""
+    import os
+
+    base = f"/tmp/spark_graft_part/{os.path.basename(sf_dir.rstrip('/'))}/events_by_day"
+    if not os.path.exists(f"{base}/_SUCCESS"):
+        ev = _t(spark, sf_dir, "events")
+        (
+            ev.withColumn("day", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(base)
+        )
+    part = spark.read.parquet(base)
+    return (
+        part.filter(F.col("day").cast("string") == "2024-01-15")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

@@ -116,13 +116,16 @@ def roundtrip(
     fmt: str,
     timestamp_format: str = "yyyy-MM-dd HH:mm:ss",
 ) -> DataFrame:
-    """Write ``df`` in ``fmt`` (csv/json/orc/parquet) and read it back
-    with the SAME explicit schema — never inferSchema, which costs a
-    full extra pass and can silently widen types. Text formats get a
+    """Write ``df`` in ``fmt`` (csv/json/orc/parquet/xml) and read it
+    back with the SAME explicit schema — never inferSchema, which costs
+    a full extra pass and can silently widen types. Text formats get a
     pinned timestampFormat so the value roundtrip is exact."""
     opts = {"timestampFormat": timestamp_format}
     if fmt == "csv":
         opts["header"] = "true"
+    elif fmt == "xml":
+        # Spark 4 built-in XML source; rowTag is mandatory on both sides
+        opts["rowTag"] = "row"
     df.write.options(**opts).mode("overwrite").format(fmt).save(path)
     return (
         df.sparkSession.read.options(**opts).schema(df.schema).format(fmt).load(path)

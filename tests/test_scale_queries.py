@@ -167,3 +167,13 @@ def test_ewma_matches_pandas_reference(spark):
         for r in grouped.select("user_id", F.round(fold, 4).alias("e")).collect()
     }
     assert got == want
+
+
+def test_partition_prune_reaches_scan(spark):
+    """The day filter must resolve to PartitionFilters (directory-level
+    pruning), not a post-scan Filter over all partitions."""
+    plan = _plan(spark, "q_partition_prune")
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "day" in m.group(1)
