@@ -100,6 +100,19 @@ def _warmup(spark) -> None:
 
     for name in TABLES:
         _force(load_table(spark, name, SF_DIR))
+    # one untimed shuffle+window over a bench-tier table: first-exchange
+    # and first-window codegen/setup costs otherwise land on whichever
+    # query runs first (~2-3 s observed on q_agg_basic, the alphabetical
+    # leader, vs 0.75 s standalone-warm)
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", SF_DIR)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    _force(
+        ev.withColumn("rn", F.row_number().over(w))
+        .groupBy("event_type")
+        .agg(F.sum("value"), F.max("rn"))
+    )
 
 
 def _timed(fn, runs: int) -> float:
