@@ -94,7 +94,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, w, count(*) AS c FROM words WHERE w <> ''
       GROUP BY doc_id, w)
     SELECT doc_id,
-           sum(c) AS n_tok,
+           CAST(sum(c) AS BIGINT) AS n_tok,
            round(1.0 - count(*) / sum(c), 4) AS dup_ratio,
            round(max(c) / sum(c), 4) AS top_word_ratio
     FROM wc GROUP BY doc_id
@@ -125,8 +125,8 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH grp AS (
       SELECT lang, source,
-             sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
-               AS n_tok
+             CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+                  AS BIGINT) AS n_tok
       FROM documents GROUP BY lang, source)
     SELECT lang, source, n_tok,
            round(n_tok / sum(n_tok) OVER (), 6) AS token_share,
@@ -177,7 +177,8 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 - nt) / 2048.0) AS BIGINT) AS bucket
       FROM toks)
-    SELECT lang, bucket, count(*) AS n_docs, sum(nt) AS n_tok
+    SELECT lang, bucket, count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tok
     FROM packed GROUP BY lang, bucket
     """,
 )
@@ -263,7 +264,7 @@ def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS load
       FROM pts)
-    SELECT event_type, max(load) AS peak_concurrency
+    SELECT event_type, CAST(max(load) AS BIGINT) AS peak_concurrency
     FROM run GROUP BY event_type
     """,
 )

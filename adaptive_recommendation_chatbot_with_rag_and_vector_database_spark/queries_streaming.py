@@ -43,9 +43,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.user_id,
            count(*) AS total_events,
-           sum(CASE WHEN e.event_type = 'signup' THEN 1 ELSE 0 END) AS n_clears,
-           sum(CASE WHEN lc.clear_id IS NULL OR e.event_id > lc.clear_id
-                    THEN 1 ELSE 0 END) AS n_since_clear,
+           CAST(sum(CASE WHEN e.event_type = 'signup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clears,
+           CAST(sum(CASE WHEN lc.clear_id IS NULL OR e.event_id > lc.clear_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_since_clear,
            max(e.ts) AS last_ts
     FROM events e LEFT JOIN lc ON e.user_id = lc.user_id
     GROUP BY e.user_id
@@ -176,37 +177,44 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH r AS (
       SELECT ts,
-             max(ts) OVER (ORDER BY event_id
+             max(ts) OVER (PARTITION BY user_id ORDER BY event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                AS prev_max
       FROM events
     )
     SELECT date_trunc('hour', ts) AS window_start,
            count(*) AS n_total,
-           sum(CASE WHEN prev_max IS NULL
-                      OR ts >= prev_max - INTERVAL '{WATERMARK_DELAY}'
-                    THEN 1 ELSE 0 END) AS n_kept
+           CAST(sum(CASE WHEN prev_max IS NULL
+                           OR ts >= prev_max - INTERVAL '{WATERMARK_DELAY}'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM r
     GROUP BY 1
     """,
 )
 def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark late-data semantics (T4), made exact for the oracle:
-    arrival order = event_id, watermark = running max(ts) − 10 min, a
-    row is dropped iff it arrives older than the watermark. The global
-    arrival-order window is inherently single-partition — this query
-    exists to PIN the drop rule; the production path is
+    per-key arrival order = event_id within user_id, watermark =
+    running max(ts) − 10 min over that key's arrivals, a row is
+    dropped iff it arrives older than its key's watermark. Keying the
+    arrival order on user_id keeps the semantic pinned while making
+    the window ``partitionBy(user_id)`` — a parallel per-key sort, no
+    single-partition global sort, so the pinned plan is the one a
+    1000-executor cluster would run. The production path is
     ``withWatermark`` where Spark tracks the max per-partition and
-    merges (no global sort)."""
+    merges."""
     ev = _events(spark, sf_dir)
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     prev_max = F.max("ts").over(w)
     kept = (
         prev_max.isNull()
         | (F.col("ts") >= prev_max - F.expr(f"INTERVAL {WATERMARK_DELAY}"))
     ).cast("long")
     return (
-        ev.select("ts", kept.alias("kept"))
+        ev.select("user_id", "ts", kept.alias("kept"))
         .groupBy(F.date_trunc("hour", "ts").alias("window_start"))
         .agg(F.count(F.lit(1)).alias("n_total"), F.sum("kept").alias("n_kept"))
     )

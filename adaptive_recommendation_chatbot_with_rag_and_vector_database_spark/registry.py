@@ -17,6 +17,7 @@ discipline"):
 from __future__ import annotations
 
 import glob
+import hashlib
 import json
 import os
 from collections.abc import Callable
@@ -58,6 +59,29 @@ def _load() -> None:
         import_module(mod)
 
 
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def oracle_fingerprint(sql: str) -> str:
+    """Whitespace-normalized sha256 of an oracle SQL string, so
+    formatting-only edits don't re-queue a query but any semantic edit
+    does."""
+    return hashlib.sha256(" ".join(sql.split()).encode()).hexdigest()
+
+
+def _blessed_fingerprints() -> dict[str, str]:
+    """name -> oracle fingerprint at the time the driver hash-verified
+    it (maintained by ``bless.py``, run at round start BEFORE any
+    oracle edits, so 'current text' there == 'text the driver ran')."""
+    try:
+        with open(os.path.join(_repo_root(), "ORACLE_VERIFIED.json")) as fh:
+            data = json.load(fh)
+    except (OSError, ValueError):
+        return {}
+    return data if isinstance(data, dict) else {}
+
+
 def _verified_names() -> set[str]:
     """Names already hash-verified (or rows-only-verified for queries
     that still have no oracle) by a past driver CORRECTNESS run.
@@ -67,10 +91,17 @@ def _verified_names() -> set[str]:
     not-yet-verified names to rotate coverage across rounds. Reads the
     ``CORRECTNESS_r*.json`` files the driver leaves at the repo root;
     with none present this is empty and plain registration order wins.
+
+    A hash pass only counts while the oracle SQL is UNCHANGED since the
+    pass: the fingerprint recorded in ORACLE_VERIFIED.json must match
+    the current text. Editing an oracle (round-2 lesson:
+    q_source_formats grew an XML column after its round-1 pass and
+    silently kept verified status) re-queues the query for driver
+    re-verification.
     """
     names: set[str] = set()
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    blessed = _blessed_fingerprints()
+    for path in sorted(glob.glob(os.path.join(_repo_root(), "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
                 data = json.load(fh)
@@ -87,8 +118,11 @@ def _verified_names() -> set[str]:
             # A rows-only pass counts as verified only while the query
             # still has no oracle — adding one re-queues it for a full
             # hash check next round.
-            if row.get("hash_match") or (rows_only_ok and name not in _ORACLE):
+            if rows_only_ok and name not in _ORACLE:
                 names.add(name)
+            elif row.get("hash_match") and name in _ORACLE:
+                if blessed.get(name) == oracle_fingerprint(_ORACLE[name]):
+                    names.add(name)
     return names
 
 

@@ -190,6 +190,16 @@ def test_text_scrub_is_map_only(spark):
     assert "Exchange" not in plan  # pure scan → project, zero shuffles
 
 
+def test_watermark_window_is_partitioned_not_global(spark):
+    # round-2 fix: the arrival-order window is keyed on user_id, so the
+    # pinned plan has NO single-partition global sort — the shape that
+    # survives a 1000-executor scan
+    plan = _plan(spark, "q_stream_watermark")
+    assert "SinglePartition" not in plan
+    assert "Exchange hashpartitioning" in plan
+    assert "Window" in plan
+
+
 def test_sessionize_single_exchange_two_windows(spark):
     plan = _plan(spark, "q_sessionize")
     # both windows share the user_id partitioning: exactly one
