@@ -82,10 +82,12 @@ def history_aware_rewrite(question: str, history: list[dict]) -> str:
     oracle runs, exactly like the engine's extractive default answerer."""
     if not history:
         return question
-    q_tokens = [t for t in question.lower().split() if t.strip("?.,!")]
-    needs_context = len(q_tokens) < 4 or any(
-        t.strip("?.,!") in _ANAPHORA for t in q_tokens
-    )
+    # stripped forms serve BOTH the anaphora check and the exclusion
+    # test below — an unstripped 'shipping?' must still exclude
+    # 'shipping' from the appended context
+    q_tokens = [t.strip("?.,!") for t in question.lower().split()]
+    q_tokens = [t for t in q_tokens if t]
+    needs_context = len(q_tokens) < 4 or any(t in _ANAPHORA for t in q_tokens)
     if not needs_context:
         return question
     freq: dict[str, int] = {}

