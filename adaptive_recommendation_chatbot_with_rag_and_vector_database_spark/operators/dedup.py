@@ -250,12 +250,26 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_filter: str | None = None,
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
     """Semantic near-dup: pairs with cosine ≥ threshold. ``probe_filter``
     (SQL predicate on the left side) bounds the pair space; at scale the
-    real pre-filter is an ANN bucketing (operators/similarity.py)."""
+    real pre-filter is an ANN bucketing (operators/similarity.py).
+
+    With no ``probe_filter`` the pair space is the full n² cross — an
+    escape hatch for small corpora only, so it must be requested
+    EXPLICITLY with ``allow_all_pairs=True``. Raising here (rather than
+    silently planning an all-pairs join) is the guard-rail that keeps a
+    100 TB caller from launching a quadratic job by forgetting one
+    argument; scale users go through LSH/IVF bucketing instead."""
     from ..sources.loaders import scatter
 
+    if probe_filter is None and not allow_all_pairs:
+        raise ValueError(
+            "embedding_near_dup without probe_filter is an all-pairs "
+            "cross join; pass allow_all_pairs=True for small corpora, "
+            "or pre-bucket with operators/similarity.py (LSH/IVF) at scale"
+        )
     a = df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
     )

@@ -534,3 +534,87 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+# --- bucketed co-located join ----------------------------------------------
+
+
+@query(
+    "q_bucketed_join",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join (the write_bucketed layout as
+    a driver-visible query): orders and lineitem are persisted bucketed
+    + sorted on the order key, so the recurring join runs bucket-to-
+    bucket with ZERO exchange on either side — at 100 TB this converts
+    the one unavoidable fact-fact shuffle of the TPC-H shapes into a
+    local merge, amortized once at write time. The only exchange left
+    in the plan is the tiny post-join re-agg on o_orderstatus
+    (asserted in tests/test_scale_queries.py).
+
+    Layout freshness follows the q_partition_prune recipe: rebuilt
+    whenever the source parquet mtime/size fingerprint changes."""
+    import os
+    import re
+
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")))
+    li_tbl, ord_tbl = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
+    src_tag = ":".join(
+        f"{os.stat(os.path.join(sf_dir, t + '.parquet')).st_mtime_ns}"
+        f"-{os.stat(os.path.join(sf_dir, t + '.parquet')).st_size}"
+        for t in ("lineitem", "orders")
+    )
+    marker_dir = f"/tmp/spark_graft_bkt/{tag}"
+    marker = f"{marker_dir}/_SRC_FINGERPRINT"
+    fresh = False
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            fresh = fh.read().strip() == src_tag
+    fresh = (
+        fresh
+        and spark.catalog.tableExists(li_tbl)
+        and spark.catalog.tableExists(ord_tbl)
+    )
+    if not fresh:
+        import shutil
+
+        from .sources.loaders import write_bucketed
+
+        # a fresh session's in-memory catalog won't know tables written
+        # by an earlier session, but their warehouse locations persist —
+        # clear both, or saveAsTable fails on LOCATION_ALREADY_EXISTS
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        for tbl in (li_tbl, ord_tbl):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            loc = os.path.join(wh, tbl.lower())
+            if os.path.exists(loc):
+                shutil.rmtree(loc)
+        li = _t(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("okey"), "l_quantity"
+        )
+        orders = _t(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("okey"), "o_orderstatus"
+        )
+        write_bucketed(li, li_tbl, "okey")
+        write_bucketed(orders, ord_tbl, "okey")
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write(src_tag)
+    return (
+        spark.table(li_tbl)
+        .join(spark.table(ord_tbl), "okey")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )

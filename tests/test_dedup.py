@@ -141,3 +141,30 @@ def test_inverted_index_jaccard_matches_naive(spark):
         assert got == _naive_jaccard_pairs(spark, rows)
 
     check()
+
+
+def test_embedding_near_dup_all_pairs_needs_explicit_opt_in(spark):
+    """The unbounded form is a quadratic cross join — it must refuse to
+    plan unless the caller says allow_all_pairs=True (the 100 TB
+    guard-rail), and with the opt-in it finds the planted duplicate."""
+    import pytest
+
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators.dedup import (
+        embedding_near_dup,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),   # exact dup of 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    with pytest.raises(ValueError, match="all-pairs"):
+        embedding_near_dup(df, threshold=0.9)
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup(df, threshold=0.9, allow_all_pairs=True).collect()
+    }
+    assert got == {(0, 1)}

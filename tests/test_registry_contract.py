@@ -47,3 +47,35 @@ def test_output_columns_unique_and_oracle_aligned(spark, name):
         assert sorted(df.columns) == sorted(duck_cols), (
             f"{name}: spark={sorted(df.columns)} oracle={sorted(duck_cols)}"
         )
+
+
+def test_oracle_edit_requeues_verified_query(tmp_path, monkeypatch):
+    """The round-2 regression class: a query hash-passes in round N, its
+    oracle is edited in round N+1, and the registry must STOP treating
+    it as verified (so the driver re-checks it). Simulated with a fake
+    repo root holding a CORRECTNESS pass and a blessed fingerprint."""
+    import json
+
+    name = "q_agg_basic"
+    monkeypatch.setattr(registry, "_repo_root", lambda: str(tmp_path))
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({name: {"rows_match": True, "schema_match": True,
+                           "hash_match": True, "spark_rows": 1, "err": None}})
+    )
+    registry._load()
+    current = registry._ORACLE[name]
+    # blessed at the text the driver ran -> verified
+    (tmp_path / "ORACLE_VERIFIED.json").write_text(
+        json.dumps({name: registry.oracle_fingerprint(current)})
+    )
+    assert name in registry._verified_names()
+    # whitespace-only reformat does NOT re-queue
+    (tmp_path / "ORACLE_VERIFIED.json").write_text(
+        json.dumps({name: registry.oracle_fingerprint("  " + current.replace("\n", "  \n"))})
+    )
+    assert name in registry._verified_names()
+    # semantic edit DOES re-queue
+    (tmp_path / "ORACLE_VERIFIED.json").write_text(
+        json.dumps({name: registry.oracle_fingerprint(current + " LIMIT 999")})
+    )
+    assert name not in registry._verified_names()

@@ -95,6 +95,18 @@ def test_salted_join_replicates_only_hot_dim_rows(spark):
     assert n_hot_dim >= 1  # the synthetic hot key really is hot
 
 
+def test_bucketed_join_has_single_small_exchange(spark):
+    """The co-located layout removes BOTH join-side shuffles: the only
+    exchange left is the post-join re-agg on o_orderstatus (rows =
+    |statuses|, constant in data size)."""
+    plan = _plan(spark, "q_bucketed_join")
+    assert plan.count("Exchange hashpartitioning") == 1
+    # both scans are bucket-aware (at fixture scale AQE may still elect
+    # a broadcast for the small side; the zero-join-shuffle property is
+    # the exchange count above)
+    assert plan.count("SelectedBucketsCount") == 2
+
+
 def test_vector_quantize_broadcasts_range_table(spark):
     plan = _plan(spark, "q_vector_quantize")
     assert "BroadcastHashJoin" in plan
