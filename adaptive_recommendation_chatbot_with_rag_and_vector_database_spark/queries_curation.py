@@ -1,0 +1,439 @@
+"""Training-data pipeline wave 6 (SURVEY §2.16): the curation and
+layout operators that close the gap between a filtered corpus and
+training shards — rule-cascade quality filtering with per-rule drop
+accounting (C4/Gopher-style), corpus-LM perplexity scoring, span-level
+dedup, Z-order data layout, a random-walk co-purchase recommender (the
+graph generalization of the reference's retrieval-then-recommend loop,
+/root/reference/AI.py:131-147), and a train/test nearest-centroid
+classifier over the embedding space (the shape of a fasttext-style
+quality classifier, with an exact oracle instead of invariants).
+
+Every query has an exact DuckDB oracle. Portability rules as in
+queries_pipeline.py: floats rounded identically on both sides, log10
+(not ln — DuckDB ``log`` is log10), double→int through floor, explicit
+ROWS frames, deterministic tie-breaks on every top-k cut.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query
+from .sources.loaders import load_table, scatter
+
+# Shared tokenizer expression (same as queries_text._SQL_TOKS — the
+# engine-wide tokenization contract).
+_SQL_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "documents", sf_dir)
+
+
+def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "").alias("toks"),
+    )
+
+
+# --- C1: quality-filter cascade -------------------------------------------
+
+
+@query(
+    "q_filter_cascade",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             len({_SQL_TOKS}) AS nw,
+             len(list_distinct({_SQL_TOKS})) /
+               greatest(len({_SQL_TOKS}), 1)::DOUBLE AS dr,
+             list_avg(list_transform({_SQL_TOKS}, x -> len(x))) AS mwl
+      FROM documents)
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN nw < 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS drop_short,
+           CAST(sum(CASE WHEN nw >= 30 AND dr < 0.42 THEN 1 ELSE 0 END)
+             AS BIGINT) AS drop_rep,
+           CAST(sum(CASE WHEN nw >= 30 AND dr >= 0.42
+                     AND (mwl < 3.8 OR mwl > 5.2) THEN 1 ELSE 0 END)
+             AS BIGINT) AS drop_len,
+           CAST(sum(CASE WHEN nw >= 30 AND dr >= 0.42
+                     AND mwl BETWEEN 3.8 AND 5.2 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kept
+    FROM t GROUP BY lang
+    """,
+)
+def q_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality-filter cascade with per-rule drop
+    accounting: min length, duplicate-token ratio, mean-word-length
+    band, applied in fixed order so each dropped doc is attributed to
+    its FIRST failing rule — the audit table a corpus curation run
+    reports before training. One scan, one hash aggregate keyed on
+    lang: every rule is a Catalyst expression over the token array, so
+    at 100 TB this is scan-speed map work plus a |langs|-row shuffle."""
+    t = _toks(spark, sf_dir).select(
+        "lang",
+        F.size("toks").alias("nw"),
+        (
+            F.size(F.array_distinct("toks"))
+            / F.greatest(F.size("toks"), F.lit(1)).cast("double")
+        ).alias("dr"),
+        F.aggregate(
+            F.transform("toks", lambda x: F.length(x).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+            lambda acc: acc / F.greatest(F.size("toks"), F.lit(1)),
+        ).alias("mwl"),
+    )
+    short = F.col("nw") < 30
+    rep = F.col("dr") < 0.42
+    lenr = (F.col("mwl") < 3.8) | (F.col("mwl") > 5.2)
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(short.cast("long")).alias("drop_short"),
+        F.sum((~short & rep).cast("long")).alias("drop_rep"),
+        F.sum((~short & ~rep & lenr).cast("long")).alias("drop_len"),
+        F.sum((~short & ~rep & ~lenr).cast("long")).alias("n_kept"),
+    )
+
+
+# --- C2: corpus unigram LM scoring ----------------------------------------
+
+
+@query(
+    "q_unigram_lm",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+    corpus AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM wc GROUP BY w),
+    tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n, count(*) AS v FROM corpus)
+    SELECT wc.doc_id,
+           CAST(sum(wc.c) AS BIGINT) AS n_tok,
+           round(sum(wc.c * log10((corpus.cw + 1.0) / (tot.n + tot.v)))
+                 / sum(wc.c), 4) AS avg_logp
+    FROM wc JOIN corpus USING (w) CROSS JOIN tot
+    GROUP BY wc.doc_id
+    """,
+)
+def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram language-model scoring: train add-one-smoothed
+    unigram probabilities over the whole corpus, score each document by
+    mean log10 probability — the KenLM-perplexity quality signal of
+    CCNet/RedPajama-style pipelines, reduced to the unigram order the
+    fixture supports. Two hash aggregates build the LM ((doc, word)
+    partials combine map-side); the model itself is a vocabulary-sized
+    table, BROADCAST back onto the per-doc word counts — at 100 TB the
+    LM is MBs while the corpus is the fact side, so scoring is one
+    shuffle-free probe plus a per-doc aggregate."""
+    words = (
+        _toks(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("w"))
+    )
+    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    corpus = wc.groupBy("w").agg(F.sum("c").alias("cw"))
+    tot = corpus.agg(
+        F.sum("cw").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    scored = wc.join(F.broadcast(corpus), "w").join(F.broadcast(tot))
+    logp = F.col("c") * F.log10(
+        (F.col("cw") + 1.0) / (F.col("n") + F.col("v"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tok"),
+        F.round(F.sum(logp) / F.sum("c"), 4).alias("avg_logp"),
+    )
+
+
+# --- C3: span-level dedup --------------------------------------------------
+
+
+@query(
+    "q_span_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    spans AS (
+      SELECT doc_id,
+             unnest([struct_pack(i := i,
+                                 s := array_to_string(toks[i:i+7], ' '))
+                     for i in generate_series(1, len(toks), 8)]) AS sp
+      FROM t),
+    keyed AS (
+      SELECT doc_id, sp.i AS i, sp.s AS s,
+             doc_id * 1000000 + sp.i AS k
+      FROM spans),
+    firsts AS (SELECT s, min(k) AS k_min FROM keyed GROUP BY s)
+    SELECT doc_id,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN k = k_min THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM keyed JOIN firsts USING (s)
+    GROUP BY doc_id
+    """,
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup (the line-level dedup step of C4, over fixed
+    8-word spans since the fixture corpus has no line structure): every
+    span keeps only its globally-first occurrence, ordered by
+    (doc_id, position). Per doc: spans emitted vs spans kept. The span
+    table shuffles once keyed on span text for the group-min, then once
+    on doc_id for the per-doc rollup — both keyed exchanges; duplicate
+    mass shrinks the second shuffle, never grows it."""
+    t = _toks(spark, sf_dir)
+    spans = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks"), F.lit(8)),
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.concat_ws(" ", F.slice("toks", i, 8)).alias("s"),
+                ),
+            )
+        ).alias("sp"),
+    ).select(
+        "doc_id",
+        F.col("sp.i").alias("i"),
+        F.col("sp.s").alias("s"),
+        (F.col("doc_id") * 1000000 + F.col("sp.i")).alias("k"),
+    )
+    firsts = spans.groupBy("s").agg(F.min("k").alias("k_min"))
+    return (
+        spans.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("k") == F.col("k_min")).cast("long")).alias("n_kept"),
+        )
+    )
+
+
+# --- C4: Z-order layout ----------------------------------------------------
+
+
+def _z_terms_sql(x: str, y: str) -> str:
+    return " + ".join(
+        f"((({x} >> {i}) & 1) << {2 * i}) + ((({y} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(8)
+    )
+
+
+@query(
+    "q_zorder_layout",
+    oracle=f"""
+    WITH d AS (
+      SELECT (o_custkey & 255) AS x,
+             (datediff('day', DATE '1992-01-01', o_orderdate) & 255) AS y
+      FROM orders),
+    z AS (SELECT x, y, ({_z_terms_sql('x', 'y')}) AS zval FROM d)
+    SELECT zval >> 6 AS zbucket,
+           count(*) AS n,
+           min(x) AS x_min, max(x) AS x_max,
+           min(y) AS y_min, max(y) AS y_max
+    FROM z GROUP BY zbucket
+    """,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) data layout: bit-interleave two clustering
+    dimensions (customer bucket, order-day bucket) into one sort key
+    and report per-Z-range occupancy and min/max extents — the layout
+    stat that makes 2-D data skipping work. Writing a 100 TB fact table
+    sorted by zval gives every file a tight min/max envelope on BOTH
+    dimensions, so either-column predicates prune files (the same
+    mechanism as Delta/Iceberg Z-ordering); the interleave itself is 16
+    static bit-ops, pure scan-side codegen. Bucket extents here make
+    the locality driver-checkable: each 1024-wide Z range spans at most
+    a 32x32 tile of the (x, y) plane."""
+    d = load_table(spark, "orders", sf_dir).select(
+        F.col("o_custkey").bitwiseAND(255).alias("x"),
+        F.datediff("o_orderdate", F.lit("1992-01-01").cast("date"))
+        .bitwiseAND(255)
+        .alias("y"),
+    )
+    zval = None
+    for i in range(8):
+        term = F.shiftleft(
+            F.shiftright("x", i).bitwiseAND(1), 2 * i
+        ) + F.shiftleft(F.shiftright("y", i).bitwiseAND(1), 2 * i + 1)
+        zval = term if zval is None else zval + term
+    z = d.select("x", "y", zval.alias("zval"))
+    return z.groupBy(F.shiftright("zval", 6).alias("zbucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").alias("x_min"),
+        F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"),
+        F.max("y").alias("y_max"),
+    )
+
+
+# --- C5: random-walk co-purchase recommender -------------------------------
+
+
+@query(
+    "q_graph_walk",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    degc AS (SELECT c, count(*) AS dc FROM edges GROUP BY c),
+    degp AS (SELECT p, count(*) AS dp FROM edges GROUP BY p),
+    seeds AS (
+      SELECT c, 1.0 / (SELECT count(*) FROM degc WHERE c % 97 = 0) AS m
+      FROM degc WHERE c % 97 = 0),
+    m1 AS (
+      SELECT e.p, sum(s.m / d.dc) AS m
+      FROM seeds s JOIN edges e USING (c) JOIN degc d USING (c)
+      GROUP BY e.p),
+    m2 AS (
+      SELECT e.c, sum(m1.m / d.dp) AS m
+      FROM m1 JOIN edges e USING (p) JOIN degp d USING (p)
+      GROUP BY e.c),
+    m3 AS (
+      SELECT e.p, sum(m2.m / d.dc) AS m
+      FROM m2 JOIN edges e USING (c) JOIN degc d USING (c)
+      GROUP BY e.p)
+    SELECT p AS part_id, round(m, 6) AS score
+    FROM m3
+    ORDER BY score DESC, part_id
+    LIMIT 20
+    """,
+)
+def q_graph_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-hop random walk over the customer-part co-purchase graph:
+    seed customers spread uniform mass, each hop distributes mass along
+    edges weighted by 1/out-degree (customer→part→customer→part), and
+    the top-20 parts by arrival mass are the recommendations — the
+    co-visitation graph recommender that generalizes the reference's
+    retrieve-then-recommend loop (/root/reference/AI.py:131-147) to
+    collaborative structure. The iterative-graph pattern at scale: the
+    edge list materializes ONCE (localCheckpoint, like
+    operators/dedup.connected_components), degrees are computed once,
+    and every hop is an edge-keyed equi-join plus a groupBy-sum — the
+    same partitioning reused hop to hop, mass vectors only ever
+    O(|vertices|)."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_custkey").alias("c"), "o_orderkey"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", F.col("l_partkey").alias("p")
+    )
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("c", "p")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    degc = edges.groupBy("c").agg(F.count(F.lit(1)).alias("dc"))
+    degp = edges.groupBy("p").agg(F.count(F.lit(1)).alias("dp"))
+    seeds = degc.filter(F.col("c") % 97 == 0).select("c")
+    n_seeds = seeds.select(F.count(F.lit(1)).alias("ns"))
+    m0 = seeds.join(F.broadcast(n_seeds)).select(
+        "c", (F.lit(1.0) / F.col("ns")).alias("m")
+    )
+    m1 = (
+        m0.join(edges, "c")
+        .join(degc, "c")
+        .groupBy("p")
+        .agg(F.sum(F.col("m") / F.col("dc")).alias("m"))
+    )
+    m2 = (
+        m1.join(edges, "p")
+        .join(degp, "p")
+        .groupBy("c")
+        .agg(F.sum(F.col("m") / F.col("dp")).alias("m"))
+    )
+    m3 = (
+        m2.join(edges, "c")
+        .join(degc, "c")
+        .groupBy("p")
+        .agg(F.sum(F.col("m") / F.col("dc")).alias("m"))
+    )
+    return (
+        m3.select(F.col("p").alias("part_id"), F.round("m", 6).alias("score"))
+        .orderBy(F.desc("score"), "part_id")
+        .limit(20)
+    )
+
+
+# --- C6: nearest-centroid classifier over embeddings -----------------------
+
+
+@query(
+    "q_centroid_classifier",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, label, i, embedding[i]::DOUBLE AS x
+      FROM embeddings, generate_series(1, 64) g(i)),
+    cent AS (
+      SELECT label AS clabel, i, avg(x) AS v
+      FROM dims WHERE vec_id % 5 <> 0 GROUP BY label, i),
+    dist AS (
+      SELECT d.vec_id, d.label AS true_label, c.clabel,
+             sum((d.x - c.v) * (d.x - c.v)) AS d2
+      FROM dims d JOIN cent c USING (i)
+      WHERE d.vec_id % 5 = 0
+      GROUP BY d.vec_id, d.label, c.clabel),
+    ranked AS (
+      SELECT vec_id, true_label, clabel,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel)
+               AS rn
+      FROM dist)
+    SELECT true_label,
+           count(*) AS n_test,
+           CAST(sum(CASE WHEN clabel = true_label THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_correct
+    FROM ranked WHERE rn = 1 GROUP BY true_label
+    """,
+)
+def q_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test nearest-centroid classification over the embedding
+    space: fit per-label centroids on the training split (vec_id % 5
+    != 0), classify the held-out split by squared-L2 argmin with a
+    label tie-break, report per-label test counts and hits — the shape
+    of an embedding-space quality classifier (fasttext-style corpus
+    filtering), with an EXACT oracle rather than invariants. At 100 TB
+    the model side is |labels| centroid rows, BROADCAST; scoring is a
+    shuffle-free map over the test scan plus one |labels|-row
+    aggregate. Centroid fitting is one keyed aggregate over (label,
+    dim) partial sums."""
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    train = emb.filter(F.col("vec_id") % 5 != 0)
+    test = scatter(emb.filter(F.col("vec_id") % 5 == 0))
+    cent = (
+        train.select("label", F.posexplode("e").alias("i", "x"))
+        .groupBy(F.col("label").alias("clabel"), "i")
+        .agg(F.avg("x").alias("v"))
+        .groupBy("clabel")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "v"))),
+                lambda s: s["v"],
+            ).alias("cvec")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with("e", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = test.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        "clabel",
+        d2.alias("d2"),
+    )
+    pred = scored.groupBy("vec_id", "true_label").agg(
+        F.min_by("clabel", F.struct("d2", "clabel")).alias("pred_label")
+    )
+    return pred.groupBy("true_label").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum((F.col("pred_label") == F.col("true_label")).cast("long")).alias(
+            "n_correct"
+        ),
+    )

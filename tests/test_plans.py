@@ -205,3 +205,55 @@ def test_sessionize_single_exchange_two_windows(spark):
     # both windows share the user_id partitioning: exactly one
     # hash-partitioned exchange may appear
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --- wave 6: curation/layout queries ---------------------------------------
+
+
+def test_filter_cascade_is_single_pass(spark):
+    plan = _plan(spark, "q_filter_cascade")
+    # one scan, one lang-keyed aggregate: exactly one hash exchange,
+    # with the rule predicates evaluated map-side (partial aggregation)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_unigram_lm_broadcasts_model_not_corpus(spark):
+    plan = _plan(spark, "q_unigram_lm")
+    # the LM (vocab-sized) joins back by broadcast; the per-doc word
+    # counts never shuffle for the probe
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_span_dedup_exchanges_are_keyed(spark):
+    plan = _plan(spark, "q_span_dedup")
+    # span-text group-min and per-doc rollup both hash-keyed; no
+    # single-partition collapse anywhere
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning") >= 2
+
+
+def test_zorder_interleave_is_scan_side(spark):
+    plan = _plan(spark, "q_zorder_layout")
+    # the Morton interleave is codegen'd projection work: one aggregate
+    # exchange total, no join, no sort
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan and "Join" not in plan
+
+
+def test_graph_walk_hops_are_keyed_joins(spark):
+    plan = _plan(spark, "q_graph_walk")
+    # every hop is an equi-join + keyed aggregate over the checkpointed
+    # edge list — never a cross product, never a global sort (top-20 is
+    # TakeOrderedAndProject)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_centroid_classifier_broadcasts_model(spark):
+    plan = _plan(spark, "q_centroid_classifier")
+    # |labels| centroid rows broadcast onto the test scan: the scoring
+    # join must be broadcast, never a shuffle of the test side
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
