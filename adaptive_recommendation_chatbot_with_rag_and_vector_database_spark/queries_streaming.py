@@ -261,3 +261,78 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_events(
         _events(spark, sf_dir), load_table(spark, "customer", sf_dir)
     )
+
+
+# --- T10: stream-stream interval join --------------------------------------
+
+ATTRIBUTION_WINDOW = "30 minutes"
+
+
+def attribution_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to every
+    view by the same user in the preceding 30 minutes (the classic
+    ad-attribution shape). Batch or streaming DataFrames — same code,
+    the unified-API guarantee. On streams, both sides carry watermarks
+    (set by the caller) and the time-bound join condition lets Spark
+    evict buffered state once the watermark passes ``v.ts + 30 min`` —
+    bounded state, the thing an unconstrained stream-stream join
+    lacks. The join itself is user_id-keyed, so at 100 TB/day both
+    streams shuffle once on user_id and each partition buffers only
+    its own keys' 30-minute horizon."""
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return v.join(
+        p,
+        [
+            v.user_id == p.user_id,
+            F.col("purchase_ts") >= F.col("view_ts"),
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW}"),
+        ],
+    ).select(
+        "view_id",
+        "purchase_id",
+        v.user_id.alias("user_id"),
+        F.round(
+            (
+                F.unix_micros("purchase_ts") - F.unix_micros("view_ts")
+            ) / 60_000_000.0,
+            2,
+        ).alias("lag_minutes"),
+        F.round("purchase_value", 4).alias("purchase_value"),
+    )
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           v.user_id,
+           round(epoch_us(p.ts - v.ts) / 60000000.0, 2) AS lag_minutes,
+           round(p.value, 4) AS purchase_value
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL '30 minutes'
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join (T10); the true
+    two-stream watermarked execution of the SAME builder is asserted
+    equal in tests/test_streaming.py."""
+    ev = _events(spark, sf_dir)
+    return attribution_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )

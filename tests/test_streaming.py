@@ -331,3 +331,41 @@ def test_stream_static_enrich_equals_batch(spark, stream_dir):
         for r in spark.sql("SELECT * FROM enrich_stream").collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_stream_stream_join_equals_batch(spark, stream_dir):
+    """T10: a true two-stream watermarked interval join (view →
+    purchase attribution) emits exactly the batch twin's pairs. Both
+    sides read the same file stream (split into ordered micro-batches)
+    filtered to their event type; watermarks bound the buffered state,
+    set wide enough that no fixture event is late (inner-join
+    EQUALITY is the invariant; drop semantics are pinned separately by
+    q_stream_watermark)."""
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_streaming import (
+        attribution_join,
+    )
+
+    ev = load_table(spark, "events", SF_DIR)
+    batch = sorted(
+        (r.view_id, r.purchase_id, r.user_id, r.lag_minutes, r.purchase_value)
+        for r in attribution_join(
+            ev.filter(F.col("event_type") == "view"),
+            ev.filter(F.col("event_type") == "purchase"),
+        ).collect()
+    )
+    views = (
+        _read_stream(spark, stream_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "1 day")
+    )
+    purchases = (
+        _read_stream(spark, stream_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 day")
+    )
+    _run(attribution_join(views, purchases), "t10_ssjoin", "append")
+    got = sorted(
+        (r.view_id, r.purchase_id, r.user_id, r.lag_minutes, r.purchase_value)
+        for r in spark.sql("SELECT * FROM t10_ssjoin").collect()
+    )
+    assert got == batch and len(got) > 0
