@@ -237,3 +237,21 @@ def test_partition_prune_reaches_scan(spark):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "day" in m.group(1)
+
+
+def test_als_fit_memoized_per_session_and_corpus(spark):
+    """The quality query and repeated runs must reuse the fitted
+    factorization (one alternating-solve pass per (session, corpus)),
+    mirroring the IVF codebook convention: a model is a static
+    artifact, not per-query work."""
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark import (
+        queries_scale as S,
+    )
+
+    S._ALS_RECS.clear()
+    a = S._als_recs(spark, SF)
+    assert len(S._ALS_RECS) == 1
+    b = S._als_recs(spark, SF)
+    assert b is a  # cache hit: same DataFrame, no re-fit
+    S.q_recommend_quality(spark, SF).collect()
+    assert len(S._ALS_RECS) == 1  # quality query reused the same fit
