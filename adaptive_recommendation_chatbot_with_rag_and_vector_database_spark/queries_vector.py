@@ -304,3 +304,54 @@ def q_knn_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_K,
         query_vec="qvec",
     )
+
+
+@query(
+    "q_index_quality",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           true AS chunk_len_ok,
+           true AS unit_norms,
+           true AS hash_consistent
+    FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    """,
+)
+def q_index_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable index-build invariants (the q_recommend_quality
+    trick applied to the chunk→embed→hash path, whose boundaries are
+    not SQL-expressible): every non-empty document must surface in the
+    index (coverage = the exact document count, computed independently
+    by the oracle), every chunk respects the reference's 1000-char
+    bound (/root/reference/AI.py:209), every embedding is unit-norm
+    (the embedder contract), and content hashes are in bijection with
+    chunk texts. A regression in chunking (dropped docs, over-long
+    chunks), embedding normalization, or hashing hash-mismatches in
+    CORRECTNESS even though chunk boundaries are chunker-defined."""
+    docs = load_table(spark, "documents", sf_dir)
+    idx = build_chunk_index(docs)
+    sq_norm = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    # Narrow projection BEFORE the multi-countDistinct aggregate: the
+    # Expand it plans duplicates every row per distinct-column, so wide
+    # text/hash strings in the shuffle would triple the exchange volume;
+    # xxhash64 surrogates keep every lane 8 bytes.
+    stats = idx.select(
+        "doc_id",
+        F.length("text").alias("chunk_len"),
+        F.xxhash64("content_hash").alias("h_hash"),
+        F.xxhash64("text").alias("h_text"),
+        sq_norm.alias("sq"),
+    ).agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        (F.max("chunk_len") <= 1000).alias("chunk_len_ok"),
+        (
+            (F.min("sq") >= 0.9999) & (F.max("sq") <= 1.0001)
+        ).alias("unit_norms"),
+        (
+            F.countDistinct("h_hash") == F.countDistinct("h_text")
+        ).alias("hash_consistent"),
+    )
+    return stats.select("n_docs", "chunk_len_ok", "unit_norms", "hash_consistent")
