@@ -246,8 +246,8 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimensions, so either-column predicates prune files (the same
     mechanism as Delta/Iceberg Z-ordering); the interleave itself is 16
     static bit-ops, pure scan-side codegen. Bucket extents here make
-    the locality driver-checkable: each 1024-wide Z range spans at most
-    a 32x32 tile of the (x, y) plane."""
+    the locality driver-checkable: each bucket covers 64 consecutive Z
+    values, i.e. at most an 8x8 tile of the (x, y) plane."""
     d = load_table(spark, "orders", sf_dir).select(
         F.col("o_custkey").bitwiseAND(255).alias("x"),
         F.datediff("o_orderdate", F.lit("1992-01-01").cast("date"))
