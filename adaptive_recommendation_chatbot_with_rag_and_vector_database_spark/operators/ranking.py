@@ -1,0 +1,233 @@
+"""Retrieval-ranking operators (wave 7): BM25 lexical scoring and MMR
+diversification — the ranking stack the reference's RAG loop delegates
+to its vector store and retriever defaults (similarity retriever with
+``k=4``, /root/reference/AI.py:135-142), re-expressed as native Spark
+plans so a hybrid lexical+vector search runs on the same engine as the
+rest of the pipeline.
+
+Scale shape:
+- **BM25** is one scan plus a one-row corpus-stats aggregate that is
+  broadcast back (crossJoin of a 1-row frame): per-term tf lives in a
+  Catalyst array ``filter``/``size`` over the shared tokenizer output —
+  no explode, no per-term shuffle — so at 100 TB scoring is map work
+  and the only exchange is the scalar stats reduction.
+- **MMR** is inherently a per-query greedy over a tiny candidate set
+  (c ≈ 2k from the ANN/kNN stage), so the distributed form is
+  "embarrassingly parallel per query": a cogrouped grouped-map
+  (``cogroup(...).applyInPandas``) keyed on query_id, fed by the
+  already-rounded relevance and pairwise-similarity tables computed
+  with the engine's Catalyst cosine (functions/vector.py). The Python
+  stage touches only O(k·c) rows per query and does no float math
+  except the MMR mix itself, mirrored digit-for-digit by the oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Okapi BM25 constants (standard defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+# MMR mix weights as two EXPLICIT literals (never derive one from the
+# other: ``1 - 0.7`` is 0.30000000000000004 in binary, which would not
+# match the oracle's literal ``0.3``).
+MMR_W_REL = 0.7
+MMR_W_DIV = 0.3
+
+
+def tokens(col: Column | str) -> Column:
+    """The engine-wide tokenization contract (same as
+    queries_text._SQL_TOKS): lowercase, split on whitespace, drop
+    empties."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != "")
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Okapi BM25 for a fixed query-term list →
+    ``(id_col, bm25)``.
+
+    idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1)  (Lucene form, never
+    negative); score = Σ_t idf·(tf·(k1+1)) / (tf + k1·(1 − b + b·dl/avgdl)).
+    Every arithmetic step is written in the same shape and order as the
+    DuckDB oracle (bm25_oracle_select) so doubles agree bit-for-bit
+    before the final round(…, 6).
+    """
+    t = docs.select(F.col(id_col), tokens(text_col).alias("toks"))
+
+    def term_eq(term: str):
+        # one-arg lambda REQUIRED: a two-arg lambda would receive the
+        # array index as its second parameter (F.filter's (el, idx) form)
+        lit = F.lit(term)
+        return lambda x: x == lit
+
+    tf_cols = [
+        F.size(F.filter("toks", term_eq(term))).alias(f"tf{i}")
+        for i, term in enumerate(terms)
+    ]
+    m = t.select(F.col(id_col), F.size("toks").alias("dl"), *tf_cols)
+    stats = m.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).cast("double").alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = m.crossJoin(F.broadcast(stats))
+
+    def contrib(i: int) -> Column:
+        tf = F.col(f"tf{i}")
+        df = F.col(f"df{i}")
+        idf = F.log(
+            (F.col("n") - df + F.lit(0.5)) / (df + F.lit(0.5)) + F.lit(1.0)
+        )
+        denom = tf + F.lit(BM25_K1) * (
+            F.lit(1 - BM25_B) + F.lit(BM25_B) * (F.col("dl") / F.col("avgdl"))
+        )
+        return idf * (tf * F.lit(BM25_K1 + 1)) / denom
+
+    total = contrib(0)
+    for i in range(1, len(terms)):
+        total = total + contrib(i)
+    return scored.select(F.col(id_col), F.round(total, 6).alias("bm25"))
+
+
+def bm25_oracle_parts(
+    terms: list[str],
+    relation: str = "documents",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[str, str]:
+    """DuckDB twin of bm25_scores as composable pieces: ``(ctes,
+    select)`` where ``ctes`` defines ``_bm_m``/``_bm_s`` (to splice
+    after a caller's own CTEs) and ``select`` yields ``(doc_id, bm25)``.
+    Digit-exact: same expression tree, same left-to-right term sum,
+    same final round as the Spark side."""
+    toks = (
+        f"list_filter(string_split_regex(lower({text_col}), '\\s+'), "
+        "x -> x <> '')"
+    )
+    tf_defs = ",\n             ".join(
+        f"len(list_filter({toks}, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_defs = ",\n             ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)::DOUBLE AS df{i}"
+        for i in range(len(terms))
+    )
+    one_minus_b = 1 - BM25_B  # 0.25, binary-exact
+    k1p1 = BM25_K1 + 1  # 2.2 bit-identical to the literal (verified)
+    contribs = " + ".join(
+        f"ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+        f" * (tf{i} * {k1p1}) / (tf{i} + {BM25_K1} * ({one_minus_b} + {BM25_B} * (dl / avgdl)))"
+        for i in range(len(terms))
+    )
+    ctes = f"""_bm_m AS (
+      SELECT {id_col} AS doc_id, len({toks}) AS dl,
+             {tf_defs}
+      FROM {relation}
+    ), _bm_s AS (
+      SELECT count(*)::DOUBLE AS n,
+             sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl,
+             {df_defs}
+      FROM _bm_m
+    )"""
+    select = f"SELECT doc_id, round({contribs}, 6) AS bm25 FROM _bm_m, _bm_s"
+    return ctes, select
+
+
+def _round6(x: float) -> float:
+    """DuckDB ``round(x, 6)`` semantics on the binary double: half away
+    from zero (verified against DuckDB on boundary probes)."""
+    return math.floor(x * 1e6 + 0.5) / 1e6 if x >= 0 else math.ceil(x * 1e6 - 0.5) / 1e6
+
+
+def mmr_rerank(cand: DataFrame, pair: DataFrame, k: int = 4) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (the diversification step
+    LangChain retrievers expose as ``search_type="mmr"``; the reference
+    uses plain similarity search, /root/reference/AI.py:135-139, so MMR
+    is the upgrade path its retriever API names).
+
+    Inputs:
+      cand: ``(query_id, vec_id, rel)``   — top-c candidates per query,
+            rel = round(cosine, 6) from the kNN/ANN stage.
+      pair: ``(query_id, a_id, b_id, sim)`` — pairwise candidate
+            similarity, both directions, round(cosine, 6).
+
+    Greedy: pick argmax rel; then k−1 times pick
+    argmax round(λ·rel − (1−λ)·max_sim_to_selected, 6), ties broken by
+    vec_id ascending. All comparisons happen on pre-rounded doubles and
+    the single mix expression is replicated by the oracle, so the
+    result is hash-exact.
+
+    Returns ``(query_id, step, vec_id, score)`` with step 1..k and
+    step-1 score = rel.
+
+    Scale: cogrouped grouped-map keyed on query_id — O(k·c) Python rows
+    per query, Arrow-batched; the heavy candidate generation stays in
+    the distributed kNN/ANN stage upstream.
+    """
+    import pandas as pd
+
+    lam, lam1 = MMR_W_REL, MMR_W_DIV
+
+    def run(key, cdf: "pd.DataFrame", pdf: "pd.DataFrame") -> "pd.DataFrame":
+        qid = int(key[0])
+        sim = {
+            (int(a), int(b)): float(s)
+            for a, b, s in zip(pdf["a_id"], pdf["b_id"], pdf["sim"])
+        }
+        remaining = {
+            int(v): float(r) for v, r in zip(cdf["vec_id"], cdf["rel"])
+        }
+        out_step, out_vec, out_score = [], [], []
+        selected: list[int] = []
+        for step in range(1, min(k, len(remaining)) + 1):
+            if step == 1:
+                best = max(remaining.items(), key=lambda it: (it[1], -it[0]))
+                vec, score = best[0], best[1]
+            else:
+                best_vec, best_score = None, None
+                for vec_id, rel in remaining.items():
+                    ms = max(sim.get((vec_id, s), 0.0) for s in selected)
+                    sc = _round6(lam * rel - lam1 * ms)
+                    if (
+                        best_score is None
+                        or sc > best_score
+                        or (sc == best_score and vec_id < best_vec)
+                    ):
+                        best_vec, best_score = vec_id, sc
+                vec, score = best_vec, best_score
+            selected.append(vec)
+            del remaining[vec]
+            out_step.append(step)
+            out_vec.append(vec)
+            out_score.append(score)
+        return pd.DataFrame(
+            {
+                "query_id": [qid] * len(out_step),
+                "step": out_step,
+                "vec_id": out_vec,
+                "score": out_score,
+            }
+        )
+
+    return (
+        cand.groupBy("query_id")
+        .cogroup(pair.groupBy("query_id"))
+        .applyInPandas(run, "query_id long, step int, vec_id long, score double")
+    )

@@ -1,0 +1,451 @@
+"""Retrieval-ranking wave 7 (SURVEY §2.17 R1-R5): the ranking stack
+between a vector store and an answer — BM25 lexical scoring, hybrid
+reciprocal-rank fusion, MMR diversification, window-retriever context
+stitching, and incremental index upsert.
+
+The reference's RAG loop retrieves with plain cosine similarity at
+``k=4`` and stuffs the hits (/root/reference/AI.py:135-142); its
+retriever API (LangChain ``as_retriever``) names exactly these
+upgrades — ``search_type="mmr"``, hybrid/ensemble retrievers, parent-
+document windows — which it delegates to the library. Wave 7
+re-expresses them as native Spark plans with exact DuckDB oracles.
+
+Determinism discipline as everywhere: floats rounded identically on
+both sides (BM25's expression tree is generated from ONE source for
+both engines — operators/ranking.bm25_oracle_parts), every top-k cut
+tie-broken on an id column, ranks compared as ints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.vector import cosine_sim
+from .operators.ranking import (
+    MMR_W_DIV,
+    MMR_W_REL,
+    bm25_oracle_parts,
+    bm25_scores,
+    mmr_rerank,
+)
+from .registry import query
+from .sources.loaders import load_table
+
+# Fixed lexical query: three mid-frequency corpus terms (order matters —
+# the per-term contribution sum is left-to-right on both engines).
+BM25_TERMS = ["vector", "hash", "join"]
+_PROBE_FILTER = "vec_id % 50 = 0"  # same probe set as the kNN queries
+_RRF_K = 60  # standard RRF smoothing constant
+_RRF_DEPTH = 50  # fuse the top-50 of each ranker, not whole-corpus ranks
+_MMR_CANDIDATES = 8
+_MMR_K = 4
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "documents", sf_dir)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "embeddings", sf_dir)
+
+
+# --- R1: BM25 lexical top-k -------------------------------------------------
+
+_BM25_CTES, _BM25_SELECT = bm25_oracle_parts(BM25_TERMS, "documents")
+
+
+@query(
+    "q_bm25_topk",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    bm AS ({_BM25_SELECT})
+    SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 over the documents table (R1) — the lexical
+    half of hybrid retrieval. One scan computes per-term tf inside a
+    Catalyst array filter (no explode, no per-term shuffle); corpus
+    stats (N, avgdl, df) are a 1-row aggregate broadcast back; the cut
+    is TakeOrderedAndProject. At 100 TB: map-side scoring at scan
+    speed, one scalar reduction, no wide exchange."""
+    bm = bm25_scores(_docs(spark, sf_dir), BM25_TERMS)
+    return bm.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(10)
+
+
+# --- R2: hybrid lexical+vector fusion (RRF) ---------------------------------
+
+_U_SQL = """u AS (
+      SELECT d.doc_id, d.text, e.embedding
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    )"""
+_BM25_U_CTES, _BM25_U_SELECT = bm25_oracle_parts(BM25_TERMS, "u")
+
+
+@query(
+    "q_hybrid_rrf",
+    oracle=f"""
+    WITH {_U_SQL},
+    {_BM25_U_CTES},
+    bm AS ({_BM25_U_SELECT}),
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+      FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT {_RRF_DEPTH})
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    vs AS (
+      SELECT u.doc_id,
+             round(list_cosine_similarity(u.embedding::DOUBLE[], q.qv), 6)
+               AS vscore
+      FROM u, q
+    ),
+    vec AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY vscore DESC, doc_id) AS vec_rank
+      FROM (SELECT * FROM vs ORDER BY vscore DESC, doc_id LIMIT {_RRF_DEPTH})
+    )
+    SELECT doc_id, lex_rank, vec_rank,
+           round(COALESCE(1.0 / ({_RRF_K} + lex_rank), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + vec_rank), 0.0), 6) AS rrf
+    FROM lex FULL JOIN vec USING (doc_id)
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (R2): fuse the BM25
+    ranking and the cosine ranking with 1/(60+rank) scoring — the
+    ensemble-retriever shape. Each ranker first cuts to its top-50 with
+    TakeOrderedAndProject (per-partition heaps — the scale-safe global
+    top-k), so the rank-assigning window runs over a bounded 50-row
+    list, never the corpus; fusion is a full outer join of two 50-row
+    frames. At 100 TB the only full-data work is the two scans."""
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    u = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        docs.doc_id, "text", "embedding"
+    )
+    bm = bm25_scores(u, BM25_TERMS)
+    lex = (
+        bm.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_RRF_DEPTH)
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+        )
+        .select("doc_id", "lex_rank")
+    )
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    )
+    vs = u.crossJoin(qv).select(
+        "doc_id",
+        F.round(cosine_sim(F.col("embedding"), F.col("qvec")), 6).alias("vscore"),
+    )
+    vec = (
+        vs.orderBy(F.desc("vscore"), F.asc("doc_id"))
+        .limit(_RRF_DEPTH)
+        .withColumn(
+            "vec_rank",
+            F.row_number().over(Window.orderBy(F.desc("vscore"), F.asc("doc_id"))),
+        )
+        .select("doc_id", "vec_rank")
+    )
+    fused = lex.join(vec, "doc_id", "full")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rank")), F.lit(0.0)),
+        6,
+    )
+    return (
+        fused.select("doc_id", "lex_rank", "vec_rank", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+# --- R3: MMR diversified re-ranking -----------------------------------------
+
+
+@query(
+    "q_mmr_rerank",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS pv
+      FROM embeddings WHERE {_PROBE_FILTER}
+    ),
+    cand AS (
+      SELECT query_id, vec_id, rel FROM (
+        SELECT p.query_id, e.vec_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], p.pv), 6)
+                 AS rel
+        FROM embeddings e, probes p WHERE e.vec_id <> p.query_id
+      ) t
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, vec_id) <= {_MMR_CANDIDATES}
+    ),
+    pair AS (
+      SELECT a.query_id, a.vec_id AS a_id, b.vec_id AS b_id,
+             round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                          eb.embedding::DOUBLE[]), 6) AS sim
+      FROM cand a
+      JOIN cand b ON b.query_id = a.query_id AND b.vec_id <> a.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ),
+    s1 AS (
+      SELECT query_id, vec_id, rel AS score FROM cand
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, vec_id) = 1
+    ),
+    r2 AS (
+      SELECT c.query_id, c.vec_id,
+             round({MMR_W_REL} * c.rel - {MMR_W_DIV} * p.sim, 6) AS score
+      FROM cand c
+      JOIN s1 ON s1.query_id = c.query_id AND c.vec_id <> s1.vec_id
+      JOIN pair p ON p.query_id = c.query_id AND p.a_id = c.vec_id
+                 AND p.b_id = s1.vec_id
+    ),
+    s2 AS (
+      SELECT query_id, vec_id, score FROM r2
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, vec_id) = 1
+    ),
+    r3 AS (
+      SELECT c.query_id, c.vec_id,
+             round({MMR_W_REL} * c.rel - {MMR_W_DIV} * max(p.sim), 6) AS score
+      FROM cand c
+      JOIN s1 ON s1.query_id = c.query_id
+      JOIN s2 ON s2.query_id = c.query_id
+      JOIN pair p ON p.query_id = c.query_id AND p.a_id = c.vec_id
+                 AND p.b_id IN (s1.vec_id, s2.vec_id)
+      WHERE c.vec_id <> s1.vec_id AND c.vec_id <> s2.vec_id
+      GROUP BY c.query_id, c.vec_id, c.rel
+    ),
+    s3 AS (
+      SELECT query_id, vec_id, score FROM r3
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, vec_id) = 1
+    ),
+    r4 AS (
+      SELECT c.query_id, c.vec_id,
+             round({MMR_W_REL} * c.rel - {MMR_W_DIV} * max(p.sim), 6) AS score
+      FROM cand c
+      JOIN s1 ON s1.query_id = c.query_id
+      JOIN s2 ON s2.query_id = c.query_id
+      JOIN s3 ON s3.query_id = c.query_id
+      JOIN pair p ON p.query_id = c.query_id AND p.a_id = c.vec_id
+                 AND p.b_id IN (s1.vec_id, s2.vec_id, s3.vec_id)
+      WHERE c.vec_id <> s1.vec_id AND c.vec_id <> s2.vec_id
+        AND c.vec_id <> s3.vec_id
+      GROUP BY c.query_id, c.vec_id, c.rel
+    ),
+    s4 AS (
+      SELECT query_id, vec_id, score FROM r4
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, vec_id) = 1
+    )
+    SELECT query_id, 1 AS step, vec_id, score FROM s1
+    UNION ALL SELECT query_id, 2 AS step, vec_id, score FROM s2
+    UNION ALL SELECT query_id, 3 AS step, vec_id, score FROM s3
+    UNION ALL SELECT query_id, 4 AS step, vec_id, score FROM s4
+    """,
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-ranking (R3): per probe, take the top-8
+    cosine candidates, then greedily select 4 maximizing
+    0.7·relevance − 0.3·max-similarity-to-already-selected — the
+    LangChain ``search_type="mmr"`` semantic made exact. Candidate
+    generation and ALL cosine math stay relational (the engine's
+    Catalyst cosine, rounded once); the greedy itself runs as a
+    cogrouped grouped-map keyed on query_id over O(k·c) rows per query
+    — embarrassingly parallel across probes, which is the only scale
+    axis an MMR pass has. The oracle unrolls the 4 greedy steps as
+    chained argmax CTEs, so even this iterative operator is
+    hash-checked, not rows-only."""
+    emb = _emb(spark, sf_dir)
+    probes = F.broadcast(
+        emb.filter(F.expr(_PROBE_FILTER)).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("pv")
+        )
+    )
+    scored = (
+        emb.crossJoin(probes)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_sim(F.col("embedding"), F.col("pv")), 6).alias("rel"),
+            "embedding",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("vec_id"))
+    cand_e = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MMR_CANDIDATES)
+        .select("query_id", "vec_id", "rel", "embedding")
+    )
+    a = cand_e.select(
+        "query_id",
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+    ).alias("a")
+    b = cand_e.select(
+        "query_id",
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+    ).alias("b")
+    pair = (
+        a.join(b, F.col("a.query_id") == F.col("b.query_id"))
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            "a_id",
+            "b_id",
+            F.round(cosine_sim(F.col("a_emb"), F.col("b_emb")), 6).alias("sim"),
+        )
+    )
+    cand = cand_e.select("query_id", "vec_id", "rel")
+    return mmr_rerank(cand, pair, k=_MMR_K)
+
+
+# --- R4: window-retriever context stitch ------------------------------------
+
+
+@query(
+    "q_context_stitch",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    top AS (
+      SELECT e.vec_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+               AS score
+      FROM embeddings e, q WHERE e.vec_id <> 0
+      ORDER BY score DESC, e.vec_id LIMIT 4
+    ),
+    ids AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT unnest([vec_id - 1, vec_id, vec_id + 1]) AS doc_id FROM top
+      )
+    ),
+    st AS (SELECT d.doc_id, d.text FROM ids JOIN documents d USING (doc_id))
+    SELECT (SELECT count(*) FROM top) AS n_seeds,
+           count(*) AS n_stitched,
+           string_agg(text, chr(10) || '---' || chr(10) ORDER BY doc_id)
+             AS context
+    FROM st
+    """,
+)
+def q_context_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-retriever context stitch (R4): retrieve top-4 chunks by
+    cosine, expand each hit to its ±1 neighbors in reading order
+    (LangChain's parent-document / sentence-window retriever semantic),
+    dedupe the overlap, and stitch the context in document order — the
+    upgrade over the reference's flat ``{context}`` stuffing
+    (/root/reference/AI.py:99-105,142). The seed set is k rows →
+    neighbor ids are a broadcast semi-probe into the documents table;
+    no shuffle touches the corpus."""
+    emb = _emb(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    )
+    top = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(qv)
+        .select(
+            "vec_id",
+            F.round(cosine_sim(F.col("embedding"), F.col("qvec")), 6).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(4)
+    )
+    ids = (
+        top.select(
+            F.explode(
+                F.array(
+                    F.col("vec_id") - 1, F.col("vec_id"), F.col("vec_id") + 1
+                )
+            ).alias("doc_id")
+        )
+        .distinct()
+    )
+    st = F.broadcast(ids).join(docs, "doc_id").select("doc_id", "text")
+    n_seeds = top.agg(F.count(F.lit(1)).alias("n_seeds"))
+    pair = F.struct(F.col("doc_id").alias("d"), F.col("text").alias("t"))
+    stitched = st.agg(
+        F.count(F.lit(1)).alias("n_stitched"),
+        F.concat_ws(
+            "\n---\n",
+            F.transform(F.array_sort(F.collect_list(pair)), lambda s: s["t"]),
+        ).alias("context"),
+    )
+    return n_seeds.crossJoin(stitched)
+
+
+# --- R5: incremental index upsert -------------------------------------------
+
+
+@query(
+    "q_index_upsert",
+    oracle="""
+    WITH incoming AS (
+      SELECT doc_id, source, md5(text) AS h_new FROM documents
+    ),
+    state AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN md5(text || '@stale')
+                  ELSE md5(text) END AS h_old
+      FROM documents WHERE doc_id % 7 <> 0
+    )
+    SELECT i.source,
+           count(CASE WHEN s.doc_id IS NULL THEN 1 END) AS n_insert,
+           count(CASE WHEN s.doc_id IS NOT NULL AND i.h_new <> s.h_old
+                      THEN 1 END) AS n_update,
+           count(CASE WHEN s.doc_id IS NOT NULL AND i.h_new = s.h_old
+                      THEN 1 END) AS n_noop
+    FROM incoming i LEFT JOIN state s USING (doc_id)
+    GROUP BY i.source
+    """,
+)
+def q_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance (R5): classify an incoming batch
+    against the index manifest (content hash per doc_id) into
+    insert / update / noop — the delta that decides which documents
+    get re-chunked and re-embedded, generalizing the reference's
+    all-or-nothing index-existence check (/root/reference/AI.py:93-96)
+    and the engine's (doc_id, content_hash) idempotency key
+    (operators/retrieval.py:88-110). The manifest here is a fixture
+    slice with synthetic staleness (doc_id%5 rows carry a stale hash).
+    Scale shape: one hash-compare equi-join co-partitioned on doc_id —
+    at 100 TB the manifest is a fraction of corpus width (id + 16-byte
+    hash), and only the insert/update delta flows to the expensive
+    embed stage."""
+    docs = _docs(spark, sf_dir)
+    incoming = docs.select("doc_id", "source", F.md5("text").alias("h_new"))
+    state = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.md5(F.concat(F.col("text"), F.lit("@stale"))),
+        )
+        .otherwise(F.md5("text"))
+        .alias("h_old"),
+    )
+    j = incoming.join(state, "doc_id", "left")
+    return j.groupBy("source").agg(
+        F.count(F.when(F.col("h_old").isNull(), 1)).alias("n_insert"),
+        F.count(
+            F.when(
+                F.col("h_old").isNotNull() & (F.col("h_new") != F.col("h_old")), 1
+            )
+        ).alias("n_update"),
+        F.count(
+            F.when(
+                F.col("h_old").isNotNull() & (F.col("h_new") == F.col("h_old")), 1
+            )
+        ).alias("n_noop"),
+    )

@@ -38,6 +38,7 @@ _MODULES = (
     "adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_pipeline",
     "adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_scale",
     "adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_curation",
+    "adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_retrieval",
 )
 
 

@@ -257,3 +257,49 @@ def test_centroid_classifier_broadcasts_model(spark):
     # join must be broadcast, never a shuffle of the test side
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+# --- wave 7: retrieval-ranking queries --------------------------------------
+
+
+def test_bm25_no_explode_and_topk_heap(spark):
+    plan = _plan(spark, "q_bm25_topk")
+    # per-term tf is an array filter inside the projection — NO explode
+    # (a Generate node would shuffle |doc|*|terms| rows at 100 TB); the
+    # cut is a per-partition heap, not a global sort
+    assert "Generate" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # corpus stats ride a broadcast, the doc side never shuffles for them
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_hybrid_rrf_rankers_cut_before_ranking(spark):
+    plan = _plan(spark, "q_hybrid_rrf")
+    # both rankers reduce to top-N via per-partition heaps BEFORE the
+    # rank-assigning window; the window then runs on a bounded 50-row
+    # list (its SinglePartition is by construction, not corpus-sized)
+    assert plan.count("TakeOrderedAndProject") >= 2
+
+
+def test_mmr_greedy_is_cogrouped_python_stage(spark):
+    plan = _plan(spark, "q_mmr_rerank")
+    # candidate cut pushes partial top-k below the exchange; the greedy
+    # itself is the cogrouped Arrow stage keyed on query_id
+    assert "WindowGroupLimit" in plan
+    assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_context_stitch_probes_docs_by_broadcast(spark):
+    plan = _plan(spark, "q_context_stitch")
+    # the ±1 neighbor id set (≤ 3k rows) broadcasts onto the documents
+    # scan; the corpus is never shuffled
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_index_upsert_single_keyed_join_map_agg(spark):
+    plan = _plan(spark, "q_index_upsert")
+    # hash-compare join on doc_id plus a map-side partial aggregate;
+    # no global collapse
+    assert "partial_count" in plan
+    assert "SinglePartition" not in plan
