@@ -1,0 +1,85 @@
+"""Bloom-filter semi-join reduction (scale-pattern wave: V10).
+
+The classic distributed-join optimization (Trino/Photon "dynamic
+filtering", Spark's own ``runtime.bloomFilter`` injection): summarize
+the build side's join keys into a fixed-size bitmap, broadcast the
+bitmap (kilobytes, independent of key count), and drop probe-side rows
+that cannot match BEFORE the join's shuffle. False positives are
+removed by the exact join that follows; false negatives are impossible
+(probe uses the identical hash family), so results are exactly the
+plain join's.
+
+Why not just broadcast the distinct build keys (a semi join)? At 100 TB
+the selective side can still hold 10⁸ keys — an 800 MB broadcast — while
+a 2²⁰-bit bloom is 128 KB at ~2-4 % FPR. The bitmap build is a keyed
+aggregate over hash positions (map-side ``bit_or`` partials, exchange
+carries ≤ num_bits/64 rows), the probe test is pure projection
+(two hash + mask ops inside WholeStageCodegen).
+
+Spark 3.3+ can inject this automatically
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``) when size
+thresholds are met; this operator is the explicit, threshold-free form
+with a deterministic hash family, so fixtures exercise the same plan a
+cluster would run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Second-hash salt: any fixed literal mixed into xxhash64 gives an
+# independent hash function over the key.
+_SALT2 = 0x9E3779B9
+
+
+def _positions(key: Column, num_bits: int) -> list[Column]:
+    h1 = F.xxhash64(key)
+    h2 = F.xxhash64(key, F.lit(_SALT2))
+    return [F.pmod(h, F.lit(num_bits)).cast("long") for h in (h1, h2)]
+
+
+def bloom_build(keys: DataFrame, key_col: str, num_bits: int = 1 << 17) -> DataFrame:
+    """Aggregate ``keys[key_col]`` into a 1-row bloom bitmap:
+    ``(bloom: array<bigint>)`` of num_bits/64 words, zero-filled, so
+    the probe's word fetch is O(1) indexed access (a sparse map would
+    cost a linear scan PER PROBE ROW). Distributed end-to-end:
+    positions explode (2 rows/key), word-keyed ``bit_or`` with
+    map-side partials, then a ≤ num_bits/64-row collect densified once
+    into the array."""
+    n_words = num_bits // 64
+    pos = keys.select(
+        F.explode(F.array(*_positions(F.col(key_col), num_bits))).alias("pos")
+    )
+    words = pos.groupBy(F.expr("cast(pos div 64 as int)").alias("word_idx")).agg(
+        F.bit_or(F.expr("shiftleft(1L, cast(pos % 64 as int))")).alias("word")
+    )
+    sparse = words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("word_idx"), F.col("word")))
+        ).alias("m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_words - 1)),
+        lambda i: F.coalesce(F.try_element_at(F.col("m"), i), F.lit(0).cast("long")),
+    )
+    return sparse.select(dense.alias("bloom"))
+
+
+def bloom_probe(
+    df: DataFrame, key_col: str, bloom: DataFrame, num_bits: int = 1 << 17
+) -> DataFrame:
+    """Keep only rows whose key MIGHT be in the bloom set (exactly all
+    true matches plus ~FPR of the rest). The bitmap rides a 1-row
+    broadcast; the membership test is codegen'd projection work."""
+    d = df.crossJoin(F.broadcast(bloom))
+    test = None
+    for p in _positions(F.col(key_col), num_bits):
+        word_idx = F.floor(p / F.lit(64)).cast("int")
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.pmod(p, F.lit(64)).cast("int")
+        )
+        word = F.element_at(F.col("bloom"), word_idx + F.lit(1))  # 1-based
+        cond = word.bitwiseAND(mask) != 0
+        test = cond if test is None else (test & cond)
+    return d.filter(test).drop("bloom")

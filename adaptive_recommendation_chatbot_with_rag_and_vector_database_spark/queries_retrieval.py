@@ -281,10 +281,15 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("vec_id"))
+    # persist: this tiny frame (n_probes × c rows) feeds BOTH sides of
+    # the pairwise join AND the cogroup — without it the full
+    # crossJoin+window scoring pipeline re-executes four times
+    # (same pattern as q_ann_recall's exact-top-k persist)
     cand_e = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _MMR_CANDIDATES)
         .select("query_id", "vec_id", "rel", "embedding")
+        .persist()
     )
     a = cand_e.select(
         "query_id",

@@ -635,3 +635,48 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         )
     )
+
+
+# --- bloom-filter semi-join reduction (V10) --------------------------------
+
+
+@query(
+    "q_bloom_prune_join",
+    oracle="""
+    SELECT l_orderkey,
+           count(*) AS n_items,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+      AND o_orderdate >= DATE '1995-01-01'
+    GROUP BY l_orderkey
+    """,
+)
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction (V10): the build side (urgent
+    1995+ orders, ~20 % selective) summarizes its join keys into a
+    fixed-size bitmap (operators/bloom.py) that broadcasts in kilobytes
+    regardless of key count; the probe side (lineitem — the 100 TB
+    side) drops non-matching rows in a codegen'd projection BEFORE its
+    join shuffle. The exact join then removes the bloom's false
+    positives, so the result is identical to the plain join — which is
+    exactly what the oracle runs. This is Trino/Photon dynamic
+    filtering and Spark's own ``runtime.bloomFilter`` injection made
+    explicit, deterministic, and threshold-free."""
+    from .operators.bloom import bloom_build, bloom_probe
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+    )
+    bloom = bloom_build(orders.select("o_orderkey"), "o_orderkey")
+    pruned = bloom_probe(li, "l_orderkey", bloom)
+    return (
+        pruned.join(orders, pruned.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )

@@ -303,3 +303,12 @@ def test_index_upsert_single_keyed_join_map_agg(spark):
     # no global collapse
     assert "partial_count" in plan
     assert "SinglePartition" not in plan
+
+
+def test_bloom_prune_filters_probe_before_join(spark):
+    plan = _plan(spark, "q_bloom_prune_join")
+    # the 1-row bitmap rides a broadcast; the probe-side membership test
+    # is a codegen'd filter (shiftleft/bitwise) BEFORE the exact join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "shiftleft" in plan
+    assert "partial_count" in plan
