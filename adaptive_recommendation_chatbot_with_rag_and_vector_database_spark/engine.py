@@ -150,16 +150,131 @@ class RagEngine:
 
     # -- query path (J1, O1, A1, P1, P2) ------------------------------------
 
-    def retrieve(self, question: str, k: int | None = None) -> DataFrame:
-        """Top-k chunks for a question: one broadcastable literal query
-        vector scored against the index scan."""
+    def retrieve(
+        self,
+        question: str,
+        k: int | None = None,
+        search_type: str = "similarity",
+        fetch_k: int | None = None,
+    ) -> DataFrame:
+        """Top-k chunks for a question. ``search_type`` mirrors the
+        LangChain retriever switch the reference could pass at
+        AI.py:138 (``as_retriever(search_type=...)``):
+
+        - ``"similarity"`` (reference behavior): one broadcastable
+          literal query vector scored against the index scan.
+        - ``"mmr"``: fetch_k cosine candidates, then the MMR greedy
+          (operators/ranking weights) diversifies down to k. The
+          greedy here runs driver-side over the collected fetch_k≈2k
+          rows — reference-scale; the distributed batch form is
+          q_mmr_rerank's cogrouped operator.
+        - ``"hybrid"``: BM25 over the chunk texts (question content
+          words) fused with the cosine ranking by reciprocal rank —
+          the plan-side form of q_hybrid_rrf over the engine's index.
+        """
+        k = k or self.k
+        if search_type == "similarity":
+            qvec = embed_text(question, self.dim)
+            return topk_cosine(
+                self.index(),
+                qvec,
+                k=k,
+                id_cols=("doc_id", "chunk_id"),
+                payload_cols=("text",),
+            )
+        if search_type == "mmr":
+            return self._retrieve_mmr(question, k, fetch_k or max(2 * k, 8))
+        if search_type == "hybrid":
+            return self._retrieve_hybrid(question, k)
+        raise ValueError(f"unknown search_type: {search_type!r}")
+
+    def _retrieve_mmr(self, question: str, k: int, fetch_k: int) -> DataFrame:
+        from .operators.ranking import MMR_W_DIV, MMR_W_REL
+
         qvec = embed_text(question, self.dim)
-        return topk_cosine(
+        cand = topk_cosine(
             self.index(),
             qvec,
-            k=k or self.k,
+            k=fetch_k,
             id_cols=("doc_id", "chunk_id"),
-            payload_cols=("text",),
+            payload_cols=("text", "embedding"),
+        ).collect()
+
+        def cos(a, b) -> float:
+            num = sum(x * y for x, y in zip(a, b))
+            na = sum(x * x for x in a) ** 0.5
+            nb = sum(y * y for y in b) ** 0.5
+            return num / (na * nb) if na > 0 and nb > 0 else 0.0
+
+        selected: list = []
+        remaining = list(cand)
+        while remaining and len(selected) < k:
+            if not selected:
+                best = min(
+                    remaining, key=lambda r: (-r.score, r.doc_id, r.chunk_id)
+                )
+            else:
+                def mmr_key(r):
+                    div = max(cos(r.embedding, s.embedding) for s in selected)
+                    return (-(MMR_W_REL * r.score - MMR_W_DIV * div), r.doc_id, r.chunk_id)
+
+                best = min(remaining, key=mmr_key)
+            selected.append(best)
+            remaining.remove(best)
+        return self.spark.createDataFrame(
+            [(r.doc_id, r.chunk_id, r.text, float(r.score)) for r in selected],
+            "doc_id long, chunk_id int, text string, score double",
+        )
+
+    def _retrieve_hybrid(self, question: str, k: int, depth: int = 50) -> DataFrame:
+        from pyspark.sql import Window
+
+        from .operators.ranking import bm25_scores, tokens  # noqa: F401
+
+        terms = [
+            t.strip("?.,!")
+            for t in question.lower().split()
+            if t.strip("?.,!") and t.strip("?.,!") not in _STOPWORDS
+        ][:5]
+        if not terms:
+            return self.retrieve(question, k, search_type="similarity")
+        idx = self.index().withColumn(
+            "cid", F.concat_ws("#", F.col("doc_id"), F.col("chunk_id"))
+        )
+        bm = bm25_scores(
+            idx.select(F.col("cid").alias("doc_id"), "text"), terms
+        ).withColumnRenamed("doc_id", "cid")
+        lex = (
+            bm.orderBy(F.desc("bm25"), F.asc("cid"))
+            .limit(depth)
+            .withColumn(
+                "lex_rank",
+                F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("cid"))),
+            )
+            .select("cid", "lex_rank")
+        )
+        qvec = embed_text(question, self.dim)
+        vs = topk_cosine(
+            idx, qvec, k=depth, id_cols=("cid",), payload_cols=()
+        ).withColumn(
+            "vec_rank",
+            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("cid"))),
+        ).select("cid", "vec_rank")
+        fused = lex.join(vs, "cid", "full").select(
+            "cid",
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(60) + F.col("vec_rank")), F.lit(0.0)
+                ),
+                6,
+            ).alias("score"),
+        )
+        top = fused.orderBy(F.desc("score"), F.asc("cid")).limit(k)
+        return (
+            F.broadcast(top)
+            .join(idx, "cid")
+            .select("doc_id", "chunk_id", "text", "score")
         )
 
     def ask(self, question: str, session_id: str | None = None) -> dict:

@@ -1,0 +1,162 @@
+"""Spark-4 surface wave 8 (SURVEY §2.18 S9/D5/F13): the engine-native
+APIs Spark 4 added for exactly the boundaries the reference crosses in
+ad-hoc Python — a parallel Python DataSource (its PyPDFLoader loop,
+/root/reference/AI.py:61-81, as a planned scan), a Python UDTF lateral
+chunker (its text splitter, AI.py:83-86, as a table function), and
+VARIANT semi-structured access (typed JSON without a fixed schema).
+
+All three have exact DuckDB oracles: the data source is a
+deterministic LCG generator DuckDB re-derives from ``range()``; the
+UDTF's chunks are re-derived with ``substr`` arithmetic; VARIANT
+extraction is re-derived with ``json_extract``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query
+from .sources.loaders import load_table
+from .sources.pyds import _LCG_A, _LCG_C, _LCG_M, _TAG_MOD
+
+_GEN_ROWS = 20000
+_GEN_PARTS = 8
+_CHUNK = 120
+
+
+# --- S9: Python DataSource --------------------------------------------------
+
+
+@query(
+    "q_python_datasource",
+    oracle=f"""
+    SELECT 'u' || (i % {_TAG_MOD}) AS tag,
+           count(*) AS n,
+           CAST(sum((i * {_LCG_A} + {_LCG_C}) % {_LCG_M}) AS BIGINT) AS sum_h,
+           min(i) AS first_id
+    FROM range(0, {_GEN_ROWS}) t(i)
+    GROUP BY tag
+    """,
+)
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom parallel source via the Spark 4 Python DataSource API
+    (S9): the planner asks ``SynthGenDataSource`` for input partitions
+    ({_GEN_PARTS} keyspace ranges), each executor generates its split
+    with no driver participation, and the rows enter the plan as an
+    ordinary scan. This is the planned-scan form of the reference's
+    loader loop (thread-pooled PyPDFLoader, AI.py:74-81) — and the
+    shape a custom API/queue/shard reader needs at 100 TB: one
+    partition per shard, executor-side generation, aggregation on top
+    like any table."""
+    from .sources.pyds import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthgen")
+        .option("rows", _GEN_ROWS)
+        .option("parts", _GEN_PARTS)
+        .load()
+    )
+    return df.groupBy("tag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("h").alias("sum_h"),
+        F.min("id").alias("first_id"),
+    )
+
+
+# --- D5: Python UDTF lateral chunker ----------------------------------------
+
+
+@query(
+    "q_udtf_chunks",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(ceil(len(text) / {_CHUNK}.0) AS BIGINT)))
+               AS chunk_id
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           md5(substr(text, CAST(chunk_id * {_CHUNK} + 1 AS INT), {_CHUNK}))
+             AS chunk_md5,
+           least({_CHUNK}, len(text) - CAST(chunk_id AS INT) * {_CHUNK})
+             AS chunk_len
+    FROM c
+    """,
+)
+def q_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF in a LATERAL join (D5): a table function fans each
+    document into fixed-{_CHUNK}-char chunks — the reference's text
+    splitter (AI.py:83-86) as the Spark-4 ``@udtf`` surface. The
+    row-fanning runs where the rows live (per-partition, no shuffle);
+    the md5 emitted per chunk makes the output hash-checkable. The
+    SCALE-preferred form of this exact semantic remains the Catalyst
+    array chunker + posexplode (functions/chunker.py, D2) — a UDTF is
+    the API for fan-outs that genuinely need imperative Python."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_id int, chunk_md5 string, chunk_len int")
+    class FixedChunks:
+        def eval(self, text, size):
+            import hashlib
+
+            if text is None:
+                return
+            i, cid = 0, 0
+            while i < len(text):
+                piece = text[i : i + size]
+                yield (
+                    cid,
+                    hashlib.md5(piece.encode("utf-8")).hexdigest(),
+                    len(piece),
+                )
+                cid += 1
+                i += size
+
+    spark.udtf.register("fixed_chunks", FixedChunks)
+    docs = load_table(spark, "documents", sf_dir)
+    docs.createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, c.chunk_id, c.chunk_md5, c.chunk_len
+        FROM udtf_docs_v d, LATERAL fixed_chunks(d.text, {_CHUNK}) c
+        """
+    )
+
+
+# --- F13: VARIANT semi-structured access ------------------------------------
+
+
+@query(
+    "q_variant_json",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(json_extract(props, '$.k')::INT) AS BIGINT) AS sum_k,
+           max(json_extract(props, '$.k')::INT) AS max_k,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured access (F13, Spark 4): ``parse_json``
+    encodes props into the binary VARIANT form once; typed access via
+    ``try_variant_get`` needs no up-front schema — the middle ground
+    between ``get_json_object`` (re-parse per extraction) and
+    ``from_json`` (fixed schema, F12's q_json_typed). At 100 TB
+    VARIANT's parse-once binary encoding is the schemaless fast path
+    for evolving event payloads."""
+    ev = load_table(spark, "events", sf_dir)
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return ev.select("event_type", "value", k.alias("k")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )

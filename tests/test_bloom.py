@@ -1,0 +1,52 @@
+"""Bloom semi-join reduction invariants (operators/bloom.py) and
+Python DataSource parallelism (sources/pyds.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators.bloom import (
+    bloom_build,
+    bloom_probe,
+)
+
+
+def test_bloom_never_drops_true_matches(spark):
+    """False negatives are impossible: every build key survives the
+    probe regardless of bitmap size (even a tiny, collision-heavy
+    one)."""
+    keys = spark.range(0, 500).select((F.col("id") * 7 + 3).alias("k"))
+    for num_bits in (1 << 8, 1 << 17):  # tiny → many collisions; default
+        bloom = bloom_build(keys, "k", num_bits=num_bits)
+        kept = bloom_probe(keys, "k", bloom, num_bits=num_bits)
+        assert kept.count() == 500
+
+
+def test_bloom_fpr_is_small_at_default_size(spark):
+    """Non-members mostly drop: with n=500 keys in a 2^17-bit bitmap
+    the expected FPR is well under 1 %."""
+    keys = spark.range(0, 500).select((F.col("id") * 7 + 3).alias("k"))
+    bloom = bloom_build(keys, "k")
+    non_members = spark.range(10_000_000, 10_005_000).select(
+        F.col("id").alias("k")
+    )
+    false_pos = bloom_probe(non_members, "k", bloom).count()
+    assert false_pos < 50  # 1% of 5000
+
+
+def test_synthgen_datasource_splits_into_requested_partitions(spark):
+    """The Python DataSource plans one input partition per requested
+    split — the parallel-read contract."""
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.sources.pyds import (
+        register,
+    )
+
+    register(spark)
+    df = (
+        spark.read.format("synthgen")
+        .option("rows", 1000)
+        .option("parts", 8)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 1000

@@ -101,3 +101,31 @@ def test_history_aware_rewrite_contextualizes_followups():
     assert history_aware_rewrite("what about it?", []) == "what about it?"
     # deterministic
     assert history_aware_rewrite("what about it?", history) == out
+
+
+def test_mmr_search_type_diversifies(engine):
+    sim = engine.retrieve("priority freight shipments", k=2).collect()
+    mmr = engine.retrieve(
+        "priority freight shipments", k=2, search_type="mmr"
+    ).collect()
+    assert len(mmr) == 2
+    # greedy step 1 = plain argmax relevance → same top hit
+    assert (mmr[0].doc_id, mmr[0].chunk_id) == (sim[0].doc_id, sim[0].chunk_id)
+    assert {"doc_id", "chunk_id", "text", "score"} <= set(mmr[0].asDict())
+
+
+def test_hybrid_search_type_fuses_lexical_and_vector(engine):
+    rows = engine.retrieve(
+        "priority freight shipments", k=2, search_type="hybrid"
+    ).collect()
+    assert len(rows) == 2
+    assert rows[0].score >= rows[1].score
+    # the chunk actually containing the query words must win the fusion
+    assert "priority" in rows[0].text.lower()
+
+
+def test_unknown_search_type_rejected(engine):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        engine.retrieve("anything", search_type="cosine!!")
