@@ -117,6 +117,16 @@ def _warmup(spark) -> None:
             .option("rowTag", "r")
             .load(td + "/x")
         )
+    # first-touch Python DataSource planning/worker path (otherwise
+    # ~5 s lands on q_python_datasource's timed slot)
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.sources.pyds import (
+        register as register_pyds,
+    )
+
+    register_pyds(spark)
+    _force(
+        spark.read.format("synthgen").option("rows", 64).option("parts", 2).load()
+    )
     left = spark.range(0, 8, 1, 2).select((F.col("id") % 2).alias("k"), "id")
     right = spark.range(0, 8, 1, 2).select((F.col("id") % 2).alias("k"), "id")
     _force(
