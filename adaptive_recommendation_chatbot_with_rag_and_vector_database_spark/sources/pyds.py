@@ -20,7 +20,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 # LCG constants (glibc's) — integer math identical in DuckDB.
 _LCG_A = 1103515245
@@ -48,14 +53,45 @@ class SynthGenReader(DataSourceReader):
         ]
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
-        for i in range(partition.start, partition.end):
-            h = (i * _LCG_A + _LCG_C) % _LCG_M
-            yield (i, h, f"u{i % _TAG_MOD}")
+        return _gen_rows(partition.start, partition.end)
+
+
+def _gen_rows(start: int, end: int) -> Iterator[tuple]:
+    for i in range(start, end):
+        yield (i, (i * _LCG_A + _LCG_C) % _LCG_M, f"u{i % _TAG_MOD}")
+
+
+class SynthGenStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch form of the same generator: the offset is the next
+    unread id, each batch emits ``batch`` ids until ``rows`` is
+    exhausted, and ``readBetweenOffsets`` replays any [start, end)
+    range deterministically — which is precisely the replayability
+    contract exactly-once recovery needs from a custom source."""
+
+    def __init__(self, options: dict):
+        self.rows = int(options.get("rows", 1000))
+        self.batch = int(options.get("batch", 250))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        pos = int(start["pos"])
+        end = min(pos + self.batch, self.rows)
+        # list-backed iterator REQUIRED: the prefetch cache copy.copy's
+        # it, and generator objects are not copyable
+        return iter(list(_gen_rows(pos, end))), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(_gen_rows(int(start["pos"]), int(end["pos"]))))
 
 
 class SynthGenDataSource(DataSource):
     """``spark.read.format("synthgen").option("rows", N).option("parts", P)``
-    → columns ``(id long, h long, tag string)``."""
+    → columns ``(id long, h long, tag string)``. Also streamable:
+    ``spark.readStream.format("synthgen")`` yields the SAME rows in
+    micro-batches (batch/stream equality is asserted in tests) — the
+    unified-API guarantee for a custom Python source."""
 
     @classmethod
     def name(cls) -> str:
@@ -66,6 +102,9 @@ class SynthGenDataSource(DataSource):
 
     def reader(self, schema) -> SynthGenReader:
         return SynthGenReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SynthGenStreamReader:
+        return SynthGenStreamReader(self.options)
 
 
 def register(spark) -> None:

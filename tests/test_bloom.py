@@ -50,3 +50,41 @@ def test_synthgen_datasource_splits_into_requested_partitions(spark):
     )
     assert df.rdd.getNumPartitions() == 8
     assert df.count() == 1000
+
+
+def test_synthgen_stream_equals_batch(spark, tmp_path):
+    """The streaming form of the Python DataSource
+    (SimpleDataSourceStreamReader) delivers exactly the batch rows,
+    split across micro-batches — the unified-API guarantee plus the
+    deterministic-replay contract (readBetweenOffsets) recovery needs."""
+    import time
+
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.sources.pyds import (
+        register,
+    )
+
+    register(spark)
+    batch = spark.read.format("synthgen").option("rows", 500).load()
+    stream = (
+        spark.readStream.format("synthgen")
+        .option("rows", 500)
+        .option("batch", 200)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sg_mem")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.table("sg_mem").count() >= 500:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in spark.table("sg_mem").collect())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
