@@ -72,7 +72,11 @@ def bloom_probe(
     """Keep only rows whose key MIGHT be in the bloom set (exactly all
     true matches plus ~FPR of the rest). The bitmap rides a 1-row
     broadcast; the membership test is codegen'd projection work."""
-    d = df.crossJoin(F.broadcast(bloom))
+    from ..sources.loaders import scatter
+
+    # min-parallelism guard for the per-row hash/mask test on
+    # single-file fixture scans (no-op on well-partitioned input)
+    d = scatter(df).crossJoin(F.broadcast(bloom))
     test = None
     for p in _positions(F.col(key_col), num_bits):
         word_idx = F.floor(p / F.lit(64)).cast("int")

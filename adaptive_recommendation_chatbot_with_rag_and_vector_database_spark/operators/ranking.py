@@ -63,7 +63,11 @@ def bm25_scores(
     DuckDB oracle (bm25_oracle_select) so doubles agree bit-for-bit
     before the final round(…, 6).
     """
-    t = docs.select(F.col(id_col), tokens(text_col).alias("toks"))
+    from ..sources.loaders import scatter
+
+    # min-parallelism guard: a single-file fixture scan would tokenize
+    # the whole corpus in ONE task (no-op on well-partitioned input)
+    t = scatter(docs).select(F.col(id_col), tokens(text_col).alias("toks"))
 
     def term_eq(term: str):
         # one-arg lambda REQUIRED: a two-arg lambda would receive the
@@ -164,7 +168,9 @@ def bm25_scores_dynamic(docs: DataFrame, terms: DataFrame) -> DataFrame:
     decimals and the sum to 4 — the suite-wide two-level rounding
     discipline for reassociated float sums.
     """
-    t = docs.select(
+    from ..sources.loaders import scatter
+
+    t = scatter(docs).select(
         "doc_id", tokens("text").alias("toks")
     ).select("doc_id", "toks", F.size("toks").alias("dl"))
     stats = t.agg(
