@@ -227,10 +227,11 @@ class RagEngine:
         )
 
     def _retrieve_hybrid(self, question: str, k: int, depth: int = 50) -> DataFrame:
-        from pyspark.sql import Window
+        from .operators.ranking import bm25_scores, rrf_fuse
 
-        from .operators.ranking import bm25_scores, tokens  # noqa: F401
-
+        # question-side normalization (lowercase, punctuation strip):
+        # doc tokens follow the engine-wide whitespace contract, so a
+        # trailing '?' on a question word would otherwise never match
         terms = [
             t.strip("?.,!")
             for t in question.lower().split()
@@ -244,37 +245,16 @@ class RagEngine:
         bm = bm25_scores(
             idx.select(F.col("cid").alias("doc_id"), "text"), terms
         ).withColumnRenamed("doc_id", "cid")
-        lex = (
-            bm.orderBy(F.desc("bm25"), F.asc("cid"))
-            .limit(depth)
-            .withColumn(
-                "lex_rank",
-                F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("cid"))),
-            )
-            .select("cid", "lex_rank")
-        )
         qvec = embed_text(question, self.dim)
-        vs = topk_cosine(
-            idx, qvec, k=depth, id_cols=("cid",), payload_cols=()
-        ).withColumn(
-            "vec_rank",
-            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("cid"))),
-        ).select("cid", "vec_rank")
-        fused = lex.join(vs, "cid", "full").select(
-            "cid",
-            F.round(
-                F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0))
-                + F.coalesce(
-                    F.lit(1.0) / (F.lit(60) + F.col("vec_rank")), F.lit(0.0)
-                ),
-                6,
-            ).alias("score"),
+        vs = topk_cosine(idx, qvec, k=depth, id_cols=("cid",), payload_cols=())
+        top = rrf_fuse(bm, vs, "cid", "bm25", "score", k=k, depth=depth).select(
+            "cid", F.col("rrf").alias("score")
         )
-        top = fused.orderBy(F.desc("score"), F.asc("cid")).limit(k)
         return (
             F.broadcast(top)
             .join(idx, "cid")
             .select("doc_id", "chunk_id", "text", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("chunk_id"))
         )
 
     def ask(self, question: str, session_id: str | None = None) -> dict:

@@ -237,6 +237,63 @@ def bm25_dynamic_oracle_select(terms_cte: str, relation: str = "documents") -> s
     """
 
 
+RRF_K = 60  # standard reciprocal-rank-fusion smoothing constant
+RRF_DEPTH = 50  # fuse the top-N of each ranker, not whole-corpus ranks
+
+
+def rrf_fuse(
+    lex: DataFrame,
+    vec: DataFrame,
+    id_col: str,
+    lex_score: str,
+    vec_score: str,
+    k: int,
+    depth: int = RRF_DEPTH,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two score tables →
+    ``(id_col, lex_rank, vec_rank, rrf)``, top-k by fused score.
+
+    Each ranker cuts to its top-``depth`` with TakeOrderedAndProject
+    (per-partition heaps — the scale-safe global top-k) BEFORE the
+    rank-assigning window, so the window runs over a bounded
+    ``depth``-row list, never the corpus; fusion is a full outer join
+    of two bounded frames. The single source of the fusion formula for
+    both the registered query (q_hybrid_rrf, oracle-checked) and the
+    engine's ``search_type="hybrid"`` path."""
+    from pyspark.sql import Window
+
+    lexr = (
+        lex.orderBy(F.desc(lex_score), F.asc(id_col))
+        .limit(depth)
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(Window.orderBy(F.desc(lex_score), F.asc(id_col))),
+        )
+        .select(id_col, "lex_rank")
+    )
+    vecr = (
+        vec.orderBy(F.desc(vec_score), F.asc(id_col))
+        .limit(depth)
+        .withColumn(
+            "vec_rank",
+            F.row_number().over(Window.orderBy(F.desc(vec_score), F.asc(id_col))),
+        )
+        .select(id_col, "vec_rank")
+    )
+    fused = lexr.join(vecr, id_col, "full")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0)),
+        6,
+    )
+    return (
+        fused.select(id_col, "lex_rank", "vec_rank", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def _round6(x: float) -> float:
     """DuckDB ``round(x, 6)`` semantics on the binary double: half away
     from zero (verified against DuckDB on boundary probes)."""

@@ -183,7 +183,10 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     table shuffles once keyed on span text for the group-min, then once
     on doc_id for the per-doc rollup — both keyed exchanges; duplicate
     mass shrinks the second shuffle, never grows it."""
-    t = _toks(spark, sf_dir)
+    # size > 0 guard: sequence(1, 0, 8) THROWS on Spark (start > stop
+    # with positive step) while the oracle's generate_series returns
+    # empty — an empty document must contribute no spans, not abort
+    t = _toks(spark, sf_dir).filter(F.size("toks") > 0)
     spans = t.select(
         "doc_id",
         F.explode(

@@ -28,6 +28,7 @@ from .operators.ranking import (
     bm25_oracle_parts,
     bm25_scores,
     mmr_rerank,
+    rrf_fuse,
 )
 from .registry import query
 from .sources.loaders import load_table
@@ -127,15 +128,6 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.doc_id, "text", "embedding"
     )
     bm = bm25_scores(u, BM25_TERMS)
-    lex = (
-        bm.orderBy(F.desc("bm25"), F.asc("doc_id"))
-        .limit(_RRF_DEPTH)
-        .withColumn(
-            "lex_rank",
-            F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))),
-        )
-        .select("doc_id", "lex_rank")
-    )
     qv = F.broadcast(
         emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     )
@@ -143,25 +135,8 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(cosine_sim(F.col("embedding"), F.col("qvec")), 6).alias("vscore"),
     )
-    vec = (
-        vs.orderBy(F.desc("vscore"), F.asc("doc_id"))
-        .limit(_RRF_DEPTH)
-        .withColumn(
-            "vec_rank",
-            F.row_number().over(Window.orderBy(F.desc("vscore"), F.asc("doc_id"))),
-        )
-        .select("doc_id", "vec_rank")
-    )
-    fused = lex.join(vec, "doc_id", "full")
-    rrf = F.round(
-        F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0))
-        + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rank")), F.lit(0.0)),
-        6,
-    )
-    return (
-        fused.select("doc_id", "lex_rank", "vec_rank", rrf.alias("rrf"))
-        .orderBy(F.desc("rrf"), F.asc("doc_id"))
-        .limit(10)
+    return rrf_fuse(
+        bm, vs, "doc_id", "bm25", "vscore", k=10, depth=_RRF_DEPTH, rrf_k=_RRF_K
     )
 
 
@@ -439,18 +414,26 @@ def q_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.md5("text"))
         .alias("h_old"),
+        # key-presence flag, NOT h_old-is-null: md5(NULL text) is NULL,
+        # which would misread a matched NULL-text row as an insert
+        # (the oracle tests s.doc_id IS NULL — same semantics as this)
+        F.lit(True).alias("in_state"),
     )
     j = incoming.join(state, "doc_id", "left")
     return j.groupBy("source").agg(
-        F.count(F.when(F.col("h_old").isNull(), 1)).alias("n_insert"),
+        F.count(F.when(F.col("in_state").isNull(), 1)).alias("n_insert"),
         F.count(
             F.when(
-                F.col("h_old").isNotNull() & (F.col("h_new") != F.col("h_old")), 1
+                F.col("in_state").isNotNull()
+                & (F.col("h_new") != F.col("h_old")),
+                1,
             )
         ).alias("n_update"),
         F.count(
             F.when(
-                F.col("h_old").isNotNull() & (F.col("h_new") == F.col("h_old")), 1
+                F.col("in_state").isNotNull()
+                & (F.col("h_new") == F.col("h_old")),
+                1,
             )
         ).alias("n_noop"),
     )
