@@ -505,3 +505,62 @@ def q_prf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = static.union(expq)
     scored = bm25_scores_dynamic(docs, terms)
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+# --- R7: late-interaction multi-vector retrieval (MaxSim) -------------------
+
+
+@query(
+    "q_late_interaction",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS pv
+      FROM embeddings WHERE {_PROBE_FILTER}
+    ),
+    m AS (
+      SELECT e.label, p.query_id,
+             max(round(list_cosine_similarity(e.embedding::DOUBLE[], p.pv), 6))
+               AS ms
+      FROM embeddings e, probes p
+      GROUP BY e.label, p.query_id
+    )
+    SELECT label, round(sum(ms), 4) AS score
+    FROM m GROUP BY label
+    ORDER BY score DESC, label LIMIT 5
+    """,
+)
+def q_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction multi-vector retrieval (R7, the ColBERT MaxSim
+    shape): the probe set acts as one multi-vector query (its "token
+    embeddings"), each label group in the embeddings table acts as a
+    multi-vector document, and the document score is the sum over
+    query tokens of the max similarity to any document vector. On
+    Spark this is scoring + exactly two keyed aggregations — per
+    (label, token) partial MAX combines map-side, then a per-label sum
+    — so at 100 TB the exchanges carry one row per (doc, query-token),
+    never raw similarity pairs. Single-vector retrieval (J1) is the
+    degenerate one-token case; this is the upgrade path when chunk- or
+    token-level embeddings exist (q_build_index produces exactly
+    those)."""
+    emb = _emb(spark, sf_dir)
+    probes = F.broadcast(
+        emb.filter(F.expr(_PROBE_FILTER)).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("pv")
+        )
+    )
+    m = (
+        emb.crossJoin(probes)
+        .select(
+            "label",
+            "query_id",
+            F.round(cosine_sim(F.col("embedding"), F.col("pv")), 6).alias("s"),
+        )
+        .groupBy("label", "query_id")
+        .agg(F.max("s").alias("ms"))
+    )
+    return (
+        m.groupBy("label")
+        .agg(F.round(F.sum("ms"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("label"))
+        .limit(5)
+    )

@@ -321,3 +321,12 @@ def test_prf_expand_broadcasts_terms_and_heap_cuts(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert plan.count("TakeOrderedAndProject") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_late_interaction_partial_max_two_keyed_exchanges(spark):
+    plan = _plan(spark, "q_late_interaction")
+    # per-(label, token) MAX combines map-side; both aggregations are
+    # hash-keyed; the final cut is a per-partition heap
+    assert "partial_max" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan  # probes ride a broadcast
