@@ -1100,3 +1100,33 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(
         F.broadcast(nation), cust.nk.eqNullSafe(nation.nk)
     ).select("c_custkey", "n_name")
+
+
+@query(
+    "q_grouped_regression",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(regr_slope(value, extract(hour FROM ts)), 4) AS slope,
+           round(regr_intercept(value, extract(hour FROM ts)), 4) AS intercept,
+           round(regr_r2(value, extract(hour FROM ts)), 4) AS r2
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS (Y26's big sibling): value regressed
+    on hour-of-day per event_type via the SQL-standard ``regr_*``
+    aggregates — slope, intercept, R². Each is an algebraic aggregate
+    (sums of x, y, xy, x², y²) that combines map-side, so a 100 TB fit
+    is one keyed exchange carrying five partial sums per group — the
+    pattern that replaces a driver-side sklearn loop for grouped
+    trend fitting."""
+    ev = _t(spark, sf_dir, "events")
+    y, x = F.col("value"), F.hour("ts").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.round(F.regr_r2(y, x), 4).alias("r2"),
+    )

@@ -88,3 +88,27 @@ def test_synthgen_stream_equals_batch(spark, tmp_path):
     got = sorted(tuple(r) for r in spark.table("sg_mem").collect())
     want = sorted(tuple(r) for r in batch.collect())
     assert got == want
+
+
+def test_round6_matches_duckdb_semantics():
+    """The MMR greedy's Python rounding must be bit-identical to DuckDB
+    round(x, 6) (half away from zero on the binary double) — property
+    checked across the score range the greedy produces."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators.ranking import (
+        _round6,
+    )
+
+    con = duckdb.connect()
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.floats(min_value=-2.0, max_value=2.0, allow_nan=False))
+    def check(x):
+        want = con.execute("SELECT round(?::DOUBLE, 6)", [x]).fetchone()[0]
+        assert _round6(x) == want, x
+
+    check()
+    con.close()
