@@ -542,14 +542,18 @@ def q_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerate one-token case; this is the upgrade path when chunk- or
     token-level embeddings exist (q_build_index produces exactly
     those)."""
+    from .sources.loaders import scatter
+
     emb = _emb(spark, sf_dir)
     probes = F.broadcast(
         emb.filter(F.expr(_PROBE_FILTER)).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("pv")
         )
     )
+    # min-parallelism guard: |index|·|tokens| cosine folds on a
+    # single-file fixture scan would run in ONE task (no-op at scale)
     m = (
-        emb.crossJoin(probes)
+        scatter(emb).crossJoin(probes)
         .select(
             "label",
             "query_id",
