@@ -28,6 +28,10 @@ _SMOKE = [
     "q_approx_sketch",  # warehouse, events + sketch aggregates
     "q_rolling_window",  # pipeline, events time-range frame
     "q_salted_skew_join",  # scale, events + salting
+    "q_span_dedup",  # curation, token spans (sequence guard)
+    "q_mmr_rerank",  # retrieval, cogrouped applyInPandas greedy
+    "q_python_datasource",  # spark4, Python DataSource registration
+    "q_udtf_chunks",  # spark4, UDTF registration + LATERAL join
 ]
 
 _SCRIPT = """
