@@ -680,3 +680,89 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         )
     )
+
+
+# --- two-phase distributed skyline (V12) -----------------------------------
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    WITH p AS (
+      SELECT l_partkey AS part_id,
+             round(avg(l_extendedprice), 4) AS price,
+             round(sum(l_quantity), 2) AS qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT part_id, price, qty FROM p t
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p d
+      WHERE d.price <= t.price AND d.qty >= t.qty
+        AND (d.price < t.price OR d.qty > t.qty)
+    )
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase distributed skyline (V12): the Pareto frontier of
+    parts under (minimize avg price, maximize total qty). Phase 1
+    computes per-partition skylines in an Arrow-batched sweep —
+    dominance is transitive, so locally-dominated rows are globally
+    dominated and the 100 TB input collapses to per-partition
+    candidate sets of ~tens of rows. Phase 2 resolves the candidates
+    exactly with a broadcast theta LEFT ANTI self-join over
+    |candidates|², never |input|². The oracle runs the O(n²)
+    NOT EXISTS single-node — the shape the two-phase plan replaces
+    (operators/skyline.py)."""
+    from .operators.skyline import skyline
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = li.groupBy(F.col("l_partkey").alias("part_id")).agg(
+        F.round(F.avg("l_extendedprice"), 4).alias("price"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )
+    return skyline(p)
+
+
+# --- Markov transition matrix (V13) ----------------------------------------
+
+
+@query(
+    "q_markov_transitions",
+    oracle="""
+    WITH o AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type,
+           count(*) AS n,
+           round(count(*)::DOUBLE /
+                 sum(count(*)) OVER (PARTITION BY event_type), 6) AS p
+    FROM o WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (V13) — the behavior model a sequence recommender starts
+    from (the graph-walk recommender's edge weights, q_graph_walk, are
+    the item-space analog). One user-keyed window for the lead, one
+    keyed aggregate, and a |event_types|²-row normalization window —
+    the exchanges scale with users and the type alphabet, not with raw
+    events."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = o.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    norm = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(norm), 6).alias("p"),
+    )

@@ -330,3 +330,18 @@ def test_late_interaction_partial_max_two_keyed_exchanges(spark):
     assert "partial_max" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan  # probes ride a broadcast
+
+
+def test_skyline_two_phase_shape(spark):
+    plan = _plan(spark, "q_skyline")
+    # phase 1 is the Arrow local sweep; phase 2 a broadcast theta anti
+    # join over candidates — never a shuffle of the full input to a
+    # pairwise comparison
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" in plan and "LeftAnti" in plan
+
+
+def test_markov_exchanges_are_keyed(spark):
+    plan = _plan(spark, "q_markov_transitions")
+    assert "partial_count" in plan
+    assert "SinglePartition" not in plan

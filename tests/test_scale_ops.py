@@ -128,3 +128,29 @@ def test_bucketed_tables_join_without_exchange(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_li_bkt")
         spark.sql("DROP TABLE IF EXISTS t_ord_bkt")
+
+
+def test_skyline_matches_bruteforce_on_random_points(spark):
+    """Property: the two-phase skyline equals the O(n²) definition on
+    random (price, qty) points, including duplicate-point ties (neither
+    dominates, both stay)."""
+    import random
+
+    rnd = random.Random(7)
+    pts = [(i, round(rnd.uniform(0, 10), 2), round(rnd.uniform(0, 10), 2)) for i in range(300)]
+    pts += [(1000, 5.0, 5.0), (1001, 5.0, 5.0)]  # exact duplicates
+    df = spark.createDataFrame(pts, "part_id long, price double, qty double").repartition(7)
+
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators.skyline import (
+        skyline,
+    )
+
+    got = {r.part_id for r in skyline(df).collect()}
+    want = {
+        pid
+        for pid, pr, q in pts
+        if not any(
+            dp <= pr and dq >= q and (dp < pr or dq > q) for _, dp, dq in pts
+        )
+    }
+    assert got == want
