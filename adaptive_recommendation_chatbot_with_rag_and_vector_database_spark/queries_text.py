@@ -687,3 +687,113 @@ def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") >= 0)
     )
+
+
+# --- incremental dedup: new batch vs existing corpus (X12) -----------------
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang,
+             list_distinct(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+               ELSE [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+             END) AS bigrams
+      FROM tok
+    ),
+    bg AS (SELECT * FROM grams WHERE doc_id % 10 = 0),
+    cg AS (SELECT * FROM grams WHERE doc_id % 10 <> 0),
+    near AS (
+      SELECT DISTINCT a.doc_id
+      FROM bg a JOIN cg b ON a.lang = b.lang
+      WHERE len(list_intersect(a.bigrams, b.bigrams)) > 0
+        AND round(len(list_intersect(a.bigrams, b.bigrams))::DOUBLE /
+              (len(a.bigrams) + len(b.bigrams)
+               - len(list_intersect(a.bigrams, b.bigrams))), 6) >= 0.5
+    ),
+    h AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS ch
+      FROM documents
+    ),
+    exact AS (
+      SELECT DISTINCT hb.doc_id FROM h hb JOIN h hc ON hb.ch = hc.ch
+      WHERE hb.doc_id % 10 = 0 AND hc.doc_id % 10 <> 0
+    )
+    SELECT d.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS verdict
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+    LEFT JOIN exact e ON e.doc_id = d.doc_id
+    LEFT JOIN near n ON n.doc_id = d.doc_id
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (X12): classify an INCOMING batch (doc_id%10
+    sample) against the EXISTING corpus — exact_dup (normalized
+    fingerprint already indexed), near_dup (bigram Jaccard ≥ 0.5 vs any
+    corpus doc), or new. This is the production crawl-dedup shape: the
+    batch probes the corpus, never corpus×corpus. The near-dup side is
+    the inverted index with the batch as the probe side — pairs
+    materialize only where a bigram is actually shared AND they cross
+    the batch/corpus boundary, so at 100 TB the shuffle is keyed on
+    (lang, gram) and scales with the batch's co-occurrence, not the
+    corpus pair space. Exact side is a fingerprint semi-join."""
+    docs = _docs(spark, sf_dir)
+    is_batch = F.col("doc_id") % 10 == 0
+    grams = scatter(
+        docs.select(
+            "doc_id",
+            "lang",
+            F.array_distinct(word_bigrams(tokens("text"))).alias("bigrams"),
+        )
+    )
+    sized = grams.select(
+        "doc_id", "lang", F.size("bigrams").alias("sz"), "bigrams"
+    )
+    ex = sized.select(
+        "doc_id", "lang", "sz", F.explode("bigrams").alias("gram")
+    )
+    a = ex.filter(is_batch).select(
+        F.col("doc_id").alias("id_a"), "lang", "gram", F.col("sz").alias("sz_a")
+    )
+    b = ex.filter(~is_batch).select(
+        F.col("doc_id").alias("id_b"), "lang", "gram", F.col("sz").alias("sz_b")
+    )
+    inter = (
+        a.join(b, ["lang", "gram"])
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.round(
+        F.col("inter").cast("double")
+        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        6,
+    )
+    near = (
+        inter.filter(jac >= 0.5).select(F.col("id_a").alias("doc_id")).distinct()
+    )
+    h = docs.select("doc_id", fingerprint("text").alias("ch"))
+    exact = (
+        h.filter(is_batch)
+        .join(h.filter(~is_batch).select("ch").distinct(), "ch", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    batch_docs = docs.filter(is_batch).select("doc_id")
+    return (
+        batch_docs.join(exact.withColumn("_e", F.lit(1)), "doc_id", "left")
+        .join(near.withColumn("_n", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_e").isNotNull(), "exact_dup")
+            .when(F.col("_n").isNotNull(), "near_dup")
+            .otherwise("new")
+            .alias("verdict"),
+        )
+    )
