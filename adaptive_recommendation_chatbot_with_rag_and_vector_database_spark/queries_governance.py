@@ -1,0 +1,342 @@
+"""Governance wave 9 (SURVEY §2.19): the corpus-governance operators a
+100 TB ingest runs before and after every curation pass — a one-scan
+column profiler (the data-quality report), PageRank over the
+co-purchase graph (the canonical damped power iteration, the ranking
+generalization of the reference's retrieve-then-recommend loop,
+/root/reference/AI.py:131-147), per-label embedding outlier scoring
+(embedding-space quality filtering before ANN indexing), and a seeded
+deterministic corpus permutation with a per-shard audit (reproducible
+training-data ordering).
+
+Every query has an exact DuckDB oracle. Portability rules as in
+queries_pipeline.py: floats rounded identically on both sides, integer
+sums cast to BIGINT (DuckDB sum(int) is HUGEINT), doubles stringified
+through DECIMAL(18,2) so both engines render "31.00", deterministic
+tie-breaks on every top-k cut.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query
+from .sources.loaders import load_table
+
+
+# --- G1: one-scan column profiler ------------------------------------------
+
+# (column, kind) pairs profiled on lineitem; kind picks the min/max
+# stringification rule shared with the oracle.
+_PROFILE_COLS = (
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_returnflag", "str"),
+    ("l_shipdate", "date"),
+)
+
+
+def _minmax_str(col: str, kind: str, agg) -> F.Column:
+    c = agg(col)
+    if kind == "num":
+        return c.cast("decimal(18,2)").cast("string")
+    if kind == "date":
+        return c.cast("date").cast("string")
+    return c
+
+
+def _sql_minmax(col: str, kind: str, fn: str) -> str:
+    if kind == "num":
+        return f"CAST(CAST({fn}({col}) AS DECIMAL(18,2)) AS VARCHAR)"
+    if kind == "date":
+        return f"CAST(CAST({fn}({col}) AS DATE) AS VARCHAR)"
+    return f"{fn}({col})"
+
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS col_name,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           {_sql_minmax(c, kind, "min")} AS min_val,
+           {_sql_minmax(c, kind, "max")} AS max_val
+    FROM lineitem
+    """
+    for c, kind in _PROFILE_COLS
+)
+
+
+@query(
+    "q_data_profile",
+    oracle=f"SELECT * FROM ({_PROFILE_ORACLE}) ORDER BY col_name",
+)
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler: per-column row/null/distinct counts and
+    min/max, the data-quality report that gates every ingest. ONE scan
+    of the fact table computes every measure in a single hash
+    aggregate (the multi-distinct Expand), then pivots to long form
+    with ``inline`` — no per-column re-scan, which is the difference
+    between one pass and |columns| passes over 100 TB. At cluster
+    scale the exact ``count_distinct`` columns swap to
+    ``approx_count_distinct`` (HLL, fixed-size partial state) — exact
+    here so the DuckDB oracle can hash-check the values."""
+    li = load_table(spark, "lineitem", sf_dir)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in _PROFILE_COLS:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+        aggs.append(_minmax_str(c, kind, F.min).alias(f"mn_{c}"))
+        aggs.append(_minmax_str(c, kind, F.max).alias(f"mx_{c}"))
+    wide = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows"),
+                F.col(f"nn_{c}").alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_val"),
+                F.col(f"mx_{c}").alias("max_val"),
+            )
+            for c, _ in _PROFILE_COLS
+        ]
+    )
+    return wide.select(F.inline(rows)).orderBy("col_name")
+
+
+# --- G2: PageRank over the co-purchase part graph --------------------------
+
+_PR_DAMP = 0.85
+_PR_ITER = 3
+
+
+def _sql_pagerank() -> str:
+    """Fixed-iteration PageRank unrolled as CTEs (r0 → r3)."""
+    steps = []
+    prev = "r0"
+    for it in range(1, _PR_ITER + 1):
+        steps.append(
+            f"""r{it} AS (
+      SELECT verts.v,
+             (1 - {_PR_DAMP}) / n.nv
+               + {_PR_DAMP} * coalesce(s.m, 0) AS r
+      FROM verts CROSS JOIN n
+      LEFT JOIN (
+        SELECT e.b AS v, sum(p.r / e.d) AS m
+        FROM {prev} p JOIN edges_d e ON e.a = p.v
+        GROUP BY e.b
+      ) s ON s.v = verts.v
+    )"""
+        )
+        prev = f"r{it}"
+    joined = ",\n    ".join(steps)
+    return f"""
+    WITH li_s AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey % 20 = 0),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li_s a JOIN li_s b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    edges AS (
+      SELECT pa AS a, pb AS b FROM pairs
+      UNION ALL SELECT pb, pa FROM pairs),
+    deg AS (SELECT a, count(*)::DOUBLE AS d FROM edges GROUP BY a),
+    edges_d AS (
+      SELECT edges.a, edges.b, deg.d FROM edges JOIN deg USING (a)),
+    verts AS (SELECT DISTINCT a AS v FROM edges),
+    n AS (SELECT count(*)::DOUBLE AS nv FROM verts),
+    r0 AS (SELECT v, 1.0 / n.nv AS r FROM verts CROSS JOIN n),
+    {joined}
+    SELECT verts.v AS part_id,
+           round({prev}.r * n.nv, 6) AS score
+    FROM verts CROSS JOIN n JOIN {prev} ON {prev}.v = verts.v
+    ORDER BY score DESC, part_id LIMIT 25
+    """
+
+
+@query("q_pagerank", oracle=_sql_pagerank())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 fixed iterations) over the
+    co-purchase part graph: parts linked when they appear in the same
+    order, score normalized so 1.0 = uniform rank. The iterative-graph
+    pattern at scale, same discipline as
+    operators/dedup.connected_components and q_graph_walk: the
+    edge+degree list materializes ONCE (localCheckpoint) and every
+    iteration is one edge-keyed equi-join plus a groupBy-sum whose
+    shuffle carries O(|verts|) rank mass — never the edge list again,
+    never a driver-side matrix. The co-purchase decimation
+    (l_orderkey % 20) bounds the pair term per order; at 100 TB the
+    same plan shards by edge key and the rank vector stays a
+    partitioned DataFrame."""
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    edges = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).cast("double").alias("d"))
+    edges_d = edges.join(deg, "a").localCheckpoint(eager=False)
+    # vertex set materializes once as well — every iteration's rank
+    # rebuild and the scalar |V| recount read it, and without the
+    # checkpoint each of the 3 iterations would re-run the distinct
+    # (an O(|V|) shuffle apiece)
+    verts = (
+        edges_d.select(F.col("a").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = verts.agg(F.count(F.lit(1)).cast("double").alias("nv"))
+    r = verts.crossJoin(F.broadcast(n)).select(
+        "v", (F.lit(1.0) / F.col("nv")).alias("r")
+    )
+    for _ in range(_PR_ITER):
+        contrib = (
+            r.join(edges_d, r.v == edges_d.a)
+            .groupBy(F.col("b").alias("cv"))
+            .agg(F.sum(F.col("r") / F.col("d")).alias("m"))
+        )
+        r = (
+            verts.crossJoin(F.broadcast(n))
+            .join(contrib, F.col("v") == F.col("cv"), "left")
+            .select(
+                "v",
+                (
+                    F.lit(1 - _PR_DAMP) / F.col("nv")
+                    + F.lit(_PR_DAMP) * F.coalesce(F.col("m"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return (
+        r.crossJoin(F.broadcast(n))
+        .select(
+            F.col("v").alias("part_id"),
+            F.round(F.col("r") * F.col("nv"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "part_id")
+        .limit(25)
+    )
+
+
+# --- G3: per-label embedding outlier scoring -------------------------------
+
+
+@query(
+    "q_embedding_outliers",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, label, i, embedding[i]::DOUBLE AS x
+      FROM embeddings, generate_series(1, 64) g(i)),
+    stats AS (
+      SELECT label, i, avg(x) AS mu,
+             greatest(stddev_pop(x), 1e-9) AS sd
+      FROM dims GROUP BY label, i),
+    z AS (
+      SELECT d.vec_id, d.label, abs((d.x - s.mu) / s.sd) AS az
+      FROM dims d JOIN stats s USING (label, i))
+    SELECT vec_id, label, round(max(az), 4) AS z_max
+    FROM z GROUP BY vec_id, label
+    ORDER BY z_max DESC, vec_id LIMIT 30
+    """,
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier scoring: per-(label, dimension) mean and
+    population stddev, each vector scored by its max |z| over
+    dimensions — the quality filter that drops corrupt embeddings
+    before they poison an ANN index or a centroid classifier
+    (complements q_centroid_classifier). Shape at scale: posexplode →
+    hash aggregate keyed on (label, dim) — partial aggregation
+    combines map-side, so the stats shuffle carries |labels| × dim
+    rows regardless of corpus size; the join back broadcasts the tiny
+    stats table; the per-vector max is a second map-combined
+    aggregate."""
+    dims = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("i", "xf"),
+    ).select("vec_id", "label", "i", F.col("xf").cast("double").alias("x"))
+    stats = dims.groupBy("label", "i").agg(
+        F.avg("x").alias("mu"),
+        F.greatest(F.stddev_pop("x"), F.lit(1e-9)).alias("sd"),
+    )
+    z = dims.join(F.broadcast(stats), ["label", "i"]).select(
+        "vec_id",
+        "label",
+        F.abs((F.col("x") - F.col("mu")) / F.col("sd")).alias("az"),
+    )
+    return (
+        z.groupBy("vec_id", "label")
+        .agg(F.round(F.max("az"), 4).alias("z_max"))
+        .orderBy(F.desc("z_max"), "vec_id")
+        .limit(30)
+    )
+
+
+# --- G4: seeded deterministic permutation + shard audit --------------------
+
+_SHUF_MULT = 2654435761  # Knuth multiplicative constant
+_SHUF_SEED = 12345
+_SHUF_MOD = 2147483647
+_N_SHARDS = 64
+
+
+@query(
+    "q_shuffle_shards",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             (doc_id * {_SHUF_MULT} + {_SHUF_SEED}) % {_SHUF_MOD} AS h
+      FROM documents)
+    SELECT h % {_N_SHARDS} AS shard,
+           count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           min(h) AS h_min,
+           max(h) AS h_max
+    FROM h GROUP BY shard ORDER BY shard
+    """,
+)
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic corpus permutation with a per-shard audit:
+    a multiplicative hash of doc_id (seeded, engine-portable integer
+    arithmetic — NOT rand(), which no two engines or reruns agree on)
+    assigns every document a reproducible shuffle position and a shard;
+    the audit table (per-shard count, id checksum, hash range) is what
+    a training run records so the exact data order can be replayed.
+    At scale the write is ``repartitionByRange(shard, h)`` →
+    ``partitionBy(shard)`` parquet — one range shuffle, balanced by
+    construction because the hash is uniform; the audit here is the
+    same groupBy the writer's commit protocol logs. Map-side partial
+    aggregation keeps the exchange at 64 rows per mapper."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    h = docs.select(
+        "doc_id",
+        ((F.col("doc_id") * _SHUF_MULT + _SHUF_SEED) % _SHUF_MOD).alias("h"),
+    )
+    return (
+        h.groupBy((F.col("h") % _N_SHARDS).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.min("h").alias("h_min"),
+            F.max("h").alias("h_max"),
+        )
+        .orderBy("shard")
+    )

@@ -345,3 +345,45 @@ def test_markov_exchanges_are_keyed(spark):
     plan = _plan(spark, "q_markov_transitions")
     assert "partial_count" in plan
     assert "SinglePartition" not in plan
+
+
+def test_data_profile_single_scan_multi_distinct(spark):
+    plan = _plan(spark, "q_data_profile")
+    # one pass: every null/distinct/min/max measure comes off a single
+    # lineitem scan through the multi-distinct Expand — |columns|
+    # re-scans would be the 100 TB anti-pattern
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" in plan
+    assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_pagerank_edges_materialize_once(spark):
+    plan = _plan(spark, "q_pagerank")
+    # the edge+degree list and the vertex set are checkpointed RDD
+    # scans (built once, reused every iteration); rank updates are
+    # keyed aggregations with map-side combine; |V| rides a broadcast
+    assert "Scan ExistingRDD" in plan
+    assert "FileScan parquet" not in plan  # lineitem never re-read
+    assert "partial_sum" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_outliers_stats_broadcast_back(spark):
+    plan = _plan(spark, "q_embedding_outliers")
+    # (label, dim) stats are O(labels*dim) and ride a broadcast back
+    # onto the exploded scan; both aggregates combine map-side; the
+    # top-30 cut is a per-partition heap
+    assert "BroadcastHashJoin" in plan
+    assert "partial_max" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_shuffle_shards_map_side_combine(spark):
+    plan = _plan(spark, "q_shuffle_shards")
+    # the shard audit exchange carries 64 partial rows per mapper, and
+    # the hash expression is codegen'd arithmetic (no UDF)
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert "2654435761" in plan
+    assert "Python" not in plan
