@@ -1,0 +1,324 @@
+"""Frequency & integrity wave 10 (SURVEY §2.20): co-occurrence mining
+and corpus-accounting operators — pairwise association rules over
+order baskets (the classic market-basket generalization of the
+reference's retrieve-then-recommend loop, /root/reference/AI.py:
+131-147), Misra-Gries heavy hitters with exact recount (the two-phase
+candidate-then-verify sketch pattern that replaces a full-vocabulary
+shuffle), a per-source document cap (corpus balancing via per-group
+top-k), and a referential-integrity audit (orphan accounting across
+the fact→dim chain).
+
+Every query has an exact DuckDB oracle. The Misra-Gries output is
+exact despite the sketch: per-partition MG(k) candidates are a
+provable SUPERSET of the global n/k-heavy items (pigeonhole: a
+globally heavy item is locally heavy in at least one partition), and
+the second pass recounts candidates exactly — so the hash check
+verifies real heavy-hitter semantics, not sketch noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from .registry import query
+from .sources.loaders import load_table, scatter
+
+
+# --- H1: pairwise association rules over order baskets ---------------------
+
+
+@query(
+    "q_assoc_rules",
+    oracle="""
+    WITH li_s AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey % 10 = 0),
+    n AS (SELECT count(DISTINCT l_orderkey)::DOUBLE AS nb FROM li_s),
+    item AS (SELECT l_partkey, count(*)::DOUBLE AS ci FROM li_s GROUP BY 1),
+    pair AS (
+      SELECT a.l_partkey AS ant, b.l_partkey AS cons,
+             count(*)::DOUBLE AS cp
+      FROM li_s a JOIN li_s b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2)
+    SELECT ant, cons,
+           round(cp / n.nb, 6) AS support,
+           round(cp / ia.ci, 6) AS confidence,
+           round(cp * n.nb / (ia.ci * ic.ci), 6) AS lift
+    FROM pair CROSS JOIN n
+    JOIN item ia ON ia.l_partkey = pair.ant
+    JOIN item ic ON ic.l_partkey = pair.cons
+    WHERE cp >= 2
+    ORDER BY lift DESC, ant, cons LIMIT 20
+    """,
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules: support / confidence / lift for
+    part pairs co-occurring in an order, top-20 by lift with a min
+    pair-count cut. Shape at scale: pair enumeration is an equi-join
+    keyed on the basket id (quadratic only WITHIN a basket — bounded by
+    basket size, never |corpus|²), pair counts combine map-side, item
+    supports are a vocabulary-sized table that BROADCASTS onto the pair
+    list, and |baskets| rides a 1-row broadcast. The min-support cut
+    (cp >= 2) runs before the broadcast joins so noise pairs never
+    reach them."""
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.agg(F.count_distinct("l_orderkey").cast("double").alias("nb"))
+    item = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("double").alias("ci")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("ant"),
+            F.col("b.l_partkey").alias("cons"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("cp"))
+        .filter(F.col("cp") >= 2)
+    )
+    ia = item.select(F.col("l_partkey").alias("ant"), F.col("ci").alias("ca"))
+    ic = item.select(F.col("l_partkey").alias("cons"), F.col("ci").alias("cc"))
+    return (
+        pair.crossJoin(F.broadcast(n))
+        .join(F.broadcast(ia), "ant")
+        .join(F.broadcast(ic), "cons")
+        .select(
+            "ant",
+            "cons",
+            F.round(F.col("cp") / F.col("nb"), 6).alias("support"),
+            F.round(F.col("cp") / F.col("ca"), 6).alias("confidence"),
+            F.round(
+                F.col("cp") * F.col("nb") / (F.col("ca") * F.col("cc")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "ant", "cons")
+        .limit(20)
+    )
+
+
+# --- H2: Misra-Gries heavy hitters with exact recount ----------------------
+
+_MG_K = 200  # heavy-hitter threshold: count > n_tokens / _MG_K
+
+
+def _mg_candidates(it):
+    """Per-partition Misra-Gries summary with _MG_K counters over the
+    token stream: every item with partition frequency > n_p/_MG_K
+    survives. Classic decrement form (Misra & Gries 1982): O(k) memory
+    regardless of vocabulary size. Also emits one (NULL, n_tokens) row
+    so the same scan yields the global denominator — no third corpus
+    pass just to count tokens."""
+    counters: dict[str, int] = {}
+    total = 0
+    for pdf in it:
+        for text in pdf["text"]:
+            for tok in text.lower().split():
+                total += 1
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < _MG_K:
+                    counters[tok] = 1
+                else:
+                    for key in list(counters):
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            del counters[key]
+    import pandas as pd
+
+    yield pd.DataFrame(
+        {"tok": list(counters) + [None], "n": [0] * len(counters) + [total]}
+    )
+
+
+@query(
+    "q_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents),
+    n AS (SELECT count(*)::DOUBLE AS c FROM toks)
+    SELECT tok, count(*) AS cnt
+    FROM toks CROSS JOIN n
+    GROUP BY tok, n.c
+    HAVING count(*) > n.c / {_MG_K}
+    ORDER BY cnt DESC, tok
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (tokens with count > n/200) via the two-phase
+    sketch pattern: phase 1 runs Misra-Gries with 200 counters per
+    partition in Arrow batches — O(k) memory per task, NO shuffle of
+    the vocabulary — and the union of per-partition candidates is a
+    provable superset of every global heavy hitter (pigeonhole over
+    partition token counts). Phase 2 broadcast-semi-joins the bounded
+    candidate set back onto the token stream and recounts EXACTLY, so
+    the output is exact while the shuffle carries only
+    |partitions| × 200 candidate partials instead of the full
+    vocabulary. This is how a 100 TB vocabulary scan stays in bounded
+    memory; the exact groupBy twin would shuffle every distinct token.
+    Two corpus passes total: the MG summary (which also carries the
+    token-count denominator, checkpointed so candidates and the scalar
+    read ONE materialization) and the candidate recount."""
+    docs = scatter(load_table(spark, "documents", sf_dir).select("text"))
+    mg = docs.mapInPandas(
+        _mg_candidates,
+        StructType(
+            [StructField("tok", StringType()), StructField("n", LongType())]
+        ),
+    ).localCheckpoint(eager=False)
+    cand = mg.filter(F.col("tok").isNotNull()).select("tok").distinct()
+    n = mg.agg(F.sum("n").cast("double").alias("c"))
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+        ).alias("tok")
+    )
+    return (
+        toks.join(F.broadcast(cand), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("cnt") > F.col("c") / _MG_K)
+        .select("tok", "cnt")
+        .orderBy(F.desc("cnt"), "tok")
+    )
+
+
+# --- H3: per-source document cap (corpus balancing) ------------------------
+
+_CAP = 300
+_CAP_MULT = 2654435761
+_CAP_SEED = 98765
+_CAP_MOD = 2147483647
+
+
+@query(
+    "q_source_cap",
+    oracle=f"""
+    WITH h AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY (doc_id * {_CAP_MULT} + {_CAP_SEED}) % {_CAP_MOD},
+                        doc_id) AS rn
+      FROM documents)
+    SELECT source,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN rn <= {_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN rn > {_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(sum(CASE WHEN rn <= {_CAP} THEN doc_id ELSE 0 END) AS BIGINT)
+             AS kept_id_sum
+    FROM h GROUP BY source ORDER BY source
+    """,
+)
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap: every source keeps at most 300 docs,
+    chosen by a SEEDED multiplicative hash (reproducible "random"
+    sample — `rand()` would pick a different corpus every run/engine),
+    with the kept/dropped audit per source. ``kept_id_sum`` checksums
+    the EXACT kept set, so the hash-ordered selection itself is
+    hash-verified, not just its size. The rank window is keyed on
+    source — a parallel per-key sort, never a global one. The audit
+    form necessarily ranks every row; the writer form of the same cap
+    (``filter(rn <= cap)`` and keep the rows) plans WindowGroupLimit,
+    the partial per-partition top-k below the exchange (J2's kNN cut
+    primitive), so each mapper forwards at most cap rows per source."""
+    from pyspark.sql import Window
+
+    h = ((F.col("doc_id") * _CAP_MULT + _CAP_SEED) % _CAP_MOD).alias("h")
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    return (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum((F.col("rn") <= _CAP).cast("long")).alias("n_kept"),
+            F.sum((F.col("rn") > _CAP).cast("long")).alias("n_dropped"),
+            F.sum(
+                F.when(F.col("rn") <= _CAP, F.col("doc_id")).otherwise(0)
+            ).alias("kept_id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- H4: referential-integrity audit ---------------------------------------
+
+
+@query(
+    "q_fk_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, count(*) AS n_child,
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_orphans,
+           count(DISTINCT l.l_orderkey) AS n_keys
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem->part', count(*),
+           CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT),
+           count(DISTINCT l.l_partkey)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'orders->customer', count(*),
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT),
+           count(DISTINCT o.o_custkey)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY fk
+    """,
+)
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the fact→dim chain: per FK
+    edge, child row count, orphan count (child keys missing from the
+    parent), and distinct-key cardinality — the constraint report a
+    lakehouse ingest emits since parquet enforces nothing. Each edge
+    is one left join where the PARENT side broadcasts (dims are the
+    small side by construction) and the orphan test is a null probe on
+    the build side — the fact table never shuffles; the three audits
+    union into one report."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+
+    def audit(child, ckey, parent, pkey, name):
+        return (
+            child.join(
+                F.broadcast(parent.select(F.col(pkey))),
+                child[ckey] == F.col(pkey),
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(F.col(pkey).isNull().cast("long")).alias("n_orphans"),
+                F.count_distinct(child[ckey]).alias("n_keys"),
+            )
+            .select(F.lit(name).alias("fk"), "n_child", "n_orphans", "n_keys")
+        )
+
+    return (
+        audit(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders")
+        .unionByName(audit(li, "l_partkey", part, "p_partkey", "lineitem->part"))
+        .unionByName(
+            audit(orders, "o_custkey", cust, "c_custkey", "orders->customer")
+        )
+        .orderBy("fk")
+    )

@@ -41,6 +41,7 @@ _MODULES = (
     "adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_retrieval",
     "adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_spark4",
     "adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_governance",
+    "adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_frequency",
 )
 
 

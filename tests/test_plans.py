@@ -387,3 +387,47 @@ def test_shuffle_shards_map_side_combine(spark):
     assert "partial_count" in plan and "partial_sum" in plan
     assert "2654435761" in plan
     assert "Python" not in plan
+
+
+def test_assoc_rules_supports_broadcast_onto_pairs(spark):
+    plan = _plan(spark, "q_assoc_rules")
+    # pair enumeration is keyed on the basket id; pair counts combine
+    # map-side; item supports and |baskets| ride broadcasts
+    assert "partial_count" in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_two_pass_bounded_candidates(spark):
+    plan = _plan(spark, "q_heavy_hitters")
+    # phase 1: MG sketch in Arrow batches, materialized once (the
+    # candidate set AND the token denominator read one checkpoint);
+    # phase 2: candidates semi-join the token stream via broadcast
+    # BEFORE the count aggregate — the vocabulary never shuffles whole
+    # the MG pass lives behind the checkpoint boundary (Scan
+    # ExistingRDD appears for both its consumers); the recount is the
+    # only other corpus read → exactly two passes total
+    assert plan.count("Scan ExistingRDD") == 2
+    assert plan.count("FileScan parquet") == 1  # the recount pass
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+
+
+def test_source_cap_window_partitioned_by_source(spark):
+    plan = _plan(spark, "q_source_cap")
+    # the rank window is keyed on source (parallel per-key sort); the
+    # audit aggregate combines map-side on the same partitioning (no
+    # second exchange between window and aggregate)
+    assert "windowspecdefinition(source" in plan
+    assert "partial_count" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_fk_integrity_parents_broadcast_fact_never_shuffles_raw(spark):
+    plan = _plan(spark, "q_fk_integrity")
+    # every parent/dim side broadcasts; the only keyed exchanges carry
+    # per-key partial states for the distinct-key count, not fact rows
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan
