@@ -75,38 +75,40 @@ _PROFILE_ORACLE = "\nUNION ALL\n".join(
 )
 def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiler: per-column row/null/distinct counts and
-    min/max, the data-quality report that gates every ingest. ONE scan
-    of the fact table computes every measure in a single hash
-    aggregate (the multi-distinct Expand), then pivots to long form
-    with ``inline`` — no per-column re-scan, which is the difference
-    between one pass and |columns| passes over 100 TB. At cluster
-    scale the exact ``count_distinct`` columns swap to
-    ``approx_count_distinct`` (HLL, fixed-size partial state) — exact
-    here so the DuckDB oracle can hash-check the values."""
+    min/max, the data-quality report that gates every ingest. One
+    aggregate branch PER COLUMN, unioned — on columnar parquet the
+    five single-column passes read exactly the bytes one 5-column pass
+    would (ReadSchema prunes each branch to its column), and each
+    branch plans the plain 2-phase distinct aggregate. The rejected
+    alternative — all five ``count_distinct`` in one aggregate — goes
+    through the multi-distinct Expand, which multiplies the row stream
+    ×(columns+1) through the aggregation pipeline: measured 7.6 s vs
+    0.13 s for this form at sf0.1 (58×). At cluster scale the exact
+    distincts swap to ``approx_count_distinct`` (HLL, fixed-size
+    partial state) — exact here so the oracle can hash-check."""
     li = load_table(spark, "lineitem", sf_dir)
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    parts = []
     for c, kind in _PROFILE_COLS:
-        aggs.append(
-            F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}")
-        )
-        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
-        aggs.append(_minmax_str(c, kind, F.min).alias(f"mn_{c}"))
-        aggs.append(_minmax_str(c, kind, F.max).alias(f"mx_{c}"))
-    wide = li.agg(*aggs)
-    rows = F.array(
-        *[
-            F.struct(
+        parts.append(
+            li.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
+                F.count_distinct(F.col(c)).alias("n_distinct"),
+                _minmax_str(c, kind, F.min).alias("min_val"),
+                _minmax_str(c, kind, F.max).alias("max_val"),
+            ).select(
                 F.lit(c).alias("col_name"),
-                F.col("n_rows"),
-                F.col(f"nn_{c}").alias("n_nulls"),
-                F.col(f"nd_{c}").alias("n_distinct"),
-                F.col(f"mn_{c}").alias("min_val"),
-                F.col(f"mx_{c}").alias("max_val"),
+                "n_rows",
+                "n_nulls",
+                "n_distinct",
+                "min_val",
+                "max_val",
             )
-            for c, _ in _PROFILE_COLS
-        ]
-    )
-    return wide.select(F.inline(rows)).orderBy("col_name")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("col_name")
 
 
 # --- G2: PageRank over the co-purchase part graph --------------------------
