@@ -1,0 +1,243 @@
+"""Graph-statistics & trending wave 11 (SURVEY §2.21): triangle
+counting under degree orientation (the scale-canonical wedge-join
+algorithm), the log-bucketed degree distribution (the power-law
+sanity check every graph pipeline reports), and per-window trending
+top-k over the event stream (the leaderboard a feed ranker refreshes
+per window) — the graph/temporal summary layer over the same
+co-purchase structure q_pagerank and q_graph_walk rank.
+
+Every query has an exact DuckDB oracle. The triangle oracle counts
+id-ordered closed triples (a<b<c) — the same total the degree-oriented
+Spark plan produces, so the hash check verifies the algorithm across
+two different enumeration orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query
+from .sources.loaders import load_table
+
+# Co-purchase graph construction shared with q_pagerank (same
+# decimation, so the two queries describe the same graph).
+_GRAPH_SQL = """
+    li_s AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey % 20 = 0),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM li_s a JOIN li_s b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT a AS v, count(*) AS d FROM sym GROUP BY a)
+"""
+
+
+def _undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+
+
+# --- I1: triangle count + clustering coefficient ---------------------------
+
+
+@query(
+    "q_triangle_count",
+    oracle=f"""
+    WITH {_GRAPH_SQL},
+    tri AS (
+      SELECT count(*) AS t
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    wedge AS (SELECT sum(d * (d - 1) / 2.0) AS w FROM deg)
+    SELECT (SELECT count(*) FROM deg) AS n_verts,
+           (SELECT count(*) FROM e) AS n_edges,
+           tri.t AS n_triangles,
+           round(3.0 * tri.t / greatest(wedge.w, 1), 6) AS clustering
+    FROM tri CROSS JOIN wedge
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count and global clustering coefficient of the
+    co-purchase graph, via DEGREE ORIENTATION (compact-forward): every
+    undirected edge is directed from its lower-(degree, id) endpoint
+    to the higher, wedges enumerate ordered out-neighbor pairs, and a
+    closing oriented edge completes each triangle exactly once. The
+    orientation is the scale insight: out-degree under degree order is
+    O(sqrt(|E|)), so the wedge join's fan-out is bounded even when a
+    hub vertex has millions of neighbors — the id-ordered naive join
+    (which the ORACLE uses, same total) explodes on hubs. Edges
+    checkpoint once; the wedge→closure step is an edge-keyed equi-join
+    + broadcast-free semi-join on (src, dst); counts combine
+    map-side."""
+    e = _undirected_edges(spark, sf_dir)
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    # orient each undirected edge low→high by (degree, id)
+    ed = (
+        e.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(
+                    F.col("a").alias("src"),
+                    F.col("b").alias("dst"),
+                    F.col("db").alias("dst_d"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("b").alias("src"),
+                    F.col("a").alias("dst"),
+                    F.col("da").alias("dst_d"),
+                )
+            )
+            .alias("o")
+        )
+        .select("o.src", "o.dst", "o.dst_d")
+        .localCheckpoint(eager=False)
+    )
+    w1, w2 = ed.alias("w1"), ed.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.src") == F.col("w2.src"))
+        & (
+            (F.col("w1.dst_d") < F.col("w2.dst_d"))
+            | (
+                (F.col("w1.dst_d") == F.col("w2.dst_d"))
+                & (F.col("w1.dst") < F.col("w2.dst"))
+            )
+        ),
+    ).select(F.col("w1.dst").alias("src"), F.col("w2.dst").alias("dst"))
+    tri = wedges.join(ed.select("src", "dst"), ["src", "dst"], "left_semi")
+    t = tri.agg(F.count(F.lit(1)).alias("t"))
+    # wedge total, |V| and |E| are scalar aggregates riding broadcasts
+    # — never driver-side .count() literals baked into the plan
+    wedge_total = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2.0).alias("w"),
+        F.count(F.lit(1)).alias("nv"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("ne"))
+    return (
+        t.crossJoin(F.broadcast(wedge_total))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            F.col("nv").alias("n_verts"),
+            F.col("ne").alias("n_edges"),
+            F.col("t").alias("n_triangles"),
+            F.round(
+                F.lit(3.0) * F.col("t") / F.greatest(F.col("w"), F.lit(1.0)), 6
+            ).alias("clustering"),
+        )
+    )
+
+
+# --- I2: log-bucketed degree distribution ----------------------------------
+
+
+@query(
+    "q_degree_distribution",
+    oracle=f"""
+    WITH {_GRAPH_SQL}
+    SELECT CAST(floor(log2(d)) AS BIGINT) AS bucket,
+           count(*) AS n_verts,
+           min(d) AS d_min,
+           max(d) AS d_max
+    FROM deg GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree distribution of the co-purchase graph —
+    the power-law sanity report a graph pipeline emits before choosing
+    join strategies (it is how you SEE the hub problem that degree
+    orientation and salting solve). Degrees are one keyed count; the
+    bucket histogram is a second aggregate over |V| rows with map-side
+    combine; log2/floor are codegen'd expressions. Output is
+    O(log d_max) rows regardless of graph size."""
+    e = _undirected_edges(spark, sf_dir)
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    return (
+        deg.groupBy(
+            F.floor(F.log2("d")).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_verts"),
+            F.min("d").alias("d_min"),
+            F.max("d").alias("d_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --- I3: per-window trending top-k -----------------------------------------
+
+
+@query(
+    "q_trending_topk",
+    oracle="""
+    WITH c AS (
+      SELECT date_trunc('day', ts) AS window_start, event_type,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT window_start, event_type, cnt,
+             row_number() OVER (
+               PARTITION BY window_start
+               ORDER BY cnt DESC, event_type) AS rank
+      FROM c)
+    SELECT window_start, event_type, cnt, rank
+    FROM r WHERE rank <= 3
+    ORDER BY window_start, rank
+    """,
+)
+def q_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-3 event types per day — the per-window leaderboard
+    a feed ranker refreshes each window. Counts reduce first (one
+    keyed aggregate with map-side combine: the exchange carries
+    |windows|×|types| partials, never raw events), then the rank
+    window runs over that ALREADY-AGGREGATED frame, keyed on the
+    window — and the rank filter plans WindowGroupLimit, the partial
+    per-partition top-k below the exchange. The streaming twin is the
+    same aggregation under `window(ts, '1 day')` with a watermark;
+    this batch form is the replayable oracle-checked semantics."""
+    from pyspark.sql import Window
+
+    c = (
+        load_table(spark, "events", sf_dir)
+        .groupBy(F.to_date("ts").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("cnt"), F.asc("event_type")
+    )
+    return (
+        c.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .orderBy("window_start", "rank")
+    )

@@ -432,3 +432,30 @@ def test_fk_integrity_parents_broadcast_fact_never_shuffles_raw(spark):
     assert plan.count("BroadcastHashJoin") == 3
     assert "SortMergeJoin" not in plan
     assert "partial_count" in plan
+
+
+def test_triangle_oriented_edges_checkpoint_once(spark):
+    plan = _plan(spark, "q_triangle_count")
+    # the oriented edge list is a checkpointed RDD read by all three
+    # roles (wedge left, wedge right, closure); the closure test is a
+    # semi-join; scalar stats ride broadcasts
+    assert plan.count("Scan ExistingRDD") >= 3
+    assert "LeftSemi" in plan
+    assert "BroadcastExchange" in plan
+    assert "partial_count" in plan
+
+
+def test_degree_distribution_keyed_aggs(spark):
+    plan = _plan(spark, "q_degree_distribution")
+    assert "partial_count" in plan
+    assert "log2" in plan.lower() or "LOG" in plan  # codegen'd bucketing
+    assert "CartesianProduct" not in plan
+
+
+def test_trending_topk_windowgrouplimit_over_aggregated(spark):
+    plan = _plan(spark, "q_trending_topk")
+    # counts reduce BEFORE ranking (agg below the window) and the rank
+    # filter plans the partial-then-final WindowGroupLimit pair
+    assert plan.count("WindowGroupLimit") == 2
+    assert "partial_count" in plan
+    assert plan.index("HashAggregate") > plan.index("WindowGroupLimit")
