@@ -1,0 +1,234 @@
+"""Corpus-hygiene reports wave 12 (SURVEY §2.22): the recurring
+reports a training-data platform publishes per corpus snapshot —
+vocabulary coverage / OOV rate per language (the tokenizer-fit check),
+the quality×length 2D histogram (the triage heatmap that decides
+filter thresholds), the cross-source leakage matrix (near-identical
+content shared between supposedly-independent sources — the train/eval
+hygiene check behind q_contamination), and the hour×weekday activity
+matrix (the load-shaping report for incremental ingest).
+
+Every query has an exact DuckDB oracle. Portability notes: DuckDB
+``dayofweek`` is 0=Sunday while Spark ``dayofweek`` is 1=Sunday (the
+Spark side subtracts 1); bucket edges are integer arithmetic or
+IEEE-deterministic double ops (x/y then floor), identical on both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query
+from .sources.loaders import load_table
+
+def _toks() -> F.Column:
+    # built lazily — the HOF lambda needs an active session to compile
+    return F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+
+
+_SQL_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+
+_VOCAB_SIZE = 500
+
+
+# --- K1: vocabulary coverage / OOV rate per language -----------------------
+
+
+@query(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest({_SQL_TOKS}) AS tok FROM documents),
+    vocab AS (
+      SELECT tok FROM toks GROUP BY tok
+      ORDER BY count(*) DESC, tok LIMIT {_VOCAB_SIZE}),
+    flag AS (
+      SELECT lang,
+             CASE WHEN tok IN (SELECT tok FROM vocab) THEN 0 ELSE 1 END
+               AS oov
+      FROM toks)
+    SELECT lang,
+           count(*) AS n_tokens,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           round(sum(oov)::DOUBLE / count(*), 6) AS oov_rate
+    FROM flag GROUP BY lang ORDER BY lang
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage: build the top-500 token vocabulary from
+    the corpus itself, then report each language's out-of-vocabulary
+    token share — the tokenizer-fit check that decides whether a BPE
+    vocab needs retraining before a multilingual run. The vocabulary
+    is a global top-k (TakeOrderedAndProject heap cut over map-combined
+    token counts) that then rides a BROADCAST anti-membership probe
+    over the token stream; the per-lang report is one keyed aggregate.
+    The token stream never shuffles — only |vocab| rows and
+    |langs| partials move."""
+    toks = load_table(spark, "documents", sf_dir).select(
+        "lang", F.explode(_toks()).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(_VOCAB_SIZE)
+        .select("tok")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "tok", "left"
+    ).select("lang", F.when(F.col("in_vocab").isNull(), 1).otherwise(0).alias("oov"))
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("oov").alias("n_oov"),
+            F.round(F.sum("oov") / F.count(F.lit(1)), 6).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- K2: quality x length 2D histogram -------------------------------------
+
+
+@query(
+    "q_quality_heatmap",
+    oracle=f"""
+    WITH t AS (
+      SELECT n_chars,
+             len(list_distinct({_SQL_TOKS}))::DOUBLE /
+               greatest(len({_SQL_TOKS}), 1) AS dr
+      FROM documents)
+    SELECT least(CAST(floor(n_chars / 200.0) AS BIGINT), 9) AS len_bucket,
+           least(CAST(floor(dr * 10) AS BIGINT), 9) AS qual_bucket,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM t GROUP BY 1, 2 ORDER BY len_bucket, qual_bucket
+    """,
+)
+def q_quality_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality×length 2D histogram: documents bucketed by length
+    (200-char bins, capped) against duplicate-token-ratio deciles —
+    the triage heatmap a curation run reads to SET the thresholds that
+    q_filter_cascade then applies. Both bucket expressions are
+    codegen'd scan-side arithmetic; the exchange carries at most
+    10×10 partial rows per mapper regardless of corpus size."""
+    t = load_table(spark, "documents", sf_dir).select(
+        "n_chars",
+        (
+            F.size(F.array_distinct(_toks()))
+            / F.greatest(F.size(_toks()), F.lit(1))
+        ).alias("dr"),
+    )
+    return (
+        t.groupBy(
+            F.least(
+                F.floor(F.col("n_chars") / 200.0).cast("long"), F.lit(9)
+            ).alias("len_bucket"),
+            F.least(
+                F.floor(F.col("dr") * 10).cast("long"), F.lit(9)
+            ).alias("qual_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("len_bucket", "qual_bucket")
+    )
+
+
+# --- K3: cross-source leakage matrix ---------------------------------------
+
+_FP_LEN = 80
+
+
+@query(
+    "q_cross_source_leakage",
+    oracle=f"""
+    WITH fp AS (
+      SELECT DISTINCT source,
+             md5(substr(lower(regexp_replace(text, '\\s+', ' ', 'g')),
+                        1, {_FP_LEN})) AS fp
+      FROM documents)
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS n_shared
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2 ORDER BY source_a, source_b
+    """,
+)
+def q_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source leakage matrix: count normalized-prefix
+    fingerprints shared between source pairs — near-identical content
+    appearing in supposedly-independent feeds, the leading indicator
+    of train/eval contamination (q_contamination checks a known eval
+    set; this finds UNKNOWN overlap). The fingerprint is scan-side
+    (whitespace-collapse, lowercase, 80-char prefix, md5); per-source
+    fingerprint sets dedup map-side; the pair join is keyed on the
+    fingerprint — exactly the exact-dedup exchange, with hot groups
+    bounded by the per-fp distinct-source count, never |corpus|²."""
+    fp = (
+        load_table(spark, "documents", sf_dir)
+        .select(
+            "source",
+            F.md5(
+                F.substring(
+                    F.lower(F.regexp_replace("text", r"\s+", " ")),
+                    1,
+                    _FP_LEN,
+                )
+            ).alias("fp"),
+        )
+        .distinct()
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+# --- K4: hour x weekday activity matrix ------------------------------------
+
+
+@query(
+    "q_activity_matrix",
+    oracle="""
+    SELECT dayofweek(ts) AS dow,
+           CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY dow, hour
+    """,
+)
+def q_activity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour×weekday activity matrix over the event stream (0=Sunday,
+    matching DuckDB; Spark's 1-based dayofweek shifts by one) — the
+    load-shaping report that schedules incremental ingest windows.
+    One keyed aggregate; the exchange carries at most 7×24 groups of
+    partial states per mapper (the distinct-user count is the only
+    per-key state that grows, and it swaps to approx_count_distinct
+    HLL at cluster scale)."""
+    return (
+        load_table(spark, "events", sf_dir)
+        .groupBy(
+            (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("dow", "hour")
+    )

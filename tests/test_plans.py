@@ -459,3 +459,41 @@ def test_trending_topk_windowgrouplimit_over_aggregated(spark):
     assert plan.count("WindowGroupLimit") == 2
     assert "partial_count" in plan
     assert plan.index("HashAggregate") > plan.index("WindowGroupLimit")
+
+
+def test_vocab_coverage_vocab_broadcast_heap_cut(spark):
+    plan = _plan(spark, "q_vocab_coverage")
+    # the vocabulary is a 500-row heap cut that rides a broadcast back
+    # over the token stream; the stream itself never shuffles raw —
+    # only token-count partials and per-lang partials move
+    assert "TakeOrderedAndProject(limit=500" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quality_heatmap_scan_side_buckets(spark):
+    plan = _plan(spark, "q_quality_heatmap")
+    # both bucket expressions fold into the scan-side projection; one
+    # keyed aggregate with map-side combine; no Python anywhere
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_count" in plan
+    assert "Python" not in plan
+
+
+def test_cross_source_leakage_joins_on_fingerprint(spark):
+    plan = _plan(spark, "q_cross_source_leakage")
+    # the self-join keys on the fingerprint (exact-dedup exchange
+    # shape); broadcast-vs-SMJ is AQE's size call, not forced — the
+    # pinned invariant is that no unkeyed pair enumeration exists
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+
+
+def test_activity_matrix_two_level_distinct(spark):
+    plan = _plan(spark, "q_activity_matrix")
+    # exact distinct-user count plans as the two-level aggregate
+    # (partial per (cell, user), then merge) — both exchanges keyed
+    assert "merge_count" in plan
+    assert "SinglePartition" not in plan
