@@ -28,6 +28,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.tokenize import sql_toks
+
 # Okapi BM25 constants (standard defaults).
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -121,10 +123,7 @@ def bm25_oracle_parts(
     after a caller's own CTEs) and ``select`` yields ``(doc_id, bm25)``.
     Digit-exact: same expression tree, same left-to-right term sum,
     same final round as the Spark side."""
-    toks = (
-        f"list_filter(string_split_regex(lower({text_col}), '\\s+'), "
-        "x -> x <> '')"
-    )
+    toks = sql_toks(text_col)
     tf_defs = ",\n             ".join(
         f"len(list_filter({toks}, x -> x = '{t}')) AS tf{i}"
         for i, t in enumerate(terms)
@@ -205,7 +204,7 @@ def bm25_dynamic_oracle_select(terms_cte: str, relation: str = "documents") -> s
     with one ``term`` column; returns a SELECT yielding
     ``(doc_id, score)``. Same expression tree, same two-level
     rounding."""
-    toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    toks = sql_toks()
     one_minus_b = 1 - BM25_B
     k1p1 = BM25_K1 + 1
     return f"""

@@ -22,9 +22,10 @@ from pyspark.sql import functions as F
 from .registry import query
 from .sources.loaders import load_table, scatter
 
-# Shared tokenizer expression (same as queries_text._SQL_TOKS — the
-# engine-wide tokenization contract).
-_SQL_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+# Shared tokenizer expressions (functions/tokenize — the engine-wide
+# tokenization contract, one source for both engines).
+from .functions.tokenize import SQL_TOKS as _SQL_TOKS  # noqa: E402
+from .functions.tokenize import toks_col  # noqa: E402
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -35,7 +36,7 @@ def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id",
         "lang",
-        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "").alias("toks"),
+        toks_col().alias("toks"),
     )
 
 

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+from .functions.tokenize import SQL_TOKS, toks_col
 from .registry import query
 from .sources.loaders import load_table, scatter
 
@@ -146,8 +147,7 @@ def _mg_candidates(it):
     "q_heavy_hitters",
     oracle=f"""
     WITH toks AS (
-      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
-                                x -> x <> '')) AS tok
+      SELECT unnest({SQL_TOKS}) AS tok
       FROM documents),
     n AS (SELECT count(*)::DOUBLE AS c FROM toks)
     SELECT tok, count(*) AS cnt
@@ -181,11 +181,7 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     cand = mg.filter(F.col("tok").isNotNull()).select("tok").distinct()
     n = mg.agg(F.sum("n").cast("double").alias("c"))
-    toks = docs.select(
-        F.explode(
-            F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
-        ).alias("tok")
-    )
+    toks = docs.select(F.explode(toks_col()).alias("tok"))
     return (
         toks.join(F.broadcast(cand), "tok", "left_semi")
         .groupBy("tok")

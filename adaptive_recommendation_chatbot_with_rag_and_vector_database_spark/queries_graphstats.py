@@ -36,6 +36,11 @@ _GRAPH_SQL = """
 
 
 def _undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected co-purchase edge list (a < b), checkpointed: every
+    consumer (degrees, orientation, wedge stats, |E|) reads ONE
+    materialization instead of re-deriving the lineitem self-join per
+    reference — the same materialize-once discipline as q_pagerank's
+    edges_d."""
     li = (
         load_table(spark, "lineitem", sf_dir)
         .filter(F.col("l_orderkey") % 20 == 0)
@@ -53,6 +58,7 @@ def _undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b")
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
 
 

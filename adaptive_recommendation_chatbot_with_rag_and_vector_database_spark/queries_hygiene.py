@@ -19,15 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.tokenize import SQL_TOKS as _SQL_TOKS
+from .functions.tokenize import toks_col as _toks
 from .registry import query
 from .sources.loaders import load_table
-
-def _toks() -> F.Column:
-    # built lazily — the HOF lambda needs an active session to compile
-    return F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
-
-
-_SQL_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
 
 _VOCAB_SIZE = 500
 
@@ -109,11 +104,13 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_quality_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality×length 2D histogram: documents bucketed by length
-    (200-char bins, capped) against duplicate-token-ratio deciles —
-    the triage heatmap a curation run reads to SET the thresholds that
-    q_filter_cascade then applies. Both bucket expressions are
-    codegen'd scan-side arithmetic; the exchange carries at most
-    10×10 partial rows per mapper regardless of corpus size."""
+    (200-char bins, capped) against DISTINCT-token-ratio deciles
+    (bucket 9 = least-duplicated text; heavy duplication scores near
+    bucket 0) — the triage heatmap a curation run reads to SET the
+    thresholds that q_filter_cascade then applies. Both bucket
+    expressions are
+    codegen'd scan-side arithmetic; the exchange carries at most 10×10
+    partial rows per mapper regardless of corpus size."""
     t = load_table(spark, "documents", sf_dir).select(
         "n_chars",
         (

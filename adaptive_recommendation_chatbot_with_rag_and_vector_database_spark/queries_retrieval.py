@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.tokenize import sql_toks
 from .functions.vector import cosine_sim
 from .operators.ranking import (
     MMR_W_DIV,
@@ -457,8 +458,7 @@ _PRF_DYN_SELECT = bm25_dynamic_oracle_select("terms", "documents")
     bm AS ({_BM25_SELECT}),
     top3 AS (SELECT doc_id FROM bm ORDER BY bm25 DESC, doc_id LIMIT {_PRF_FB_DOCS}),
     fbt AS (
-      SELECT unnest(list_filter(string_split_regex(lower(d.text), '\\s+'),
-                    x -> x <> '')) AS term
+      SELECT unnest({sql_toks('d.text')}) AS term
       FROM top3 JOIN documents d USING (doc_id)
     ),
     cnt AS (

@@ -50,7 +50,8 @@ from .sources.loaders import load_table, scatter
 
 # --- shared DuckDB SQL fragments (from the same constants) -----------------
 
-_SQL_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+from .functions.tokenize import SQL_TOKS as _SQL_TOKS  # noqa: E402
+
 _SQL_DTOKS = f"list_distinct({_SQL_TOKS})"
 _SQL_TOKH = (
     f"list_transform({_SQL_DTOKS}, "
