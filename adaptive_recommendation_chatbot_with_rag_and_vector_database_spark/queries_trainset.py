@@ -1,0 +1,258 @@
+"""Training-set construction wave 13 (SURVEY §2.23): the operators
+that turn a curated corpus into model-ready examples — per-language
+weighted systematic sampling (quality-weighted corpus thinning with
+integer-exact determinism), contrastive adjacent-chunk pair generation
+(self-supervised pretraining pairs over a fixed chunk grid — the
+reference's production grid is chunk_size=1000 per
+/root/reference/AI.py:84,209; the registered query uses a
+fixture-sized 120), and BM25-positive /
+seeded-negative retrieval triplets (the triplet-mining step that would
+fine-tune the reference's retriever).
+
+Every query has an exact DuckDB oracle. Determinism sources: the
+sampling decision is INTEGER arithmetic over a seeded-hash order
+(no ln/pow/rand — no cross-libm float risk at the selection
+boundary); chunk pairs are re-derived with 1-based substr arithmetic
+on both engines; triplet negatives come from the same multiplicative
+hash family as q_shuffle_shards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.ranking import bm25_oracle_parts, bm25_scores
+from .registry import query
+from .sources.loaders import load_table
+
+_SAMPLE_STRIDE = 5000  # chars of cumulative weight per kept document
+_MULT = 2654435761
+_MOD = 2147483647
+_SAMPLE_SEED = 424242
+_NEG_SEED = 777777
+
+# The operator is grid-parameterized; the registered query uses a
+# fixture-sized 120-char grid (the synthetic documents cap at ~580
+# chars, so the reference's production chunk_size=1000 — AI.py:84,209 —
+# would yield single-chunk docs and zero pairs). The chunker operator
+# itself (functions/chunker.py) keeps the reference's 1000 default.
+_CHUNK = 120
+_TRIPLET_K = 5
+
+
+# --- L1: per-language weighted systematic sampling -------------------------
+
+
+@query(
+    "q_weighted_sample",
+    oracle=f"""
+    WITH h AS (
+      SELECT lang, doc_id, n_chars,
+             (doc_id * {_MULT} + {_SAMPLE_SEED}) % {_MOD} AS h
+      FROM documents),
+    c AS (
+      SELECT lang, doc_id, n_chars,
+             sum(n_chars) OVER (
+               PARTITION BY lang ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM h),
+    flag AS (
+      SELECT lang, doc_id, n_chars,
+             CASE WHEN CAST(floor((cum - n_chars) / {_SAMPLE_STRIDE})
+                          AS BIGINT)
+                       < CAST(floor(cum / {_SAMPLE_STRIDE}) AS BIGINT)
+                  THEN 1 ELSE 0 END AS keep
+      FROM c)
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(keep) AS BIGINT) AS n_sampled,
+           CAST(sum(CASE WHEN keep = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS sampled_chars,
+           CAST(sum(CASE WHEN keep = 1 THEN doc_id ELSE 0 END) AS BIGINT)
+             AS sampled_id_sum
+    FROM flag GROUP BY lang ORDER BY lang
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted systematic sampling per language: documents stream in
+    seeded-hash order, a running weight (n_chars) accumulates, and a
+    document is kept exactly when its weight span crosses a stride
+    boundary — one expected sample per 5 000 chars of corpus weight,
+    so selection probability is proportional to weight. Every decision
+    is INTEGER arithmetic (hash order + integer division), not
+    exp/log/rand — bit-identical on any engine, replayable on retry
+    (the property rand()-based weighted samplers lose). The prefix sum
+    is a window keyed on lang (parallel per-key); at 100 TB the same
+    semantics shard further via the two-phase prefix sum (per-partition
+    partials + broadcast offsets, the q_pack_sequences pattern).
+    ``sampled_id_sum`` checksums the exact kept set."""
+    h = load_table(spark, "documents", sf_dir).select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        ((F.col("doc_id") * _MULT + _SAMPLE_SEED) % _MOD).alias("h"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = h.withColumn("cum", F.sum("n_chars").over(w))
+    flag = c.withColumn(
+        "keep",
+        (
+            F.floor((F.col("cum") - F.col("n_chars")) / _SAMPLE_STRIDE)
+            < F.floor(F.col("cum") / _SAMPLE_STRIDE)
+        ).cast("int"),
+    )
+    return (
+        flag.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").alias("n_sampled"),
+            F.sum(F.when(F.col("keep") == 1, F.col("n_chars")).otherwise(0)).alias(
+                "sampled_chars"
+            ),
+            F.sum(F.when(F.col("keep") == 1, F.col("doc_id")).otherwise(0)).alias(
+                "sampled_id_sum"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- L2: contrastive adjacent-chunk pairs ----------------------------------
+
+
+@query(
+    "q_contrastive_pairs",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(floor((length(text) - 1) / {_CHUNK}) AS BIGINT) + 1
+               AS n_chunks
+      FROM documents
+      WHERE doc_id % 10 = 0 AND length(text) > 0),
+    p AS (
+      SELECT doc_id, i AS pair_idx,
+             md5(substr(text, i * {_CHUNK} + 1, {_CHUNK})) AS left_md5,
+             md5(substr(text, (i + 1) * {_CHUNK} + 1, {_CHUNK})) AS right_md5
+      FROM d, unnest(range(0, n_chunks - 1)) g(i))
+    SELECT doc_id, pair_idx, left_md5, right_md5
+    FROM p ORDER BY doc_id, pair_idx
+    """,
+)
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive pretraining pairs: each document yields its
+    (chunk_i, chunk_{i+1}) adjacent pairs on a fixed chunk grid
+    (120 chars here — fixture-sized; production uses the reference's
+    1000) — the self-supervised positives a contrastive retriever
+    trains on (hard negatives come from q_retrieval_triplets). Pure
+    scan-side fan-out: ``sequence`` + ``posexplode`` generate pair
+    indices where the document row lives and both chunk hashes come
+    from in-row ``substr`` — NO join, NO window, NO shuffle except the
+    output ordering. At 100 TB this runs at scan speed with output
+    ~|corpus|/chunk rows; emitting md5s (not chunk text) keeps the
+    exchange narrow."""
+    d = (
+        load_table(spark, "documents", sf_dir)
+        .filter((F.col("doc_id") % 10 == 0) & (F.length("text") > 0))
+        .select(
+            "doc_id",
+            "text",
+            (F.floor((F.length("text") - 1) / _CHUNK) + 1).alias("n_chunks"),
+        )
+    )
+    pairs = d.select(
+        "doc_id",
+        "text",
+        F.posexplode(
+            F.when(
+                F.col("n_chunks") >= 2,
+                F.sequence(F.lit(0), (F.col("n_chunks") - 2).cast("int")),
+            ).otherwise(F.array())
+        ).alias("pair_idx", "i"),
+    )
+    return (
+        pairs.select(
+            "doc_id",
+            F.col("i").cast("long").alias("pair_idx"),
+            F.md5(
+                F.expr(f"substring(text, i * {_CHUNK} + 1, {_CHUNK})")
+            ).alias("left_md5"),
+            F.md5(
+                F.expr(f"substring(text, (i + 1) * {_CHUNK} + 1, {_CHUNK})")
+            ).alias("right_md5"),
+        ).orderBy("doc_id", "pair_idx")
+    )
+
+
+# --- L3: BM25-positive / seeded-negative retrieval triplets ----------------
+
+_TRIPLET_TERMS = ["vector", "hash", "join"]  # same lexical query as R1
+
+_T_CTES, _T_SELECT = bm25_oracle_parts(_TRIPLET_TERMS, "documents")
+
+
+@query(
+    "q_retrieval_triplets",
+    oracle=f"""
+    WITH {_T_CTES},
+    bm AS ({_T_SELECT}),
+    pos AS (
+      SELECT doc_id AS pos_doc, bm25,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+      FROM bm ORDER BY bm25 DESC, doc_id LIMIT {_TRIPLET_K}),
+    neg AS (
+      SELECT doc_id AS neg_doc,
+             row_number() OVER (
+               ORDER BY (doc_id * {_MULT} + {_NEG_SEED}) % {_MOD}, doc_id)
+               AS rank
+      FROM documents
+      WHERE doc_id NOT IN (SELECT pos_doc FROM pos)
+      ORDER BY (doc_id * {_MULT} + {_NEG_SEED}) % {_MOD}, doc_id
+      LIMIT {_TRIPLET_K})
+    SELECT pos.rank, pos.pos_doc, pos.bm25 AS pos_score, neg.neg_doc
+    FROM pos JOIN neg USING (rank) ORDER BY rank
+    """,
+)
+def q_retrieval_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval training triplets: the BM25 top-5 are the positives,
+    and 5 seeded-hash-ordered non-positive documents are the (random
+    but REPLAYABLE) negatives, zipped by rank — the triplet-mining
+    step that fine-tunes a retriever like the reference's. Both cuts
+    are TakeOrderedAndProject heaps; the rank windows then run over
+    the bounded 5-row frames (the rrf_fuse discipline); the negative
+    side excludes positives via a broadcast anti-join. Nothing
+    data-sized shuffles: scoring is scan-side, the two 5-row lists
+    join by rank."""
+    docs = load_table(spark, "documents", sf_dir)
+    bm = bm25_scores(docs, _TRIPLET_TERMS)
+    pos = (
+        bm.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_TRIPLET_K)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+        )
+        .select(F.col("doc_id").alias("pos_doc"), F.col("bm25"), "rank")
+    )
+    neg_h = (F.col("doc_id") * _MULT + _NEG_SEED) % _MOD
+    neg = (
+        docs.select("doc_id", neg_h.alias("h"))
+        .join(
+            F.broadcast(pos.select(F.col("pos_doc").alias("doc_id"))),
+            "doc_id",
+            "left_anti",
+        )
+        .orderBy("h", "doc_id")
+        .limit(_TRIPLET_K)
+        .withColumn("rank", F.row_number().over(Window.orderBy("h", "doc_id")))
+        .select(F.col("doc_id").alias("neg_doc"), "rank")
+    )
+    return (
+        pos.join(neg, "rank")
+        .select("rank", "pos_doc", F.col("bm25").alias("pos_score"), "neg_doc")
+        .orderBy("rank")
+    )

@@ -44,6 +44,7 @@ _MODULES = (
     "adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_frequency",
     "adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_graphstats",
     "adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_hygiene",
+    "adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_trainset",
 )
 
 

@@ -497,3 +497,34 @@ def test_activity_matrix_two_level_distinct(spark):
     # (partial per (cell, user), then merge) — both exchanges keyed
     assert "merge_count" in plan
     assert "SinglePartition" not in plan
+
+
+def test_weighted_sample_single_keyed_exchange(spark):
+    plan = _plan(spark, "q_weighted_sample")
+    # prefix sum keyed on lang; the audit aggregate reuses the same
+    # partitioning (one hash exchange total); decisions are codegen'd
+    # integer arithmetic, no Python, no global sort
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+    assert "Python" not in plan
+
+
+def test_contrastive_pairs_scan_side_fanout(spark):
+    plan = _plan(spark, "q_contrastive_pairs")
+    # sequence+posexplode fan out pairs where the document row lives;
+    # the ONLY exchange is the output ordering — no join, no window
+    assert "Generate posexplode" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") == 1  # the final rangepartitioning
+
+
+def test_retrieval_triplets_heap_cuts_bounded_windows(spark):
+    plan = _plan(spark, "q_retrieval_triplets")
+    # both 5-row cuts are per-partition heaps BEFORE their rank
+    # windows; negatives exclude positives via broadcast anti-join
+    # the positive cut's subtree also feeds the anti-join broadcast,
+    # so the heap appears >= 2 times (pos, neg, pos-again)
+    assert plan.count("TakeOrderedAndProject(limit=5") >= 2
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
