@@ -284,6 +284,21 @@ class RagEngine:
             "retrieved": retrieved,
         }
 
+    def recommend(self, session_id: str, k: int | None = None) -> DataFrame:
+        """Adaptive recommendations — the "Recommendation" in the
+        reference's title: surface the chunks most similar to what the
+        session has ASKED SO FAR. The reference achieves adaptivity by
+        feeding chat history back into retrieval
+        (create_history_aware_retriever, AI.py:163-171); the engine
+        form concatenates the session's user turns into one profile
+        query and runs the same top-k path, so recommendations shift
+        as the conversation does. An empty/unknown session degrades to
+        the empty-profile embedding (deterministic, still k rows) —
+        the cold-start behavior a recommender needs defined."""
+        history = self._sessions.get(session_id, [])
+        profile = " ".join(m["content"] for m in history if m["role"] == "user")
+        return self.retrieve(profile, k)
+
     # -- session lifecycle (T1 batch view; AI.py:155-161,232-235) -----------
 
     def history(self, session_id: str) -> list[dict]:

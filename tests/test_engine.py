@@ -129,3 +129,21 @@ def test_unknown_search_type_rejected(engine):
 
     with _pytest.raises(ValueError):
         engine.retrieve("anything", search_type="cosine!!")
+
+
+def test_recommend_adapts_to_session_history(engine):
+    # a session about shipping should be recommended the shipping
+    # chunk first; a session about fruit, the orchard chunk — same
+    # engine, recommendations shift with the conversation
+    engine.ask("What were the order priorities?", session_id="s-ship")
+    engine.ask("How was the orchard yield?", session_id="s-fruit")
+    top_ship = engine.recommend("s-ship", k=1).collect()[0]
+    top_fruit = engine.recommend("s-fruit", k=1).collect()[0]
+    assert "freight" in top_ship.text or "maritime" in top_ship.text
+    assert "orchard" in top_fruit.text or "Apples" in top_fruit.text
+
+
+def test_recommend_cold_start_is_defined(engine):
+    # unknown session: empty profile still yields k deterministic rows
+    rows = engine.recommend("never-seen", k=2).collect()
+    assert len(rows) == 2
