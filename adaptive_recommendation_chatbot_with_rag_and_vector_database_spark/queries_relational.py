@@ -665,3 +665,57 @@ def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = agg if out is None else out.join(agg, "o_orderstatus")
     return out
+
+
+@query(
+    "q_schema_evolution",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey % 16 = 8 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_with_priority,
+           count(DISTINCT CASE WHEN o_orderkey % 16 = 8
+                               THEN o_orderpriority END)
+             AS n_priorities,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    WHERE o_orderkey % 8 = 0
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (S10): half the slice is written WITHOUT
+    the ``o_orderpriority`` column (the 'old' files), half WITH it
+    (the 'new' files, appended to the same directory), and a single
+    ``mergeSchema`` parquet read must union the schemas — old rows
+    surface NULL priority, new rows keep theirs. This is the lakehouse
+    contract every long-lived 100 TB table depends on: producers add
+    columns without rewriting history, consumers read one logical
+    schema. The oracle re-derives the expected merge from the orders
+    view (CASE on the same keyed split), so any silent column drop,
+    misalignment, or NULL-fill error fails the hash. mergeSchema costs
+    a footer read per file — at scale you pin the merged schema in a
+    catalog instead; the read path is otherwise identical."""
+    import os
+
+    slice_ = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderkey") % 8 == 0
+    )
+    old = slice_.filter(F.col("o_orderkey") % 16 == 0).drop("o_orderpriority")
+    new = slice_.filter(F.col("o_orderkey") % 16 == 8)
+    base = f"/tmp/spark_graft_io/{os.path.basename(sf_dir.rstrip('/'))}/orders_evo"
+    old.write.mode("overwrite").parquet(base)
+    new.write.mode("append").parquet(base)
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_orderpriority").isNotNull().cast("long")).alias(
+                "n_with_priority"
+            ),
+            F.count_distinct("o_orderpriority").alias("n_priorities"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
