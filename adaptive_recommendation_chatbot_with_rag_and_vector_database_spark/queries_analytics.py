@@ -1130,3 +1130,79 @@ def q_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(y, x), 4).alias("intercept"),
         F.round(F.regr_r2(y, x), 4).alias("r2"),
     )
+
+
+@query(
+    "q_cusum_changepoint",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, avg(value) AS m FROM events GROUP BY event_type),
+    y AS (
+      SELECT e.user_id, e.event_id, e.value - s.m - 0.5 AS y
+      FROM events e JOIN s USING (event_type)
+      WHERE e.user_id % 20 = 0),
+    p AS (
+      SELECT user_id, event_id,
+             sum(y) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps
+      FROM y),
+    c AS (
+      SELECT user_id, event_id,
+             ps - least(0, min(ps) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
+      FROM p)
+    SELECT user_id,
+           count(*) AS n_events,
+           round(max(cusum), 4) AS cusum_max,
+           CAST(sum(CASE WHEN cusum > 5.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarms,
+           min(CASE WHEN cusum > 5.0 THEN event_id END) AS first_alarm
+    FROM c GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detection per user (Page 1954):
+    s_i = max(0, s_{i-1} + x_i - target - slack), alarm when s_i
+    crosses h — the sequential drift detector that complements
+    q_anomaly_zscore's pointwise outliers. The recursive fold is
+    rewritten as PURE WINDOW ALGEBRA via the classic identity
+    s_i = P_i - min(0, min_{j<=i} P_j) (prefix sum minus running min),
+    so no stateful UDF, no iteration: two stacked running windows
+    keyed on user_id (parallel per-key sorts), per-type targets
+    broadcast back like the z-score stats. At 100 TB: one keyed
+    exchange for the windows, one for the per-user report, both
+    map-combined."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(F.avg("value").alias("m"))
+    y = (
+        ev.filter(F.col("user_id") % 20 == 0)
+        .join(F.broadcast(s), "event_type")
+        .select(
+            "user_id",
+            "event_id",
+            (F.col("value") - F.col("m") - 0.5).alias("y"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = y.withColumn("ps", F.sum("y").over(w))
+    c = p.withColumn(
+        "cusum", F.col("ps") - F.least(F.lit(0.0), F.min("ps").over(w))
+    )
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.max("cusum"), 4).alias("cusum_max"),
+            F.sum((F.col("cusum") > 5.0).cast("long")).alias("n_alarms"),
+            F.min(F.when(F.col("cusum") > 5.0, F.col("event_id"))).alias(
+                "first_alarm"
+            ),
+        )
+        .orderBy("user_id")
+    )

@@ -528,3 +528,14 @@ def test_retrieval_triplets_heap_cuts_bounded_windows(spark):
     assert plan.count("TakeOrderedAndProject(limit=5") >= 2
     assert "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_cusum_stacked_windows_one_keyed_exchange(spark):
+    plan = _plan(spark, "q_cusum_changepoint")
+    # both running windows and the per-user report share the user_id
+    # partitioning: one keyed exchange for the window stack (+ the
+    # broadcast stats join); no global sort, no Python
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
