@@ -369,3 +369,36 @@ def test_stream_stream_join_equals_batch(spark, stream_dir):
         for r in spark.sql("SELECT * FROM t10_ssjoin").collect()
     )
     assert got == batch and len(got) > 0
+
+
+def test_trending_topk_stream_counts_equal_batch(spark, stream_dir):
+    """Wave 11's q_trending_topk streaming twin, made real: the
+    per-day per-type counts aggregate as a true stream (complete
+    mode across 3 micro-batches), and the final-rank cut over the
+    streamed counts equals the batch query's leaderboard exactly.
+    (The rank itself runs on the materialized counts — streaming
+    row_number over an aggregate is not supported by design; the
+    leaderboard refresh is a per-trigger batch step over the
+    streaming state, which is how a production feed ranker does it.)"""
+    from pyspark.sql import Window
+
+    agg = (
+        _read_stream(spark, stream_dir)
+        .groupBy(F.to_date("ts").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    _run(agg, "t11_trending", "complete")
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("cnt"), F.asc("event_type")
+    )
+    got = (
+        spark.sql("SELECT * FROM t11_trending")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .orderBy("window_start", "rank")
+        .collect()
+    )
+    import __spark_entry__ as E
+
+    want = E.queries()["q_trending_topk"](spark, SF_DIR).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
