@@ -7,15 +7,33 @@ query modules; one stale copy would silently break oracle parity for
 that module's queries, so both sides now come from here.
 
 The Python-side equivalent (used inside Arrow-batched UDFs, e.g. the
-Misra-Gries sketch) is ``text.lower().split()`` — ``str.split()`` with
-no argument splits on runs of whitespace and drops empties, the same
-contract.
+Misra-Gries sketch) is :func:`py_toks` below. It deliberately does NOT
+use bare ``str.split()``: that splits on *Unicode* whitespace (NBSP,
+U+2000…U+200A, …) while Java's default ``\\s`` (Spark) and RE2's
+``\\s`` (DuckDB) are ASCII-only, so on text containing non-ASCII
+whitespace a bare-split tokenizer would build a different token stream
+than the two engines being compared.
 """
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+#: Java's default ``\s`` class (Pattern docs): ASCII space, tab, LF,
+#: vertical tab, form feed, CR. This is what Spark's ``split(_, '\s+')``
+#: matches, so the Python twin must match exactly the same bytes.
+_ASCII_WS = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def py_toks(text: str) -> list[str]:
+    """Python twin of the Spark/DuckDB tokenizers for use inside
+    Arrow-batched UDFs: lowercase → split on runs of ASCII whitespace →
+    drop empties. Agrees with :func:`toks_col` and :func:`sql_toks`
+    byte-for-byte on any input, not just ASCII fixtures."""
+    return [t for t in _ASCII_WS.split(text.lower()) if t]
 
 
 def sql_toks(col: str = "text") -> str:

@@ -370,8 +370,10 @@ def q_graph_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_centroid_classifier",
     oracle="""
     WITH dims AS (
-      SELECT vec_id, label, i, embedding[i]::DOUBLE AS x
-      FROM embeddings, generate_series(1, 64) g(i)),
+      SELECT vec_id, label,
+             unnest(generate_series(1, len(embedding))) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings),
     cent AS (
       SELECT label AS clabel, i, avg(x) AS v
       FROM dims WHERE vec_id % 5 <> 0 GROUP BY label, i),

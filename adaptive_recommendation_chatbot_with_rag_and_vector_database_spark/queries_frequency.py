@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from .functions.tokenize import SQL_TOKS, toks_col
+from .functions.tokenize import SQL_TOKS, py_toks, toks_col
 from .registry import query
 from .sources.loaders import load_table, scatter
 
@@ -120,12 +120,18 @@ def _mg_candidates(it):
     survives. Classic decrement form (Misra & Gries 1982): O(k) memory
     regardless of vocabulary size. Also emits one (NULL, n_tokens) row
     so the same scan yields the global denominator — no third corpus
-    pass just to count tokens."""
+    pass just to count tokens.
+
+    Tokenizes with the shared ASCII-whitespace contract (py_toks), NOT
+    bare str.split(): the exact recount and the oracle split on ASCII
+    \\s+ only, and the candidate set must be a superset of *their*
+    heavy hitters — a Unicode-whitespace split would build candidates
+    from a different token stream on non-ASCII text."""
     counters: dict[str, int] = {}
     total = 0
     for pdf in it:
         for text in pdf["text"]:
-            for tok in text.lower().split():
+            for tok in py_toks(text):
                 total += 1
                 if tok in counters:
                     counters[tok] += 1

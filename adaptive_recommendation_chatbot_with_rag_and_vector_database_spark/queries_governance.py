@@ -245,8 +245,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_embedding_outliers",
     oracle="""
     WITH dims AS (
-      SELECT vec_id, label, i, embedding[i]::DOUBLE AS x
-      FROM embeddings, generate_series(1, 64) g(i)),
+      SELECT vec_id, label,
+             unnest(generate_series(1, len(embedding))) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings),
     stats AS (
       SELECT label, i, avg(x) AS mu,
              greatest(stddev_pop(x), 1e-9) AS sd

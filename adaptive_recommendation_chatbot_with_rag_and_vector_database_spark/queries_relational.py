@@ -696,14 +696,19 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     misalignment, or NULL-fill error fails the hash. mergeSchema costs
     a footer read per file — at scale you pin the merged schema in a
     catalog instead; the read path is otherwise identical."""
-    import os
+    import tempfile
 
     slice_ = load_table(spark, "orders", sf_dir).filter(
         F.col("o_orderkey") % 8 == 0
     )
     old = slice_.filter(F.col("o_orderkey") % 16 == 0).drop("o_orderpriority")
     new = slice_.filter(F.col("o_orderkey") % 16 == 8)
-    base = f"/tmp/spark_graft_io/{os.path.basename(sf_dir.rstrip('/'))}/orders_evo"
+    # Per-run unique staging dir: the overwrite-then-append pair is NOT
+    # atomic, so a fixed shared path lets two concurrent runs (driver +
+    # bench, parallel pytest) interleave the halves — doubled 'new'
+    # rows or a mid-write read, failing the hash with a misleading
+    # symptom. mkdtemp gives each run its own directory.
+    base = tempfile.mkdtemp(prefix="spark_graft_orders_evo_") + "/data"
     old.write.mode("overwrite").parquet(base)
     new.write.mode("append").parquet(base)
     merged = spark.read.option("mergeSchema", "true").parquet(base)
