@@ -189,40 +189,37 @@ class RagEngine:
         raise ValueError(f"unknown search_type: {search_type!r}")
 
     def _retrieve_mmr(self, question: str, k: int, fetch_k: int) -> DataFrame:
-        from .operators.ranking import MMR_W_DIV, MMR_W_REL
+        # Delegates the λ-scoring to the SAME greedy core the
+        # oracle-checked cogrouped operator uses (mmr_greedy), so the
+        # engine's retriever cannot drift from the hash-verified
+        # algebra. Collecting fetch_k (≈8) candidate rows is bounded by
+        # construction; the distributed form for query batches is
+        # q_mmr_rerank.
+        from .operators.ranking import mmr_greedy
 
         qvec = embed_text(question, self.dim)
-        cand = topk_cosine(
-            self.index(),
-            qvec,
-            k=fetch_k,
-            id_cols=("doc_id", "chunk_id"),
-            payload_cols=("text", "embedding"),
-        ).collect()
+        cand = {
+            (r.doc_id, r.chunk_id): r
+            for r in topk_cosine(
+                self.index(),
+                qvec,
+                k=fetch_k,
+                id_cols=("doc_id", "chunk_id"),
+                payload_cols=("text", "embedding"),
+            ).collect()
+        }
 
         def cos(a, b) -> float:
-            num = sum(x * y for x, y in zip(a, b))
-            na = sum(x * x for x in a) ** 0.5
-            nb = sum(y * y for y in b) ** 0.5
+            ea, eb = cand[a].embedding, cand[b].embedding
+            num = sum(x * y for x, y in zip(ea, eb))
+            na = sum(x * x for x in ea) ** 0.5
+            nb = sum(y * y for y in eb) ** 0.5
             return num / (na * nb) if na > 0 and nb > 0 else 0.0
 
-        selected: list = []
-        remaining = list(cand)
-        while remaining and len(selected) < k:
-            if not selected:
-                best = min(
-                    remaining, key=lambda r: (-r.score, r.doc_id, r.chunk_id)
-                )
-            else:
-                def mmr_key(r):
-                    div = max(cos(r.embedding, s.embedding) for s in selected)
-                    return (-(MMR_W_REL * r.score - MMR_W_DIV * div), r.doc_id, r.chunk_id)
-
-                best = min(remaining, key=mmr_key)
-            selected.append(best)
-            remaining.remove(best)
+        rel = {key: float(r.score) for key, r in cand.items()}
+        picked = [cand[key] for key, _, _ in mmr_greedy(rel, cos, k)]
         return self.spark.createDataFrame(
-            [(r.doc_id, r.chunk_id, r.text, float(r.score)) for r in selected],
+            [(r.doc_id, r.chunk_id, r.text, float(r.score)) for r in picked],
             "doc_id long, chunk_id int, text string, score double",
         )
 

@@ -299,6 +299,44 @@ def _round6(x: float) -> float:
     return math.floor(x * 1e6 + 0.5) / 1e6 if x >= 0 else math.ceil(x * 1e6 - 0.5) / 1e6
 
 
+def mmr_greedy(rel, sim, k):
+    """The ONE greedy-MMR scoring core, shared by the distributed
+    cogrouped operator (:func:`mmr_rerank`) and the engine's bounded
+    driver-side retriever (``RagEngine._retrieve_mmr``) so the λ-algebra
+    cannot drift between the oracle-checked form and the user-facing
+    one.
+
+    ``rel``: dict key → relevance (pre-rounded to 6 decimals); keys are
+    any orderable type (int vec_id, or (doc_id, chunk_id) tuple).
+    ``sim(a, b)``: pairwise candidate similarity.
+
+    Step 1 picks max relevance; steps 2..k pick
+    argmax round(λ·rel − (1−λ)·max_sim_to_selected, 6); every tie
+    breaks by key ascending. Returns ``[(key, step, score)]``.
+    """
+    remaining = dict(rel)
+    selected: list = []
+    out = []
+    for step in range(1, min(k, len(remaining)) + 1):
+        best_key, best_score = None, None
+        for key, r in remaining.items():
+            if step == 1:
+                sc = r
+            else:
+                ms = max(sim(key, s) for s in selected)
+                sc = _round6(MMR_W_REL * r - MMR_W_DIV * ms)
+            if (
+                best_score is None
+                or sc > best_score
+                or (sc == best_score and key < best_key)
+            ):
+                best_key, best_score = key, sc
+        selected.append(best_key)
+        del remaining[best_key]
+        out.append((best_key, step, best_score))
+    return out
+
+
 def mmr_rerank(cand: DataFrame, pair: DataFrame, k: int = 4) -> DataFrame:
     """Maximal-marginal-relevance re-ranking (the diversification step
     LangChain retrievers expose as ``search_type="mmr"``; the reference
@@ -326,46 +364,20 @@ def mmr_rerank(cand: DataFrame, pair: DataFrame, k: int = 4) -> DataFrame:
     """
     import pandas as pd
 
-    lam, lam1 = MMR_W_REL, MMR_W_DIV
-
     def run(key, cdf: "pd.DataFrame", pdf: "pd.DataFrame") -> "pd.DataFrame":
         qid = int(key[0])
         sim = {
             (int(a), int(b)): float(s)
             for a, b, s in zip(pdf["a_id"], pdf["b_id"], pdf["sim"])
         }
-        remaining = {
-            int(v): float(r) for v, r in zip(cdf["vec_id"], cdf["rel"])
-        }
-        out_step, out_vec, out_score = [], [], []
-        selected: list[int] = []
-        for step in range(1, min(k, len(remaining)) + 1):
-            if step == 1:
-                best = max(remaining.items(), key=lambda it: (it[1], -it[0]))
-                vec, score = best[0], best[1]
-            else:
-                best_vec, best_score = None, None
-                for vec_id, rel in remaining.items():
-                    ms = max(sim.get((vec_id, s), 0.0) for s in selected)
-                    sc = _round6(lam * rel - lam1 * ms)
-                    if (
-                        best_score is None
-                        or sc > best_score
-                        or (sc == best_score and vec_id < best_vec)
-                    ):
-                        best_vec, best_score = vec_id, sc
-                vec, score = best_vec, best_score
-            selected.append(vec)
-            del remaining[vec]
-            out_step.append(step)
-            out_vec.append(vec)
-            out_score.append(score)
+        rel = {int(v): float(r) for v, r in zip(cdf["vec_id"], cdf["rel"])}
+        picked = mmr_greedy(rel, lambda a, b: sim.get((a, b), 0.0), k)
         return pd.DataFrame(
             {
-                "query_id": [qid] * len(out_step),
-                "step": out_step,
-                "vec_id": out_vec,
-                "score": out_score,
+                "query_id": [qid] * len(picked),
+                "step": [s for _, s, _ in picked],
+                "vec_id": [v for v, _, _ in picked],
+                "score": [sc for _, _, sc in picked],
             }
         )
 
