@@ -152,7 +152,17 @@ def replay_sessions_tws(events_stream: DataFrame) -> DataFrame:
     Runtime dependency: the TWS state protocol speaks protobuf between
     the JVM and the Python driver worker — running this path requires
     the ``protobuf`` package (absent in the test container, where the
-    equality test skips and the GroupState twin pins the semantics)."""
+    equality test skips and the GroupState twin pins the semantics).
+
+    **Ships unexercised**: as of round 4 this function has never been
+    EXECUTED in this environment (``pip install`` is disallowed and
+    protobuf is not baked in, re-verified 2026-08-14), only
+    imported/compiled. The ``_replay`` core it wraps IS exercised —
+    batch grouped-map and GroupState forms are equality-tested and
+    driver-hash-verified — so the residual risk is confined to the TWS
+    handle wiring. Run ``tests/test_streaming.py`` (the one skipped
+    test) once in any protobuf-capable environment before relying on
+    this path in production."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
