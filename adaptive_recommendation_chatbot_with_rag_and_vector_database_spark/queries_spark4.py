@@ -160,3 +160,137 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("max_k"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+# --- Q1: recursive CTE (Spark 4.1 WITH RECURSIVE) ---------------------------
+
+
+_REC_MAX_KEY = 127  # bounded ancestry frontier: depth ≤ log2(127) = 7
+
+
+@query(
+    "q_recursive_cte",
+    oracle=f"""
+    WITH RECURSIVE anc(p_partkey, node, depth) AS (
+      SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey <= {_REC_MAX_KEY}
+      UNION ALL
+      SELECT p_partkey, node // 2, depth + 1 FROM anc WHERE node > 1
+    )
+    SELECT p_partkey,
+           max(depth) AS depth,
+           CAST(sum(node) AS BIGINT) AS path_sum
+    FROM anc GROUP BY p_partkey ORDER BY p_partkey
+    """,
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.1 ``WITH RECURSIVE``): walk each part's
+    assembly ancestry up a binary parent tree (parent = key DIV 2),
+    emitting per-part depth and ancestor-key checksum. The engine
+    executes recursion as iterate-until-empty-frontier distributed
+    union steps — each iteration one keyed join/scan over ONLY the
+    still-active frontier, the same convergence shape as the
+    connected-components operator (operators/dedup.py) — so a
+    1000-executor hierarchy walk (BOM explosion, org rollup, graph
+    reachability) is log-depth in rounds, never a driver loop. The
+    frontier here is key-bounded so the result is identical at every
+    sf. Spark-side integer division is ``DIV`` (SQL ``/`` widens to
+    DOUBLE and would fail the recursive branch-type merge); DuckDB's
+    is ``//``."""
+    load_table(spark, "part", sf_dir).createOrReplaceTempView("part")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE anc(p_partkey, node, depth) AS (
+          SELECT p_partkey, p_partkey, 0
+          FROM part WHERE p_partkey <= {_REC_MAX_KEY}
+          UNION ALL
+          SELECT p_partkey, node DIV 2, depth + 1 FROM anc WHERE node > 1
+        )
+        SELECT p_partkey,
+               max(depth) AS depth,
+               CAST(sum(node) AS BIGINT) AS path_sum
+        FROM anc GROUP BY p_partkey ORDER BY p_partkey
+        """
+    )
+
+
+# --- Q2: SQL pipe syntax (Spark 4 |> operators) -----------------------------
+
+
+@query(
+    "q_sql_pipe",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           round(avg(l_discount), 6) AS avg_disc
+    FROM lineitem
+    WHERE l_quantity < 25
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 ``|>``): the TPC-H Q1 shape written as
+    a linear pipeline — FROM |> WHERE |> AGGREGATE … GROUP BY |> ORDER
+    BY — the composable form Spark 4 added so multi-step SQL reads in
+    dataflow order. Catalyst lowers it to the IDENTICAL logical plan
+    as the nested form (filter pushed to the scan, partial aggregates
+    map-side), so the surface is free at any scale; the oracle is the
+    classic syntax, proving plan equivalence by value hash."""
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity < 25
+        |> AGGREGATE count(*) AS n,
+                     round(sum(l_extendedprice), 2) AS sum_price,
+                     round(avg(l_discount), 6) AS avg_disc
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n, sum_price, avg_disc
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+# --- Q3: correlated LATERAL subquery top-k per group ------------------------
+
+
+@query(
+    "q_lateral_topk",
+    oracle="""
+    SELECT r.r_name, t.n_name, round(t.tot, 2) AS tot
+    FROM region r,
+    LATERAL (
+      SELECT n.n_name, sum(c.c_acctbal) AS tot
+      FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+      WHERE n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name ORDER BY tot DESC, n.n_name LIMIT 2
+    ) t
+    ORDER BY r.r_name, tot DESC, t.n_name
+    """,
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark 4): per region, the top-2
+    nations by total customer balance, expressed as the SQL-standard
+    lateral join rather than a window + filter. Catalyst decorrelates
+    the subquery into a join + per-group limit over the outer keys —
+    the same WindowGroupLimit physical shape as the O3 per-group top-k
+    — so the lateral form costs one keyed aggregation regardless of
+    outer cardinality; nothing re-executes per outer row the way the
+    syntax suggests. The oracle is DuckDB's native LATERAL, same
+    text."""
+    for t in ("region", "nation", "customer"):
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT r.r_name, t.n_name, round(t.tot, 2) AS tot
+        FROM region r,
+        LATERAL (
+          SELECT n.n_name, sum(c.c_acctbal) AS tot
+          FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          GROUP BY n.n_name ORDER BY tot DESC, n.n_name LIMIT 2
+        ) t
+        ORDER BY r.r_name, tot DESC, t.n_name
+        """
+    )

@@ -336,3 +336,54 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "view"),
         ev.filter(F.col("event_type") == "purchase"),
     )
+
+
+# --- T11: sliding (hopping) event-time windows ------------------------------
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+    WITH two AS (
+      SELECT event_type, value,
+             time_bucket(INTERVAL 5 MINUTE, ts) AS w_start
+      FROM events
+      UNION ALL
+      SELECT event_type, value,
+             time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE
+      FROM events
+    )
+    SELECT w_start, event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM two GROUP BY w_start, event_type
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time windows (T11): 10-minute windows
+    every 5 minutes via ``F.window(ts, '10 minutes', '5 minutes')`` —
+    the moving-aggregate form between T2's tumbling and T7's trailing
+    range frame. Spark assigns each event to its ⌈len/slide⌉ = 2
+    overlapping epoch-aligned windows at SCAN time (a 2-row Expand,
+    map-side), then one keyed aggregation — no self-join, no window
+    sort, and the streaming execution of the identical expression
+    keeps one running partial per open window under the watermark. The
+    oracle re-derives the two window starts per event with
+    ``time_bucket`` (epoch-aligned for 5-minute buckets) and a 2-way
+    union — same assignment, same counts, value-hash equal."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.tokenize import SQL_TOKS, toks_col
 from .operators.ranking import bm25_oracle_parts, bm25_scores
 from .registry import query
 from .sources.loaders import load_table
@@ -256,3 +257,67 @@ def q_retrieval_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "pos_doc", F.col("bm25").alias("pos_score"), "neg_doc")
         .orderBy("rank")
     )
+
+
+# --- L4: length-bucketed batching / padding-efficiency report ---------------
+
+_PAD_BUCKET = 64  # tokens per length bucket
+
+
+@query(
+    "q_padding_efficiency",
+    oracle=f"""
+    WITH lens AS (
+      SELECT greatest(len({SQL_TOKS}), 1) AS tok_len
+      FROM documents),
+    b AS (
+      SELECT ((tok_len - 1) // {_PAD_BUCKET}) AS bucket, tok_len FROM lens)
+    SELECT bucket,
+           count(*) AS n_docs,
+           max(tok_len) AS max_len,
+           CAST(sum(tok_len) AS BIGINT) AS sum_len,
+           CAST(count(*) * max(tok_len) - sum(tok_len) AS BIGINT)
+             AS pad_waste,
+           round(CAST(sum(tok_len) AS DOUBLE)
+                 / (count(*) * max(tok_len)), 6) AS efficiency
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching report (L4): assign each document to a
+    64-token length bucket and measure the padding a
+    fixed-shape training batch built from that bucket would waste
+    (bucket-max minus actual length, summed). This is the feedback
+    metric for sequence-packing/batching policy — comparing its
+    ``pad_waste`` against q_pack_sequences' packed output quantifies
+    what first-fit packing saves. One scan (token count is scan-side
+    Catalyst), one keyed aggregation; at 100 TB the exchange carries
+    one partial per (partition, bucket) — nothing pairwise, nothing
+    collected."""
+    docs = load_table(spark, "documents", sf_dir)
+    lens = docs.select(
+        F.greatest(F.size(toks_col("text")), F.lit(1)).alias("tok_len")
+    )
+    b = lens.withColumn(
+        "bucket",
+        F.floor((F.col("tok_len") - 1) / _PAD_BUCKET).cast("long"),
+    )
+    agg = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("tok_len").alias("max_len"),
+        F.sum("tok_len").cast("long").alias("sum_len"),
+    )
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "max_len",
+        "sum_len",
+        (F.col("n_docs") * F.col("max_len") - F.col("sum_len"))
+        .cast("long")
+        .alias("pad_waste"),
+        F.round(
+            F.col("sum_len").cast("double")
+            / (F.col("n_docs") * F.col("max_len")),
+            6,
+        ).alias("efficiency"),
+    ).orderBy("bucket")

@@ -32,6 +32,8 @@ _SMOKE = [
     "q_mmr_rerank",  # retrieval, cogrouped applyInPandas greedy
     "q_python_datasource",  # spark4, Python DataSource registration
     "q_udtf_chunks",  # spark4, UDTF registration + LATERAL join
+    "q_recursive_cte",  # spark4 wave 14, WITH RECURSIVE execution
+    "q_stream_sliding",  # streaming wave 14, sliding F.window over events
 ]
 
 _SCRIPT = """
