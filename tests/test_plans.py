@@ -539,3 +539,64 @@ def test_cusum_stacked_windows_one_keyed_exchange(spark):
     assert "SinglePartition" not in plan
     assert "BroadcastHashJoin" in plan
     assert "Python" not in plan
+
+
+def test_sliding_window_is_expand_plus_one_keyed_exchange(spark):
+    plan = _plan(spark, "q_stream_sliding")
+    # window assignment is a scan-time 2-row Expand (map-side), then
+    # partial aggregates combine before the single keyed exchange —
+    # no self-join and no window sort for a hopping aggregate
+    assert "Expand" in plan
+    assert "partial_count" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_lateral_topk_decorrelates_to_group_limit(spark):
+    plan = _plan(spark, "q_lateral_topk")
+    # the correlated LATERAL subquery must NOT re-execute per outer
+    # row: Catalyst decorrelates it into a broadcast join over a
+    # per-group WindowGroupLimit (partial below the exchange)
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Partial" in plan
+
+
+def test_sql_pipe_lowers_to_pushed_scan(spark):
+    plan = _plan(spark, "q_sql_pipe")
+    # pipe syntax is surface only — same plan as nested SQL: the WHERE
+    # reaches the parquet scan and aggregates combine map-side
+    assert "LessThan(l_quantity,25.0)" in plan
+    assert "partial_count" in plan
+    read_schema = plan.split("ReadSchema:")[1]
+    assert "l_comment" not in read_schema
+
+
+def test_recursive_cte_filters_anchor_at_scan(spark):
+    plan = _plan(spark, "q_recursive_cte")
+    # recursion executes as UnionLoop iterate-until-empty steps; the
+    # anchor's key bound prunes at the relation, so each iteration's
+    # frontier is bounded, never the full part table
+    assert "UnionLoop" in plan
+    assert "p_partkey" in plan and "<= 127" in plan
+
+
+def test_padding_efficiency_single_scan_one_exchange(spark):
+    plan = _plan(spark, "q_padding_efficiency")
+    # token count is scan-side Catalyst (no Python), one keyed
+    # exchange carrying per-bucket partials, text-only read schema
+    assert "Python" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    read_schema = plan.split("ReadSchema:")[1]
+    assert "struct<text:string>" in read_schema
+
+
+def test_late_interaction_partials_inside_kernel(spark):
+    plan = _plan(spark, "q_late_interaction")
+    # the Arrow kernel emits per-partition (label, probe) partial
+    # maxima, so the first keyed exchange carries partials — the raw
+    # |rows| x |probes| pair space never materializes in the plan
+    assert "MapInPandas" in plan
+    assert "partial_max" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
