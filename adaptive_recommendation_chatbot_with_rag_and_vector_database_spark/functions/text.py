@@ -19,6 +19,8 @@ import numpy as np
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .tokenize import ASCII_WS_PATTERN
+
 # --- shared constants (also consumed by the DuckDB oracle SQL) -------------
 
 MERSENNE_P = 2147483647  # 2^31 - 1
@@ -49,7 +51,7 @@ TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 def tokens(text: Column | str) -> Column:
     """Whitespace word tokens of lowercased text (empties dropped)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != "")
+    return F.filter(F.split(F.lower(c), ASCII_WS_PATTERN), lambda x: x != "")
 
 
 def distinct_tokens(text: Column | str) -> Column:
@@ -220,7 +222,7 @@ def quality_score(text: Column | str) -> Column:
 def fingerprint(text: Column | str) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+    return F.md5(F.trim(F.regexp_replace(F.lower(c), ASCII_WS_PATTERN, " ")))
 
 
 def word_bigrams(toks: Column) -> Column:

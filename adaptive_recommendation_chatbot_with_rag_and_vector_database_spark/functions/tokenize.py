@@ -6,13 +6,20 @@ empties). Before this module the pair was declared verbatim in five
 query modules; one stale copy would silently break oracle parity for
 that module's queries, so both sides now come from here.
 
-The Python-side equivalent (used inside Arrow-batched UDFs, e.g. the
-Misra-Gries sketch) is :func:`py_toks` below. It deliberately does NOT
-use bare ``str.split()``: that splits on *Unicode* whitespace (NBSP,
-U+2000…U+200A, …) while Java's default ``\\s`` (Spark) and RE2's
-``\\s`` (DuckDB) are ASCII-only, so on text containing non-ASCII
-whitespace a bare-split tokenizer would build a different token stream
-than the two engines being compared.
+The whitespace class is pinned to RE2's ``\\s`` — ``[ \\t\\n\\f\\r]``,
+space/tab/LF/FF/CR and NOTHING else — because that is the one class the
+oracle side cannot deviate from (DuckDB regexes are RE2, and every
+blessed oracle already embeds ``\\s+``). The two classes an
+implementation might reach for by habit both disagree with it on real
+bytes:
+
+- Java's default ``\\s`` ALSO matches vertical tab (U+000B), so a
+  Spark-side ``split(_, '\\s+')`` tokenizes VT-containing text
+  differently than the oracle (found by tests/test_tokenize.py);
+  Spark-side splits therefore use :data:`ASCII_WS_PATTERN`, the
+  explicit class, never the ``\\s`` shorthand.
+- Python's bare ``str.split()`` splits on *Unicode* whitespace (NBSP,
+  U+2000…U+200A, …); UDF-side code therefore uses :func:`py_toks`.
 """
 
 from __future__ import annotations
@@ -22,10 +29,14 @@ import re
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: Java's default ``\s`` class (Pattern docs): ASCII space, tab, LF,
-#: vertical tab, form feed, CR. This is what Spark's ``split(_, '\s+')``
-#: matches, so the Python twin must match exactly the same bytes.
-_ASCII_WS = re.compile("[ \t\n\x0b\f\r]+")
+#: THE whitespace class, written out: RE2's ``\s`` (space, tab, LF, FF,
+#: CR — no vertical tab, no Unicode spaces). Valid as a Java regex, an
+#: RE2 regex, and a Python regex, so every engine splits on the same
+#: bytes. Use this in any Spark ``split``/``regexp_replace`` that an
+#: oracle mirrors with ``\s``.
+ASCII_WS_PATTERN = "[ \t\n\f\r]+"
+
+_ASCII_WS = re.compile(ASCII_WS_PATTERN)
 
 
 def py_toks(text: str) -> list[str]:
@@ -53,4 +64,4 @@ SQL_TOKS = sql_toks()
 def toks_col(col: str = "text") -> Column:
     """Spark Column twin of :func:`sql_toks`. Built lazily — the HOF
     lambda needs an active session to compile."""
-    return F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != "")
+    return F.filter(F.split(F.lower(col), ASCII_WS_PATTERN), lambda x: x != "")

@@ -28,7 +28,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.tokenize import sql_toks
+from ..functions.tokenize import ASCII_WS_PATTERN, sql_toks
 
 # Okapi BM25 constants (standard defaults).
 BM25_K1 = 1.2
@@ -46,7 +46,7 @@ def tokens(col: Column | str) -> Column:
     queries_text._SQL_TOKS): lowercase, split on whitespace, drop
     empties."""
     col = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != "")
+    return F.filter(F.split(F.lower(col), ASCII_WS_PATTERN), lambda x: x != "")
 
 
 def bm25_scores(

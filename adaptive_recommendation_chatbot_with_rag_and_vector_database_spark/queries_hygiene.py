@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.tokenize import ASCII_WS_PATTERN
 from .functions.tokenize import SQL_TOKS as _SQL_TOKS
 from .functions.tokenize import toks_col as _toks
 from .registry import query
@@ -170,7 +171,7 @@ def q_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.md5(
                 F.substring(
-                    F.lower(F.regexp_replace("text", r"\s+", " ")),
+                    F.lower(F.regexp_replace("text", ASCII_WS_PATTERN, " ")),
                     1,
                     _FP_LEN,
                 )

@@ -402,3 +402,33 @@ def test_trending_topk_stream_counts_equal_batch(spark, stream_dir):
 
     want = E.queries()["q_trending_topk"](spark, SF_DIR).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_sliding_window_stream_equals_batch(spark, stream_dir):
+    """T11: streaming sliding (hopping) windows (complete mode) ==
+    batch — the 2-overlapping-window assignment accumulates correctly
+    across micro-batches, including windows that straddle a batch
+    boundary."""
+
+    def sliding(df):
+        return (
+            df.groupBy(
+                F.window("ts", "10 minutes", "5 minutes").alias("w"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("w.start").alias("w_start"), "event_type", "n_events"
+            )
+        )
+
+    _run(sliding(_read_stream(spark, stream_dir)), "t11_sliding", "complete")
+    got = {
+        (r.w_start, r.event_type): r.n_events
+        for r in spark.sql("SELECT * FROM t11_sliding").collect()
+    }
+    want = {
+        (r.w_start, r.event_type): r.n_events
+        for r in sliding(load_table(spark, "events", SF_DIR)).collect()
+    }
+    assert got == want

@@ -1,0 +1,53 @@
+"""Three-way tokenizer-contract agreement (functions/tokenize.py): the
+Spark Column form, the DuckDB SQL form, and the Python UDF-side form
+must produce identical token streams on ANY input — including the
+non-ASCII whitespace that round-3 ADVICE flagged (bare ``str.split()``
+splits on NBSP/U+2000… while Java's and RE2's ``\\s`` are ASCII-only,
+so a UDF tokenizing with bare split would count different tokens than
+the oracle it is hash-compared against)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.functions.tokenize import (
+    py_toks,
+    sql_toks,
+    toks_col,
+)
+
+CASES = [
+    "plain ascii words",
+    "Tabs\tand\nnewlines\rand\x0bvt\x0cff",
+    "nbsp stays attached",  # U+00A0 is NOT ASCII whitespace
+    "en quad  em  thin spaces",
+    "ideographic　space zero​width",
+    "MIXED Case With\tTabs  and  runs",
+    "  leading and trailing  ",
+    "",
+]
+
+
+@pytest.mark.parametrize("text", CASES)
+def test_three_tokenizers_agree(spark, text):
+    spark_toks = (
+        spark.range(1).select(toks_col(F.lit(text)).alias("t")).first()["t"]
+    )
+    con = duckdb.connect()
+    duck_toks = con.execute(
+        f"SELECT {sql_toks('t')} FROM (SELECT ?::VARCHAR AS t)", [text]
+    ).fetchone()[0]
+    con.close()
+    assert py_toks(text) == list(spark_toks) == list(duck_toks)
+
+
+def test_nbsp_is_one_token_everywhere():
+    # the regression the ADVICE named: a bare str.split() would yield
+    # three tokens here and desynchronize the Misra-Gries candidate
+    # set from its exact recount
+    assert py_toks("nbsp stays attached") == ["nbsp stays", "attached"]
+    assert "nbsp stays attached".lower().split() != py_toks(
+        "nbsp stays attached"
+    )
