@@ -28,7 +28,15 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-REPLICATED = {"documents": "doc_id", "embeddings": "vec_id"}
+#: table -> id columns shifted per copy (events shifts BOTH ids so each
+#: copy is new users emitting at the SAME timestamps — windowed state
+#: grows with keys, event-time geometry stays fixed, which is how a
+#: stream actually scales)
+REPLICATED = {
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+    "events": ("event_id", "user_id"),
+}
 SHIFT_QUANTUM = 1200  # lcm-safe over the query-decimation moduli
 
 
@@ -50,20 +58,24 @@ def build_tier(base: str, mult: int, out_root: str = "/tmp/spark_graft_tier") ->
         if name not in REPLICATED:
             os.link(src, dst)
             continue
-        id_col = REPLICATED[name]
+        id_cols = REPLICATED[name]
         t = pq.read_table(src)
-        max_id = pc.max(t[id_col]).as_py()
-        shift = math.ceil((max_id + 1) / SHIFT_QUANTUM) * SHIFT_QUANTUM
+        shifts = {
+            c: math.ceil((pc.max(t[c]).as_py() + 1) / SHIFT_QUANTUM)
+            * SHIFT_QUANTUM
+            for c in id_cols
+        }
         copies = []
         for i in range(mult):
-            if i == 0:
-                copies.append(t)
-                continue
-            shifted = t.set_column(
-                t.schema.get_field_index(id_col),
-                t.schema.field(id_col),
-                pc.add(t[id_col], i * shift),
-            )
+            shifted = t
+            for c in id_cols:
+                if i == 0:
+                    continue
+                shifted = shifted.set_column(
+                    shifted.schema.get_field_index(c),
+                    shifted.schema.field(c),
+                    pc.add(shifted[c], i * shifts[c]),
+                )
             copies.append(shifted)
         pq.write_table(pa.concat_tables(copies), dst)
     with open(done_marker, "w") as fh:
