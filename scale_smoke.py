@@ -77,7 +77,12 @@ def build_tier(base: str, mult: int, out_root: str = "/tmp/spark_graft_tier") ->
                     pc.add(shifted[c], i * shifts[c]),
                 )
             copies.append(shifted)
-        pq.write_table(pa.concat_tables(copies), dst)
+        out = pa.concat_tables(copies)
+        # realistic split geometry: a production N× dataset arrives as
+        # many files/row-groups, so cap row groups at 64 per table —
+        # a single default-sized row group would serialize the scan
+        # into ONE Spark task and misrepresent every slope measured
+        pq.write_table(out, dst, row_group_size=max(10_000, out.num_rows // 64))
     with open(done_marker, "w") as fh:
         fh.write("ok")
     return tier
