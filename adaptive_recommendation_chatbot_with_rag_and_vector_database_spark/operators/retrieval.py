@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..functions.chunker import DEFAULT_CHUNK_SIZE, chunk_documents
 from ..functions.embedder import EMBED_DIM, embedding_udf
-from ..functions.vector import cosine_sim
+from ..functions.vector import cosine_sim, cosine_sim_to_const
 
 # Reference constants (BASELINE.md): retrieval k=4, refusal prefix.
 DEFAULT_K = 4
@@ -171,11 +171,10 @@ def topk_cosine(
     in the plan (broadcast to every task for free). Deterministic
     tie-break on the first id column.
     """
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = index.select(
         *id_cols,
         *payload_cols,
-        cosine_sim(F.col(vec_col), qcol).alias("score"),
+        cosine_sim_to_const(F.col(vec_col), query_vec).alias("score"),
     )
     # orderBy+limit → TakeOrderedAndProject (no global sort at scale)
     return scored.orderBy(F.desc("score"), *[F.asc(c) for c in id_cols]).limit(k)
