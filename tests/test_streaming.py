@@ -432,3 +432,37 @@ def test_sliding_window_stream_equals_batch(spark, stream_dir):
         for r in sliding(load_table(spark, "events", SF_DIR)).collect()
     }
     assert got == want
+
+
+def test_sliding_watermark_append_counts_match_batch(spark, stream_dir):
+    """T11 + T4: sliding windows under a watermark in append mode —
+    every finalized (window, type) count equals the batch count, and
+    still-open windows are withheld, never emitted wrong. The sliding
+    case is stricter than tumbling: each event lives in TWO windows
+    with different close times, so a watermark bug would emit one of
+    the pair early with a partial count."""
+    agg = (
+        _read_stream(spark, stream_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n_events")
+    )
+    _run(agg, "t11_sliding_append", "append")
+    emitted = spark.sql("SELECT * FROM t11_sliding_append").collect()
+    assert emitted, "append mode should finalize sliding windows"
+    batch = {
+        (r.w_start, r.event_type): r.n_events
+        for r in load_table(spark, "events", SF_DIR)
+        .groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n_events")
+        .collect()
+    }
+    for r in emitted:
+        assert batch[(r.w_start, r.event_type)] == r.n_events
+    assert len(emitted) < len(batch)
