@@ -344,3 +344,83 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --- G5: distribution-drift detection (two-sample KS) ----------------------
+
+
+@query(
+    "q_ks_drift",
+    oracle="""
+    WITH vals AS (SELECT DISTINCT n_chars AS v FROM documents),
+    src AS (SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY 1),
+    cnt AS (SELECT source, n_chars AS v, count(*) AS c
+            FROM documents GROUP BY 1, 2),
+    grid AS (SELECT s.source, s.n, vals.v FROM src s CROSS JOIN vals),
+    cdf AS (
+      SELECT g.source, g.v,
+             sum(COALESCE(c.c, 0)) OVER (PARTITION BY g.source ORDER BY g.v)
+               / g.n AS f
+      FROM grid g LEFT JOIN cnt c ON c.source = g.source AND c.v = g.v),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             max(abs(a.f - b.f)) AS ks
+      FROM cdf a JOIN cdf b ON a.v = b.v AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT src_a, src_b, round(ks, 6) AS ks
+    FROM pairs ORDER BY ks DESC, src_a, src_b LIMIT 25
+    """,
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift detection (G5): for every
+    source pair, KS = max |CDF_a(x) − CDF_b(x)| of the document-length
+    distribution, top-25 most-drifted pairs — the distribution monitor
+    that catches a crawler or preprocessing change shifting one
+    source's shape while means stay similar. Exact, not sampled: CDFs
+    are integer prefix sums over the shared value grid (one window per
+    source partition), the pair comparison joins per-VALUE rows (grid ×
+    sources, never raw documents), and the max aggregates per pair.
+    At 100 TB the grid is the scale knob — quantize values into fixed
+    bins and the same plan runs with a bounded grid while the KS
+    becomes binned-exact (the standard production tradeoff)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    vals = docs.select(F.col("n_chars").alias("v")).distinct()
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    cnt = docs.groupBy(
+        "source", F.col("n_chars").alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    grid = src.crossJoin(vals)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdf = (
+        grid.join(cnt, ["source", "v"], "left")
+        .select(
+            "source",
+            "v",
+            "n",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+        .withColumn("f", F.sum("c").over(w) / F.col("n"))
+    )
+    a = cdf.select(
+        F.col("source").alias("src_a"), "v", F.col("f").alias("fa")
+    )
+    b = cdf.select(
+        F.col("source").alias("src_b"), "v", F.col("f").alias("fb")
+    )
+    return (
+        a.join(b, "v")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.max(F.abs(F.col("fa") - F.col("fb"))).alias("ks"))
+        .select("src_a", "src_b", F.round("ks", 6).alias("ks"))
+        .orderBy(F.desc("ks"), "src_a", "src_b")
+        .limit(25)
+    )

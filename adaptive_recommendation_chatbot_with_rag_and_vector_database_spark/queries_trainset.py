@@ -321,3 +321,64 @@ def q_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("efficiency"),
     ).orderBy("bucket")
+
+
+# --- L5: per-group quantile normalization -----------------------------------
+
+
+@query(
+    "q_quantile_normalize",
+    oracle="""
+    WITH pr AS (
+      SELECT source, n_chars,
+             round(percent_rank() OVER (
+               PARTITION BY source ORDER BY n_chars), 6) AS pr
+      FROM documents)
+    SELECT source,
+           least(CAST(floor(pr * 10) AS BIGINT), 9) AS decile,
+           count(*) AS n_docs,
+           round(avg(pr), 4) AS avg_pr,
+           min(n_chars) AS lo,
+           max(n_chars) AS hi
+    FROM pr GROUP BY source, decile ORDER BY source, decile
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization (L5): map each document's
+    length onto its source-relative percentile (``percent_rank``, the
+    rank-based normalization that makes quality/length thresholds
+    comparable ACROSS sources with different scales — the reason a
+    global n_chars cutoff over-prunes one crawl and under-prunes
+    another), then report per-(source, decile) occupancy and value
+    ranges. One window keyed on source (parallel per key, sort bounded
+    by group size) and one keyed aggregation; at 100 TB the same
+    normalization runs from a per-source quantile sketch
+    (``approx_percentile``) instead of an exact rank — exact here so
+    the oracle hash-checks. Rounding discipline: pr rounded to 6 before
+    the decile/avg (identical rational (rank−1)/(n−1) on both engines),
+    avg rounded to 4 (reassociated sum)."""
+    docs = load_table(spark, "documents", sf_dir)
+    pr = docs.select(
+        "source",
+        "n_chars",
+        F.round(
+            F.percent_rank().over(
+                Window.partitionBy("source").orderBy("n_chars")
+            ),
+            6,
+        ).alias("pr"),
+    )
+    return (
+        pr.withColumn(
+            "decile",
+            F.least(F.floor(F.col("pr") * 10).cast("long"), F.lit(9)),
+        )
+        .groupBy("source", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("pr"), 4).alias("avg_pr"),
+            F.min("n_chars").alias("lo"),
+            F.max("n_chars").alias("hi"),
+        )
+        .orderBy("source", "decile")
+    )

@@ -600,3 +600,21 @@ def test_late_interaction_partials_inside_kernel(spark):
     assert "partial_max" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ks_drift_joins_grid_rows_not_documents(spark):
+    plan = _plan(spark, "q_ks_drift")
+    # the pair comparison joins per-VALUE cdf rows (grid x sources),
+    # never raw documents; the per-source prefix sum is one keyed
+    # window (no SinglePartition over the corpus)
+    assert "Window" in plan
+    assert "partial_count" in plan
+
+
+def test_quantile_normalize_one_keyed_window(spark):
+    plan = _plan(spark, "q_quantile_normalize")
+    # percent_rank keyed on source, then one keyed aggregation — the
+    # window sort is bounded by group size, never global
+    assert "percent_rank" in plan
+    assert "SinglePartition" not in plan
+    assert "Python" not in plan
