@@ -147,3 +147,55 @@ def test_recommend_cold_start_is_defined(engine):
     # unknown session: empty profile still yields k deterministic rows
     rows = engine.recommend("never-seen", k=2).collect()
     assert len(rows) == 2
+
+
+def test_recursive_cte_equals_iterative_dataframe_loop(spark):
+    """q_recursive_cte's UnionLoop semantics cross-checked against a
+    hand-rolled iterate-until-empty DataFrame loop of the same
+    recursion — pins that Spark 4.1's WITH RECURSIVE executes the
+    declared fixpoint, independently of the DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark import registry
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_spark4 import (
+        _REC_MAX_KEY,
+    )
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.sources.loaders import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.p_partkey, r.depth, r.path_sum)
+        for r in registry.queries()["q_recursive_cte"](spark, sf).collect()
+    }
+
+    frontier = (
+        load_table(spark, "part", sf)
+        .filter(F.col("p_partkey") <= _REC_MAX_KEY)
+        .select(
+            "p_partkey",
+            F.col("p_partkey").alias("node"),
+            F.lit(0).alias("depth"),
+        )
+    )
+    acc = frontier
+    while True:
+        frontier = frontier.filter(F.col("node") > 1).select(
+            "p_partkey",
+            F.expr("node DIV 2").alias("node"),
+            (F.col("depth") + 1).alias("depth"),
+        )
+        if frontier.isEmpty():
+            break
+        acc = acc.unionByName(frontier)
+    want = {
+        (r.p_partkey, r.depth, r.path_sum)
+        for r in acc.groupBy("p_partkey")
+        .agg(
+            F.max("depth").alias("depth"),
+            F.sum("node").cast("long").alias("path_sum"),
+        )
+        .collect()
+    }
+    assert got == want and got
