@@ -649,13 +649,18 @@ def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     The roundtrip carries a deterministic 1/8 keyed slice of orders:
     format fidelity is per-row, so a larger sample buys no extra
     checking power, only serialization wall-time (this query is a
-    driver-budget eater otherwise — 4 ser/de roundtrips)."""
-    import os
+    driver-budget eater otherwise — 4 ser/de roundtrips).
+
+    Each run stages into its own directory (mkdtemp): the write→read
+    roundtrip is not atomic, so a shared fixed path would let two
+    concurrent runs (driver + bench) interleave an overwrite with a
+    read — the q_schema_evolution /tmp-collision class."""
+    import tempfile
 
     from .sources.loaders import roundtrip
 
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 8 == 0)
-    base = f"/tmp/spark_graft_io/{os.path.basename(sf_dir.rstrip('/'))}"
+    base = tempfile.mkdtemp(prefix="spark_graft_io_")
     out = None
     for fmt in ("csv", "json", "orc", "xml"):
         back = roundtrip(orders, f"{base}/orders_{fmt}", fmt)

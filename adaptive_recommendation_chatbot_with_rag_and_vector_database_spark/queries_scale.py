@@ -514,34 +514,42 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     (asserted in tests/test_scale_queries.py) so non-matching
     directories are never opened.
 
-    The partitioned copy is built once per SOURCE FILE (guarded on the
-    _SUCCESS marker plus a fingerprint of the source events.parquet
-    mtime+size, so a regenerated fixture at the same path rebuilds the
-    layout instead of silently serving stale data; on a cluster the
-    fingerprint is the source table's snapshot/commit id) — the layout
-    is an index artifact like the IVF cell layout in write_ivf_index,
-    amortized across every slice query after it."""
+    The partitioned copy is built once per SOURCE FILE: the source
+    fingerprint (events.parquet mtime+size — on a cluster, the table's
+    snapshot/commit id) is part of the directory NAME, so each source
+    version gets an immutable layout directory. A cold build stages
+    into a unique temp dir and atomically renames it into place —
+    if a concurrent run (driver + bench) wins the rename, this run
+    discards its copy and reads the winner's, so no reader ever sees a
+    half-written layout (the /tmp-collision class from the round-3
+    advice). A regenerated fixture changes the fingerprint and thus
+    the path — stale layouts are simply never addressed again."""
+    import hashlib
     import os
+    import shutil
+    import uuid
 
-    base = f"/tmp/spark_graft_part/{os.path.basename(sf_dir.rstrip('/'))}/events_by_day"
     src = os.path.join(sf_dir, "events.parquet")
     st = os.stat(src)
     src_tag = f"{st.st_mtime_ns}:{st.st_size}"
-    marker = f"{base}/_SRC_FINGERPRINT"
-    fresh = False
-    if os.path.exists(f"{base}/_SUCCESS") and os.path.exists(marker):
-        with open(marker) as fh:
-            fresh = fh.read().strip() == src_tag
-    if not fresh:
+    ver = hashlib.sha256(src_tag.encode()).hexdigest()[:12]
+    root = f"/tmp/spark_graft_part/{os.path.basename(sf_dir.rstrip('/'))}"
+    base = f"{root}/events_by_day_{ver}"
+    if not os.path.exists(f"{base}/_SUCCESS"):
+        stage = f"{root}/.stage-{uuid.uuid4().hex}"
         ev = _t(spark, sf_dir, "events")
         (
             ev.withColumn("day", F.to_date("ts"))
             .write.mode("overwrite")
             .partitionBy("day")
-            .parquet(base)
+            .parquet(stage)
         )
-        with open(marker, "w") as fh:
-            fh.write(src_tag)
+        try:
+            os.rename(stage, base)
+        except OSError:
+            # a concurrent builder renamed first; its layout is
+            # complete by construction — use it, drop ours
+            shutil.rmtree(stage, ignore_errors=True)
     part = spark.read.parquet(base)
     return (
         part.filter(F.col("day").cast("string") == "2024-01-15")
@@ -576,37 +584,42 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the plan is the tiny post-join re-agg on o_orderstatus
     (asserted in tests/test_scale_queries.py).
 
-    Layout freshness follows the q_partition_prune recipe: rebuilt
-    whenever the source parquet mtime/size fingerprint changes."""
+    Layout freshness follows the q_partition_prune recipe: the source
+    mtime/size fingerprint is part of the TABLE NAME, so each source
+    version addresses its own immutable bucketed tables and two
+    concurrent runs (driver + bench) never drop/recreate the table the
+    other is reading — the /tmp-collision class from the round-3
+    advice. Stale versions linger in the ephemeral warehouse dir, which
+    is the standard cost of immutable layout versioning."""
+    import hashlib
     import os
     import re
 
     tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")))
-    li_tbl, ord_tbl = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
     src_tag = ":".join(
         f"{os.stat(os.path.join(sf_dir, t + '.parquet')).st_mtime_ns}"
         f"-{os.stat(os.path.join(sf_dir, t + '.parquet')).st_size}"
         for t in ("lineitem", "orders")
     )
-    marker_dir = f"/tmp/spark_graft_bkt/{tag}"
-    marker = f"{marker_dir}/_SRC_FINGERPRINT"
-    fresh = False
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            fresh = fh.read().strip() == src_tag
-    fresh = (
-        fresh
-        and spark.catalog.tableExists(li_tbl)
-        and spark.catalog.tableExists(ord_tbl)
+    # version = source fingerprint + THIS session's application id:
+    # the fingerprint re-buckets when the fixture regenerates, and the
+    # app id makes the name unique per session, so two concurrent
+    # sessions sharing the ephemeral warehouse dir can never write (or
+    # drop) each other's tables. Amortization is per-session, which is
+    # the real workload shape (driver and bench are each one session).
+    app = re.sub(r"[^A-Za-z0-9_]", "_", spark.sparkContext.applicationId)
+    ver = hashlib.sha256(f"{src_tag}:{app}".encode()).hexdigest()[:12]
+    li_tbl, ord_tbl = f"bkt_lineitem_{tag}_{ver}", f"bkt_orders_{tag}_{ver}"
+    fresh = spark.catalog.tableExists(li_tbl) and spark.catalog.tableExists(
+        ord_tbl
     )
     if not fresh:
         import shutil
 
         from .sources.loaders import write_bucketed
 
-        # a fresh session's in-memory catalog won't know tables written
-        # by an earlier session, but their warehouse locations persist —
-        # clear both, or saveAsTable fails on LOCATION_ALREADY_EXISTS
+        # defensive: an app-id collision across container restarts can
+        # leave a stale warehouse location under this name
         wh = spark.conf.get(
             "spark.sql.warehouse.dir", "spark-warehouse"
         ).removeprefix("file:")
@@ -623,9 +636,6 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         write_bucketed(li, li_tbl, "okey")
         write_bucketed(orders, ord_tbl, "okey")
-        os.makedirs(marker_dir, exist_ok=True)
-        with open(marker, "w") as fh:
-            fh.write(src_tag)
     return (
         spark.table(li_tbl)
         .join(spark.table(ord_tbl), "okey")
