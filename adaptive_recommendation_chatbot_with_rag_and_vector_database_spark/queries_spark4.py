@@ -294,3 +294,115 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY r.r_name, tot DESC, t.n_name
         """
     )
+
+
+# --- Q4: collation-aware grouping (Spark 4 collations) ----------------------
+
+
+@query(
+    "q_collated_groupby",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
+               AS v
+      FROM documents)
+    SELECT min(v) AS canon, count(*) AS n
+    FROM mixed GROUP BY lower(v) ORDER BY canon
+    """,
+)
+def q_collated_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collations): a deterministic
+    half-uppercased copy of the source column groups under
+    ``collate(v, 'UTF8_LCASE')`` — the engine-level case-insensitive
+    equality that replaces scattering ``lower()`` into every
+    expression; under a collation, comparisons, GROUP BY, and joins
+    are all case-insensitive while the stored bytes stay untouched.
+    Because the collated group's representative value is
+    partition-order-dependent, the output canonicalizes with
+    ``min(v)`` (binary min — deterministic), which is also exactly how
+    the lower()-based oracle labels its groups. At 100 TB collation
+    pushes the case-folding into the hash/compare path (no derived
+    column, no double storage)."""
+    mixed = load_table(spark, "documents", sf_dir).select(
+        F.when(
+            F.col("doc_id") % 2 == 0, F.upper("source")
+        ).otherwise(F.col("source")).alias("v")
+    )
+    return (
+        mixed.groupBy(F.collate(F.col("v"), "UTF8_LCASE").alias("g"))
+        .agg(F.min("v").alias("canon"), F.count(F.lit(1)).alias("n"))
+        .select("canon", "n")
+        .orderBy("canon")
+    )
+
+
+# --- Q5: inline observed metrics (df.observe) -------------------------------
+
+
+@query(
+    "q_observe_metrics",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_null_qty,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           round(min(l_discount), 4) AS min_disc,
+           round(max(l_discount), 4) AS max_disc
+    FROM lineitem
+    """,
+)
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline observed metrics (``df.observe`` + ``Observation``, the
+    Spark data-quality-gate surface): accumulator-style aggregates
+    computed DURING a workload query's own scan — row count, null
+    count, value bounds — with ZERO extra pass over the data. This is
+    how a 100 TB pipeline gets its per-run quality report for free: the
+    metrics ride the tasks of the query the user already paid for
+    (versus q_data_profile's dedicated profiling scan). The observed
+    pipeline here is the Q1-style aggregate; the metrics surface as a
+    1-row DataFrame the oracle re-derives with plain SQL."""
+    from pyspark.sql import Observation
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    obs = Observation("dq")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("n_null_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.min("l_discount"), 4).alias("min_disc"),
+        F.round(F.max("l_discount"), 4).alias("max_disc"),
+    )
+    # the workload the metrics piggyback on (its result is the user's;
+    # here it just drives the action that materializes the observation)
+    observed.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("q")
+    ).collect()
+    m = obs.get
+    schema = StructType(
+        [
+            StructField("n_rows", LongType()),
+            StructField("n_null_qty", LongType()),
+            StructField("sum_price", DoubleType()),
+            StructField("min_disc", DoubleType()),
+            StructField("max_disc", DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_null_qty"],
+                float(m["sum_price"]),
+                float(m["min_disc"]),
+                float(m["max_disc"]),
+            )
+        ],
+        schema,
+    )
