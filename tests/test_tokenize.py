@@ -51,3 +51,34 @@ def test_nbsp_is_one_token_everywhere():
     assert "nbsp stays attached".lower().split() != py_toks(
         "nbsp stays attached"
     )
+
+
+def test_fuzz_py_vs_duckdb_tokenizers():
+    """Hypothesis fuzz of the Python↔DuckDB tokenizer pair over
+    arbitrary unicode (the Spark side is pinned to the same explicit
+    character class by construction and by the curated cases above;
+    driving a Spark job per example would be prohibitively slow)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",),  # no lone surrogates
+            ),
+            max_size=60,
+        )
+    )
+    def check(text):
+        if "\x00" in text:
+            return  # NUL is not representable in a DuckDB VARCHAR
+        duck = con.execute(
+            f"SELECT {sql_toks('t')} FROM (SELECT ?::VARCHAR AS t)", [text]
+        ).fetchone()[0]
+        assert py_toks(text) == list(duck)
+
+    check()
