@@ -36,7 +36,15 @@ REPLICATED = {
     "documents": ("doc_id",),
     "embeddings": ("vec_id",),
     "events": ("event_id", "user_id"),
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey",),
 }
+#: columns that must shift by the SAME amount across tables so foreign
+#: keys stay consistent (orders↔lineitem share the order-key space;
+#: o_custkey / l_partkey / l_suppkey stay unshifted, so each copy is
+#: new orders over the SAME customer/part/supplier dimensions — the
+#: fact-grows-dims-don't shape of a real warehouse scale-up)
+SHARED_SHIFT_GROUPS = ({"o_orderkey", "l_orderkey"},)
 SHIFT_QUANTUM = 1200  # lcm-safe over the query-decimation moduli
 
 
@@ -50,6 +58,19 @@ def build_tier(base: str, mult: int, out_root: str = "/tmp/spark_graft_tier") ->
     if os.path.exists(done_marker):
         return tier
     os.makedirs(tier, exist_ok=True)
+    # one shared shift per FK group, derived from the max over every
+    # member column so shifted keys never collide in any member table
+    group_shift: dict[str, int] = {}
+    for group in SHARED_SHIFT_GROUPS:
+        mx = 0
+        for name, cols in REPLICATED.items():
+            for c in cols:
+                if c in group:
+                    t = pq.read_table(f"{base}/{name}.parquet", columns=[c])
+                    mx = max(mx, pc.max(t[c]).as_py())
+        shift = math.ceil((mx + 1) / SHIFT_QUANTUM) * SHIFT_QUANTUM
+        for c in group:
+            group_shift[c] = shift
     for name in TABLES:
         src = f"{base}/{name}.parquet"
         dst = f"{tier}/{name}.parquet"
@@ -61,7 +82,8 @@ def build_tier(base: str, mult: int, out_root: str = "/tmp/spark_graft_tier") ->
         id_cols = REPLICATED[name]
         t = pq.read_table(src)
         shifts = {
-            c: math.ceil((pc.max(t[c]).as_py() + 1) / SHIFT_QUANTUM)
+            c: group_shift.get(c)
+            or math.ceil((pc.max(t[c]).as_py() + 1) / SHIFT_QUANTUM)
             * SHIFT_QUANTUM
             for c in id_cols
         }
