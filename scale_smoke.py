@@ -111,15 +111,21 @@ def build_tier(base: str, mult: int, out_root: str = "/tmp/spark_graft_tier") ->
 
 
 def time_spark(qfn, spark, sf_dir: str, reps: int) -> float:
+    """Engine-side materialization (noop sink, same as bench.py) — a
+    ``collect()`` here would time driver-transfer of the result set,
+    which for wide-output queries (running windows emit one row per
+    input row) dominates and mismeasures the plan by several ×."""
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        qfn(spark, sf_dir).collect()
+        qfn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
     return round(best, 3)
 
 
 def time_duck(sql: str, sf_dir: str) -> float:
+    """Engine-side materialization for the oracle too (temp table, not
+    fetchall) so neither side pays client-transfer costs."""
     import duckdb
 
     con = duckdb.connect()
@@ -131,7 +137,7 @@ def time_duck(sql: str, sf_dir: str) -> float:
             f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
         )
     t0 = time.perf_counter()
-    con.execute(sql).fetchall()
+    con.execute(f"CREATE OR REPLACE TEMP TABLE _smoke_sink AS ({sql})")
     return round(time.perf_counter() - t0, 3)
 
 
