@@ -618,3 +618,14 @@ def test_quantile_normalize_one_keyed_window(spark):
     assert "percent_rank" in plan
     assert "SinglePartition" not in plan
     assert "Python" not in plan
+
+
+def test_asof_union_window_no_pair_join(spark):
+    plan = _plan(spark, "q_join_asof")
+    # the scalable as-of: one keyed window over the tagged union —
+    # NO join operator anywhere, so work is independent of per-key
+    # history depth (the pair-join form measured 13.6x slower at the
+    # 10x fact tier)
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
