@@ -39,31 +39,62 @@ def _positions(key: Column, num_bits: int) -> list[Column]:
     return [F.pmod(h, F.lit(num_bits)).cast("long") for h in (h1, h2)]
 
 
+def bloom_size_for(
+    n_keys: int,
+    bits_per_key: int = 10,
+    floor_bits: int = 1 << 17,
+    cap_bits: int = 1 << 26,
+) -> int:
+    """Size the bitmap from the build-side key count — the sizing step
+    every dynamic-filtering engine performs before building. A FIXED
+    size is a scale bug, not a simplification: at the 100× fact tier
+    (3 M urgent-order keys) the original 2¹⁷-bit filter saturated —
+    every bit set, FPR → 1 — so the probe pruned NOTHING while still
+    paying two hashes per row (measured 35 s vs 2.4 s at 10×, a
+    superlinear wall for a linear workload). ~10 bits/key keeps FPR
+    ≈ 1 % with two hash functions; the power-of-two round keeps
+    ``pmod`` cheap; the 2²⁶ cap bounds the broadcast at 8 MB (past
+    which a partitioned semi-join is the better tool and the caller
+    should rethink, exactly like Spark's injection thresholds)."""
+    import math
+
+    need = max(floor_bits, bits_per_key * max(n_keys, 1))
+    return min(cap_bits, 1 << math.ceil(math.log2(need)))
+
+
 def bloom_build(keys: DataFrame, key_col: str, num_bits: int = 1 << 17) -> DataFrame:
     """Aggregate ``keys[key_col]`` into a 1-row bloom bitmap:
     ``(bloom: array<bigint>)`` of num_bits/64 words, zero-filled, so
     the probe's word fetch is O(1) indexed access (a sparse map would
     cost a linear scan PER PROBE ROW). Distributed end-to-end:
     positions explode (2 rows/key), word-keyed ``bit_or`` with
-    map-side partials, then a ≤ num_bits/64-row collect densified once
-    into the array."""
+    map-side partials, zero-fill via a range grid left-join, and ONE
+    ordered collect densifies the ≤ num_bits/64 word rows into the
+    array (``sort_array`` over collected (idx, word) structs —
+    O(n log n)). The earlier form densified through per-element
+    ``element_at`` on a Catalyst MAP, which is a linear scan per
+    element — O(n_words²) on one row — fine at the original 2¹⁷ bits
+    (2 048 words) and a hang at the dynamically-sized 2²⁵ (524 288
+    words, ~10¹¹ comparisons): the second scale bug the 100× fact tier
+    exposed in this operator."""
     n_words = num_bits // 64
+    spark = keys.sparkSession
     pos = keys.select(
         F.explode(F.array(*_positions(F.col(key_col), num_bits))).alias("pos")
     )
     words = pos.groupBy(F.expr("cast(pos div 64 as int)").alias("word_idx")).agg(
         F.bit_or(F.expr("shiftleft(1L, cast(pos % 64 as int))")).alias("word")
     )
-    sparse = words.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("word_idx"), F.col("word")))
-        ).alias("m")
+    grid = spark.range(n_words).select(F.col("id").cast("int").alias("word_idx"))
+    filled = grid.join(words, "word_idx", "left").select(
+        F.struct(
+            F.col("word_idx"),
+            F.coalesce(F.col("word"), F.lit(0).cast("long")).alias("word"),
+        ).alias("st")
     )
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(n_words - 1)),
-        lambda i: F.coalesce(F.try_element_at(F.col("m"), i), F.lit(0).cast("long")),
+    return filled.agg(F.sort_array(F.collect_list("st")).alias("sts")).select(
+        F.transform(F.col("sts"), lambda s: s["word"]).alias("bloom")
     )
-    return sparse.select(dense.alias("bloom"))
 
 
 def bloom_probe(

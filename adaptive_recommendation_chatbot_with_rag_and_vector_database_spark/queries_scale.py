@@ -672,16 +672,24 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     positives, so the result is identical to the plain join — which is
     exactly what the oracle runs. This is Trino/Photon dynamic
     filtering and Spark's own ``runtime.bloomFilter`` injection made
-    explicit, deterministic, and threshold-free."""
-    from .operators.bloom import bloom_build, bloom_probe
+    explicit and deterministic.
+
+    The bitmap is SIZED from a build-side count first (the planning
+    step every dynamic-filtering engine runs): a fixed size saturates
+    once the build side outgrows it — measured as a superlinear wall
+    at the 100x fact tier before this sizing landed (FPR -> 1, the
+    probe pruned nothing while paying two hashes per row; see
+    operators/bloom.bloom_size_for)."""
+    from .operators.bloom import bloom_build, bloom_probe, bloom_size_for
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
     orders = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderpriority") == "1-URGENT")
         & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
     )
-    bloom = bloom_build(orders.select("o_orderkey"), "o_orderkey")
-    pruned = bloom_probe(li, "l_orderkey", bloom)
+    num_bits = bloom_size_for(orders.count())
+    bloom = bloom_build(orders.select("o_orderkey"), "o_orderkey", num_bits)
+    pruned = bloom_probe(li, "l_orderkey", bloom, num_bits)
     return (
         pruned.join(orders, pruned.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey")
