@@ -274,9 +274,20 @@ def q_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     max-overlap problem as +1/-1 boundary points and a running sum.
     Ends sort before starts at equal timestamps (delta -1 < +1), so
     touching intervals don't double-count; event_id completes the
-    deterministic tie-break. The explode doubles rows map-side, then
-    one exchange on event_type; running sums are per-type local
-    sorts."""
+    deterministic tie-break.
+
+    TWO-PHASE prefix sum (the q_pack_sequences pattern), because the
+    naive window keyed only on event_type caps parallelism at
+    |types| ≈ 5: one task sorts the whole type no matter the cluster
+    size — measured 22× superlinear at the 100× tier (20 M boundary
+    points on 5 tasks), and at 1000× it is THE scale killer of the
+    round-2 global-window class. Instead: (1) points bucket by UTC
+    day (time-ordered, so day asc + in-day order = global order) and
+    each (type, day) computes its LOCAL running sum in parallel;
+    (2) per-(type, day) delta totals — |types| × |days| rows — get an
+    exclusive running-total-of-prior-days window (tiny frame) and
+    broadcast back; the global running load is local + prior-day
+    offset. Peak per type is the max over that sum."""
     ev = _events(spark, sf_dir).select(
         "event_id",
         "event_type",
@@ -286,22 +297,44 @@ def q_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.floor(F.col("value") * 60_000_000).cast("long")
         ).alias("e"),
     )
-    pts = ev.select(
-        "event_type",
-        "event_id",
-        F.explode(
-            F.array(
-                F.struct(F.col("s").alias("t"), F.lit(1).alias("delta")),
-                F.struct(F.col("e").alias("t"), F.lit(-1).alias("delta")),
-            )
-        ).alias("p"),
-    ).select("event_type", "event_id", "p.t", "p.delta")
-    w = (
-        Window.partitionBy("event_type")
+    pts = (
+        ev.select(
+            "event_type",
+            "event_id",
+            F.explode(
+                F.array(
+                    F.struct(F.col("s").alias("t"), F.lit(1).alias("delta")),
+                    F.struct(F.col("e").alias("t"), F.lit(-1).alias("delta")),
+                )
+            ).alias("p"),
+        )
+        .select("event_type", "event_id", "p.t", "p.delta")
+        .withColumn("day", (F.col("t") / F.lit(86_400_000_000)).cast("long"))
+    )
+    w_local = (
+        Window.partitionBy("event_type", "day")
         .orderBy("t", "delta", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    run = pts.select("event_type", F.sum("delta").over(w).alias("load"))
+    local = pts.withColumn("local_run", F.sum("delta").over(w_local))
+    # derive day totals from the ALREADY-SHUFFLED local stream (same
+    # partitioning keys → no second scan, no second exchange)
+    day_totals = local.groupBy("event_type", "day").agg(
+        F.sum("delta").alias("day_delta")
+    )
+    w_days = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = day_totals.select(
+        "event_type",
+        "day",
+        F.coalesce(F.sum("day_delta").over(w_days), F.lit(0)).alias("offset"),
+    )
+    run = local.join(F.broadcast(offsets), ["event_type", "day"]).select(
+        "event_type", (F.col("local_run") + F.col("offset")).alias("load")
+    )
     return run.groupBy("event_type").agg(F.max("load").alias("peak_concurrency"))
 
 

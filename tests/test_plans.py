@@ -629,3 +629,17 @@ def test_asof_union_window_no_pair_join(spark):
     assert "Join" not in plan
     assert "Window" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_concurrency_sweep_two_phase_parallel_by_day(spark):
+    plan = _plan(spark, "q_concurrency_sweep")
+    # the big running-sum window must partition on (event_type, day) —
+    # a type-only partition caps parallelism at |types| ≈ 5 tasks
+    # forever (measured 22x superlinear at the 100x tier); the
+    # prior-day offset window runs over the tiny day-totals frame only
+    import re
+
+    assert re.search(r"windowspecdefinition\(event_type#\d+, day#\d+", plan), (
+        "local running-sum window must be keyed on (event_type, day)"
+    )
+    assert "BroadcastHashJoin" in plan
