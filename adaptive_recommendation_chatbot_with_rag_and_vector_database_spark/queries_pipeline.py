@@ -63,7 +63,15 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the eval shingle set is globally distinct and BROADCAST — at 100 TB
     the eval set is a benchmark suite (MBs), so the contamination scan
     is one shuffle-free map-side hash probe over training shingles plus
-    one count aggregation, never a fact-fact shuffle."""
+    one count aggregation, never a fact-fact shuffle.
+
+    Operator ORDER is the scale decision: the broadcast probe runs
+    FIRST and the per-doc shingle dedup (``count_distinct``) runs over
+    the SURVIVORS only. The earlier form distincted the full training
+    shingle stream before probing — a corpus-sized exchange that
+    contradicted the paragraph above (caught by the 100× tier sweep);
+    on real data contamination hits are benchmark-sized, so the
+    post-probe aggregate's exchange is too."""
     grams_expr = (
         "transform(sequence(0, size(t) - 5), "
         "i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))"
@@ -77,11 +85,11 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.expr(grams_expr)).alias("g"))
     )
     eval_grams = grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
-    train_grams = grams.filter(F.col("doc_id") % 50 != 0).distinct()
+    train_grams = grams.filter(F.col("doc_id") % 50 != 0)
     return (
         train_grams.join(F.broadcast(eval_grams), "g")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(F.count_distinct("g").alias("n_hits"))
     )
 
 
