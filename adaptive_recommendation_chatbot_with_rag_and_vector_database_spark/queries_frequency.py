@@ -292,19 +292,26 @@ def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge, child row count, orphan count (child keys missing from the
     parent), and distinct-key cardinality — the constraint report a
     lakehouse ingest emits since parquet enforces nothing. Each edge
-    is one left join where the PARENT side broadcasts (dims are the
-    small side by construction) and the orphan test is a null probe on
-    the build side — the fact table never shuffles; the three audits
-    union into one report."""
+    is one left join; TRUE dims (part, customer) force a broadcast of
+    their key column, but the lineitem→orders edge's parent is itself
+    a fact — forcing a broadcast there is a latent OOM at warehouse
+    scale (caught in the round-4 100× sweep review), so that edge
+    leaves the strategy to AQE: broadcast while orders fits, keyed
+    join co-partitioned on the FK once it doesn't. The orphan test is
+    a null probe on the parent side either way; the audits union into
+    one report."""
     li = load_table(spark, "lineitem", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
     part = load_table(spark, "part", sf_dir)
     cust = load_table(spark, "customer", sf_dir)
 
-    def audit(child, ckey, parent, pkey, name):
+    def audit(child, ckey, parent, pkey, name, force_broadcast=True):
+        pk = parent.select(F.col(pkey))
+        if force_broadcast:
+            pk = F.broadcast(pk)
         return (
             child.join(
-                F.broadcast(parent.select(F.col(pkey))),
+                pk,
                 child[ckey] == F.col(pkey),
                 "left",
             )
@@ -317,7 +324,14 @@ def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        audit(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders")
+        audit(
+            li,
+            "l_orderkey",
+            orders,
+            "o_orderkey",
+            "lineitem->orders",
+            force_broadcast=False,
+        )
         .unionByName(audit(li, "l_partkey", part, "p_partkey", "lineitem->part"))
         .unionByName(
             audit(orders, "o_custkey", cust, "c_custkey", "orders->customer")
