@@ -55,10 +55,22 @@ def bloom_size_for(
     ≈ 1 % with two hash functions; the power-of-two round keeps
     ``pmod`` cheap; the 2²⁶ cap bounds the broadcast at 8 MB (past
     which a partitioned semi-join is the better tool and the caller
-    should rethink, exactly like Spark's injection thresholds)."""
+    should rethink, exactly like Spark's injection thresholds). Past
+    the cap FPR degrades again with key count, so the clamp WARNS —
+    silent saturation is exactly the failure mode the dynamic sizing
+    exists to prevent."""
     import math
+    import warnings
 
     need = max(floor_bits, bits_per_key * max(n_keys, 1))
+    if need > cap_bits:
+        warnings.warn(
+            f"bloom saturating: {n_keys} keys need {need} bits but the "
+            f"broadcast cap is {cap_bits} ({cap_bits // 8 // (1 << 20)} MB); "
+            f"effective bits/key {cap_bits / max(n_keys, 1):.1f} — consider "
+            "a partitioned semi-join for this build side",
+            stacklevel=2,
+        )
     return min(cap_bits, 1 << math.ceil(math.log2(need)))
 
 

@@ -674,22 +674,30 @@ def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each run stages into its own directory (mkdtemp): the write→read
     roundtrip is not atomic, so a shared fixed path would let two
     concurrent runs (driver + bench) interleave an overwrite with a
-    read — the q_schema_evolution /tmp-collision class."""
+    read — the q_schema_evolution /tmp-collision class. The staging
+    dir is deleted before returning: the tiny grouped result is
+    eagerly localCheckpoint-ed (lineage cut, files no longer needed),
+    so repeated bench/pytest runs don't accumulate 4 orders-slice
+    copies per run in /tmp."""
+    import shutil
     import tempfile
 
     from .sources.loaders import roundtrip
 
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 8 == 0)
     base = tempfile.mkdtemp(prefix="spark_graft_io_")
-    out = None
-    for fmt in ("csv", "json", "orc", "xml"):
-        back = roundtrip(orders, f"{base}/orders_{fmt}", fmt)
-        agg = back.groupBy("o_orderstatus").agg(
-            F.count(F.lit(1)).alias(f"n_{fmt}"),
-            F.round(F.sum("o_totalprice"), 2).alias(f"sum_{fmt}"),
-        )
-        out = agg if out is None else out.join(agg, "o_orderstatus")
-    return out
+    try:
+        out = None
+        for fmt in ("csv", "json", "orc", "xml"):
+            back = roundtrip(orders, f"{base}/orders_{fmt}", fmt)
+            agg = back.groupBy("o_orderstatus").agg(
+                F.count(F.lit(1)).alias(f"n_{fmt}"),
+                F.round(F.sum("o_totalprice"), 2).alias(f"sum_{fmt}"),
+            )
+            out = agg if out is None else out.join(agg, "o_orderstatus")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @query(
@@ -733,19 +741,29 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bench, parallel pytest) interleave the halves — doubled 'new'
     # rows or a mid-write read, failing the hash with a misleading
     # symptom. mkdtemp gives each run its own directory.
-    base = tempfile.mkdtemp(prefix="spark_graft_orders_evo_") + "/data"
-    old.write.mode("overwrite").parquet(base)
-    new.write.mode("append").parquet(base)
-    merged = spark.read.option("mergeSchema", "true").parquet(base)
-    return (
-        merged.groupBy("o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("o_orderpriority").isNotNull().cast("long")).alias(
-                "n_with_priority"
-            ),
-            F.count_distinct("o_orderpriority").alias("n_priorities"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    import shutil
+
+    stage = tempfile.mkdtemp(prefix="spark_graft_orders_evo_")
+    base = stage + "/data"
+    try:
+        old.write.mode("overwrite").parquet(base)
+        new.write.mode("append").parquet(base)
+        merged = spark.read.option("mergeSchema", "true").parquet(base)
+        return (
+            merged.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("o_orderpriority").isNotNull().cast("long")).alias(
+                    "n_with_priority"
+                ),
+                F.count_distinct("o_orderpriority").alias("n_priorities"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            )
+            .orderBy("o_orderstatus")
+            # tiny grouped result, eagerly materialized so the staging
+            # dir can be deleted before returning (no /tmp accumulation
+            # across repeated bench/pytest runs)
+            .localCheckpoint(eager=True)
         )
-        .orderBy("o_orderstatus")
-    )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

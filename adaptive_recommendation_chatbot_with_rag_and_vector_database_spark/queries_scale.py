@@ -547,8 +547,12 @@ def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             os.rename(stage, base)
         except OSError:
-            # a concurrent builder renamed first; its layout is
-            # complete by construction — use it, drop ours
+            # only a lost concurrent-builder race leaves a complete
+            # winner at base; any other rename failure (perms, EXDEV)
+            # must surface instead of discarding our staged layout and
+            # leaving a misleading missing-path read error
+            if not os.path.exists(f"{base}/_SUCCESS"):
+                raise
             shutil.rmtree(stage, ignore_errors=True)
     part = spark.read.parquet(base)
     return (
@@ -683,15 +687,25 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.bloom import bloom_build, bloom_probe, bloom_size_for
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
-    orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderpriority") == "1-URGENT")
-        & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+    # the filtered build side is read THREE times (sizing count, bitmap
+    # build, exact join) — persist the narrow key column once so the
+    # sizing step doesn't pay an extra full scan per invocation; only
+    # o_orderkey survives the filter into any downstream operator, so
+    # the cached footprint is one long column of the ~20% slice
+    build_keys = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        )
+        .select("o_orderkey")
+        .persist()
     )
-    num_bits = bloom_size_for(orders.count())
-    bloom = bloom_build(orders.select("o_orderkey"), "o_orderkey", num_bits)
+    num_bits = bloom_size_for(build_keys.count())
+    bloom = bloom_build(build_keys, "o_orderkey", num_bits)
     pruned = bloom_probe(li, "l_orderkey", bloom, num_bits)
     return (
-        pruned.join(orders, pruned.l_orderkey == orders.o_orderkey)
+        pruned.join(build_keys, pruned.l_orderkey == build_keys.o_orderkey)
         .groupBy("l_orderkey")
         .agg(
             F.count(F.lit(1)).alias("n_items"),

@@ -49,14 +49,35 @@ SHIFT_QUANTUM = 1200  # lcm-safe over the query-decimation moduli
 
 
 def build_tier(base: str, mult: int, out_root: str = "/tmp/spark_graft_tier") -> str:
+    """Build (or reuse) the N× tier. The tier directory name embeds a
+    fingerprint (mtime+size of every base table file), so regenerating
+    the base fixture at the same path changes the fingerprint and the
+    stale tier is simply never addressed again — same staleness guard
+    as q_partition_prune's layout cache. The build stages into a unique
+    temp dir and atomically renames into place, so a concurrent run
+    (driver + bench) never reads a half-written tier."""
+    import hashlib
+    import shutil
+    import uuid
+
     from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.sources.loaders import (
         TABLES,
     )
 
-    tier = os.path.join(out_root, f"{os.path.basename(base.rstrip('/'))}_x{mult}")
-    done_marker = os.path.join(tier, ".complete")
+    tag = ":".join(
+        f"{n}={os.stat(f'{base}/{n}.parquet').st_mtime_ns}:"
+        f"{os.stat(f'{base}/{n}.parquet').st_size}"
+        for n in TABLES
+    )
+    ver = hashlib.sha256(tag.encode()).hexdigest()[:12]
+    final = os.path.join(
+        out_root, f"{os.path.basename(base.rstrip('/'))}_x{mult}_{ver}"
+    )
+    done_marker = os.path.join(final, ".complete")
     if os.path.exists(done_marker):
-        return tier
+        return final
+    os.makedirs(out_root, exist_ok=True)
+    tier = os.path.join(out_root, f".stage-{uuid.uuid4().hex}")
     os.makedirs(tier, exist_ok=True)
     # one shared shift per FK group, derived from the max over every
     # member column so shifted keys never collide in any member table
@@ -105,9 +126,18 @@ def build_tier(base: str, mult: int, out_root: str = "/tmp/spark_graft_tier") ->
         # a single default-sized row group would serialize the scan
         # into ONE Spark task and misrepresent every slope measured
         pq.write_table(out, dst, row_group_size=max(10_000, out.num_rows // 64))
-    with open(done_marker, "w") as fh:
-        fh.write("ok")
-    return tier
+    with open(os.path.join(tier, ".complete"), "w") as fh:
+        fh.write(tag)
+    try:
+        os.rename(tier, final)
+    except OSError:
+        # only a lost concurrent-builder race leaves a complete winner
+        # in place; any other failure (perms, EXDEV) must surface, not
+        # silently discard the staged tier
+        if not os.path.exists(done_marker):
+            raise
+        shutil.rmtree(tier, ignore_errors=True)
+    return final
 
 
 def time_spark(qfn, spark, sf_dir: str, reps: int) -> float:
