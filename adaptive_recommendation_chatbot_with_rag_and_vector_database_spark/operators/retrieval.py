@@ -224,20 +224,30 @@ def knn_auto(
     k: int = DEFAULT_K,
     ann_threshold_rows: int = 1_000_000,
     index_rows: int | None = None,
+    probe_threshold_rows: int = 100_000,
+    probe_rows: int | None = None,
     query_id: str = "query_id",
     query_vec: str = "qvec",
     index_id: str = "vec_id",
     index_vec: str = "embedding",
 ) -> DataFrame:
-    """Route the batch kNN join: exact brute force below
-    ``ann_threshold_rows`` index rows, banded cosine LSH above — the
+    """Route the batch kNN join on BOTH cardinalities: exact brute
+    force below ``ann_threshold_rows`` index rows; above it, the probe
+    batch size picks the approximate engine — banded cosine LSH while
+    the probe set still broadcasts (interactive regime,
+    ``probe_rows <= probe_threshold_rows``), shuffle-join IVF
+    (``similarity.ivf_knn_batch``) once it does not (batch-join regime:
+    10⁷ probes × 10⁹-row index must meet in a cell-keyed shuffle, with
+    no probe-sized broadcast or driver collect anywhere). This is the
     reference's brute-force→ANN delegation split
     (/root/reference/AI.py:49-55, Pinecone serverless ANN) as an
     API-level pre-plan decision (SURVEY §4.3: deliberately NOT an
-    injected Catalyst rule). Pass ``index_rows`` when the caller already
-    knows the cardinality (catalog stats, manifest) to skip the count.
+    injected Catalyst rule). Pass ``index_rows`` / ``probe_rows`` when
+    the caller already knows the cardinalities (catalog stats,
+    manifest) to skip the counts.
 
-    Uniform output shape either way: (query_id, index_id, score, rank).
+    Uniform output shape in every regime:
+    (query_id, index_id, score, rank).
     """
     if index_rows is None:
         index_rows = index.count()
@@ -254,6 +264,20 @@ def knn_auto(
             query_id, index_id, F.round(F.col("score"), 6).alias("score"), "rank"
         )
         return out
+    if probe_rows is None:
+        probe_rows = queries.count()
+    if probe_rows > probe_threshold_rows:
+        from .similarity import ivf_knn_batch
+
+        return ivf_knn_batch(
+            queries,
+            index,
+            k=k,
+            query_id=query_id,
+            query_vec=query_vec,
+            index_id=index_id,
+            index_vec=index_vec,
+        ).select(query_id, index_id, "score", F.col("rnk").alias("rank"))
     from .similarity import lsh_knn
 
     dim = len(index.select(index_vec).first()[0])

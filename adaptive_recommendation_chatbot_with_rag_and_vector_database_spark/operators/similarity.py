@@ -325,6 +325,88 @@ def ivf_knn_pruned(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+def ivf_knn_batch(
+    probes: DataFrame,
+    index: DataFrame,
+    k: int = 4,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+    index_id: str = "vec_id",
+    index_vec: str = "embedding",
+    centroids: np.ndarray | None = None,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """IVF-Flat kNN for LARGE probe batches — identical candidate
+    semantics to ``ivf_knn``, different physical shape. ``ivf_knn``
+    broadcasts the probe set into the cell join (right for a handful of
+    interactive queries); at batch-join scale (say 10⁷ probes against a
+    10⁹-row index) the probe side no longer fits a broadcast and the
+    driver must not collect anything probe-sized. Here BOTH sides are
+    cell-assigned by the same Arrow-batched codebook kernel and meet in
+    a plain shuffle equi-join on ``cell`` (AQE picks the physical
+    join; nothing is pinned).
+
+    The post-join pair space is then cut in TWO stages so the pair
+    space is never shuffled twice: (1) per-(query, cell) top-k via a
+    window over ``(query_id, cell)`` — the join output is already
+    hash-partitioned on ``cell``, which satisfies the clustered
+    distribution on ``(query_id, cell)``, so this step adds NO
+    exchange; (2) the ≤ k·nprobe survivors per query take the final
+    per-query top-k, a shuffle of k·nprobe rows per probe instead of
+    the full candidate space. Exactly the map-side-combine discipline
+    a 100 TB batch join needs."""
+    from ..sources.loaders import scatter
+
+    if centroids is None:
+        centroids = train_centroids_sample(
+            index, n_cells, index_vec, cache_key=cache_key
+        )
+
+    assign1 = _nearest_cells_udf(centroids, 1)
+    assignp = _nearest_cells_udf(centroids, nprobe)
+    idx_c = scatter(index).select(
+        F.col(index_id),
+        F.col(index_vec),
+        assign1(F.col(index_vec))[0].alias("cell"),
+    )
+    prb_c = scatter(probes).select(
+        F.col(query_id),
+        F.col(query_vec),
+        F.explode(assignp(F.col(query_vec))).alias("cell"),
+    )
+    scored = (
+        idx_c.join(prb_c, "cell")
+        .filter(F.col(index_id) != F.col(query_id))
+        .select(
+            "cell",
+            query_id,
+            index_id,
+            F.round(cosine_sim(F.col(index_vec), F.col(query_vec)), 6).alias(
+                "score"
+            ),
+        )
+    )
+    wc = Window.partitionBy(query_id, "cell").orderBy(
+        F.desc("score"), F.asc(index_id)
+    )
+    survivors = (
+        scored.withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") <= k)
+        .drop("crnk", "cell")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(index_id))
+    return (
+        survivors.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        # a probe's nprobe cells can hand the window duplicate
+        # (query, index) pairs only if an index row were assigned to
+        # two cells — assign1 gives exactly one cell per index row, so
+        # candidates are unique by construction (same as ivf_knn)
+    )
+
+
 def ivf_knn(
     probes: DataFrame,
     index: DataFrame,

@@ -260,6 +260,43 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(recall_row("lsh", lsh_knn(probes, emb, k=_K)))
 
 
+@query(
+    "q_ann_batch_parity",
+    oracle=f"""
+    SELECT (SELECT count(*) FROM embeddings WHERE {_KNN_PROBE_FILTER})
+             AS n_probes,
+           true AS identical
+    """,
+)
+def q_ann_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-join IVF route as a driver-checkable invariant (round-4
+    verdict #4): ``ivf_knn_batch`` — the shuffle-join variant knn_auto
+    routes large probe batches to, where the probe side can neither
+    broadcast nor touch the driver — must produce EXACTLY the rows of
+    the broadcast-probe ``ivf_knn`` under the same codebook: identical
+    (query, vec, score, rank) tuples, including through its extra
+    per-(query, cell) partial top-k stage. The oracle asserts the
+    verdict (``identical = true``), so any divergence between the two
+    physical plans hash-mismatches in CORRECTNESS even though DuckDB
+    cannot run either plan. Symmetric ``exceptAll`` keeps the whole
+    comparison engine-side — no result ever reaches the driver."""
+    from .operators.similarity import ivf_knn, ivf_knn_batch
+
+    emb = _emb(spark, sf_dir)
+    probes = _probes(spark, sf_dir)
+    a = ivf_knn(probes, emb, k=_K, n_cells=16, nprobe=4, cache_key=sf_dir)
+    b = ivf_knn_batch(probes, emb, k=_K, n_cells=16, nprobe=4, cache_key=sf_dir)
+    n_diff = (
+        a.exceptAll(b)
+        .unionByName(b.exceptAll(a))
+        .agg(F.count(F.lit(1)).alias("n_diff"))
+    )
+    n_probes = probes.agg(F.count(F.lit(1)).alias("n_probes"))
+    return n_probes.crossJoin(n_diff).select(
+        "n_probes", (F.col("n_diff") == 0).alias("identical")
+    )
+
+
 @query("q_build_index")  # chunk boundaries are not SQL-expressible → rows-only
 def q_build_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-index build (S4+F5+F6+F8): documents → recursive chunks →
@@ -294,8 +331,11 @@ def q_knn_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Auto-routed batch kNN (the reference's brute-force→ANN
     delegation split, /root/reference/AI.py:49-55, as an API-level
     pre-plan decision per SURVEY §4.3): exact broadcast-probe brute
-    force below ``ann_threshold_rows`` index rows, banded cosine LSH
-    above. Uniform (query_id, vec_id, score, rank) either way."""
+    force below ``ann_threshold_rows`` index rows; above it the probe
+    batch size picks the engine — banded cosine LSH while the probe
+    set still broadcasts, shuffle-join IVF (``ivf_knn_batch``, parity
+    asserted by q_ann_batch_parity) once it does not. Uniform
+    (query_id, vec_id, score, rank) in every regime."""
     from .operators.retrieval import knn_auto
 
     return knn_auto(

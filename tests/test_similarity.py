@@ -85,6 +85,105 @@ def test_lsh_scores_match_exact_for_found_pairs(emb, probes, exact_rows):
             assert abs(exact_scores[key] - r.score) < 2e-6
 
 
+def test_ivf_batch_matches_broadcast_ivf(emb, probes):
+    """The shuffle-join batch variant must be plan-only different:
+    same codebook, same candidate semantics, same rounding — so its
+    (query, vec, score, rank) rows are IDENTICAL to ivf_knn's for any
+    (n_cells, nprobe), including the partial top-k regime where the
+    per-(query, cell) window prunes before the global one."""
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators.similarity import (
+        ivf_knn_batch,
+    )
+
+    for n_cells, nprobe in ((8, 8), (8, 3), (16, 4)):
+        small = sorted(
+            map(tuple, ivf_knn(probes, emb, k=K, n_cells=n_cells, nprobe=nprobe).collect())
+        )
+        batch = sorted(
+            map(
+                tuple,
+                ivf_knn_batch(
+                    probes, emb, k=K, n_cells=n_cells, nprobe=nprobe
+                ).collect(),
+            )
+        )
+        assert small == batch, f"batch/broadcast IVF diverge at {n_cells}/{nprobe}"
+
+
+def test_ivf_batch_no_probe_broadcast_no_collect(emb, probes):
+    """The batch regime's contract is physical: no probe-sized
+    broadcast anywhere in the plan (both sides meet in a cell-keyed
+    shuffle; AQE may still locally broadcast SMALL sides, so pin AQE
+    off for the plan check), and the per-(query, cell) top-k window
+    reuses the join's hash partitioning on cell instead of adding an
+    exchange — the pair space is shuffled exactly once."""
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators.similarity import (
+        ivf_knn_batch,
+    )
+
+    spark = emb.sparkSession
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            ivf_knn_batch(probes, emb, k=K, n_cells=8, nprobe=3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "BroadcastExchange" not in plan
+    # one exchange for the cell join (each side), one for the final
+    # per-query window over the k*nprobe survivors — the first window
+    # (query, cell) must NOT add its own exchange on the pair space
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+
+
+def test_knn_auto_routes_large_probe_batches_to_ivf_batch(emb, probes):
+    """Router contract for the batch-join regime: with a large index
+    (forced) and a probe batch above probe_threshold_rows, knn_auto
+    must produce exactly ivf_knn_batch's rows (not LSH's, whose
+    banded candidates differ); below the probe threshold it must
+    produce exactly lsh_knn's rows."""
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators.retrieval import (
+        knn_auto,
+    )
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators.similarity import (
+        ivf_knn_batch,
+    )
+
+    routed_batch = sorted(
+        map(
+            tuple,
+            knn_auto(
+                probes, emb, k=K, ann_threshold_rows=1, probe_threshold_rows=1
+            ).collect(),
+        )
+    )
+    direct_batch = sorted(
+        map(tuple, ivf_knn_batch(probes, emb, k=K).collect())
+    )
+    assert routed_batch == direct_batch
+
+    dim = len(emb.select("embedding").first()[0])
+    routed_lsh = sorted(
+        map(
+            tuple,
+            knn_auto(
+                probes, emb, k=K, ann_threshold_rows=1, probe_threshold_rows=10**9
+            ).collect(),
+        )
+    )
+    direct_lsh = sorted(
+        map(tuple, lsh_knn(probes, emb, k=K, dim=dim).collect())
+    )
+    assert routed_lsh == direct_lsh
+
+
 def test_knn_auto_routes_by_index_size(spark):
     """SURVEY §4.3 routing: small index → exact brute force; above the
     threshold → LSH. Same output shape either way, and on this fixture
