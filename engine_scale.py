@@ -1,0 +1,103 @@
+"""Composed engine-facade scale run (round-4 verdict #3): drive the
+full RagEngine user path — index build → similarity / MMR / hybrid
+retrieval → ask → recommend — end-to-end at an N× documents tier, so
+BASELINE.md carries a slope for the COMPOSED pipeline, not just its
+per-query pieces.
+
+The per-stage split matters at 100 TB: the index build is the
+data-bound stage (chunk + embed every document once — linear, amortized
+across every later query), while the query stages are per-question
+latencies against the built index (scan-bound top-k; their slope is
+the index-scan slope). The tool measures them separately and prints one
+JSON object:
+
+  python engine_scale.py --mult 100
+  {"mult": 100, "index_build_1x": ..., "index_build_Nx": ...,
+   "ask_1x": ..., "ask_Nx": ..., ...}
+
+Tier construction reuses scale_smoke.build_tier (shifted-id document
+replication, fingerprinted + staged layout).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import tempfile
+import time
+
+from scale_smoke import build_tier
+
+QUESTION = "priority freight shipments delayed by clerk errors"
+FOLLOWUP = "what about the urgent orders"
+
+
+def drive(spark, sf_dir: str, mult_tag: str, out: dict) -> None:
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.engine import (
+        RagEngine,
+    )
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.sources.loaders import (
+        load_table,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="spark_graft_engine_scale_")
+    try:
+        eng = RagEngine(spark, index_path=f"{workdir}/index")
+        docs = load_table(spark, "documents", sf_dir)
+
+        t0 = time.perf_counter()
+        n_chunks = eng.index_documents(docs)
+        out[f"index_build_{mult_tag}"] = round(time.perf_counter() - t0, 3)
+        out[f"n_chunks_{mult_tag}"] = n_chunks
+
+        # incremental rebuild: content-hash cache must embed nothing
+        t0 = time.perf_counter()
+        n_again = eng.index_documents(docs)
+        out[f"reindex_cached_{mult_tag}"] = round(time.perf_counter() - t0, 3)
+        assert n_again == 0, f"cached reindex embedded {n_again} chunks"
+
+        for st in ("similarity", "mmr", "hybrid"):
+            t0 = time.perf_counter()
+            rows = eng.retrieve(QUESTION, search_type=st).collect()
+            out[f"retrieve_{st}_{mult_tag}"] = round(time.perf_counter() - t0, 3)
+            assert len(rows) == eng.k, (st, len(rows))
+
+        t0 = time.perf_counter()
+        res = eng.ask(QUESTION, session_id="scale")
+        eng.ask(FOLLOWUP, session_id="scale")
+        out[f"ask_{mult_tag}"] = round((time.perf_counter() - t0) / 2, 3)
+        assert res["answer"]
+
+        t0 = time.perf_counter()
+        recs = eng.recommend("scale").collect()
+        out[f"recommend_{mult_tag}"] = round(time.perf_counter() - t0, 3)
+        assert len(recs) == eng.k
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--mult", type=int, default=100)
+    args = ap.parse_args()
+
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.session import (
+        get_spark,
+    )
+
+    tier = build_tier(args.base, args.mult)
+    spark = get_spark("engine_scale")
+    out: dict = {"mult": args.mult}
+    # discarded warm-up drive at the smoke SF: the FIRST drive of a
+    # fresh JVM pays codegen/classload costs that would otherwise be
+    # booked entirely against the 1x tier and fake a flat slope
+    drive(spark, "/root/testdata/sf0.001", "warmup", {})
+    drive(spark, args.base, "1x", out)
+    drive(spark, tier, f"{args.mult}x", out)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
