@@ -1206,3 +1206,87 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- Y33: near-dup cluster survivorship (quality-argmax canonical) ----------
+
+
+def _sql_survivorship() -> str:
+    from .functions.text import STOPWORDS
+    from .queries_text import _SQL_TOKS
+
+    stop_list = ", ".join(sorted(repr(w) for ws in STOPWORDS.values() for w in ws))
+    return f"""
+    WITH comp AS ({_sql_dedup_components(0.7)}),
+    tokq AS (
+      SELECT doc_id, text, {_SQL_TOKS} AS toks, list_distinct({_SQL_TOKS}) AS dtoks
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    qual AS (
+      SELECT doc_id,
+        round(0.4 * least(len(toks) / 100.0, 1.0)
+              + 0.4 * (CASE WHEN len(dtoks) > 0
+                  THEN len(list_intersect(dtoks, [{stop_list}]))::DOUBLE / len(dtoks)
+                  ELSE 0.0 END)
+              + 0.2 * (1.0 - least((CASE WHEN length(text) > 0
+                  THEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
+                       / length(text)
+                  ELSE 0.0 END) * 5.0, 1.0)), 6) AS quality
+      FROM tokq
+    ),
+    j AS (
+      SELECT comp.doc_id, comp.component, qual.quality
+      FROM comp JOIN qual ON qual.doc_id = comp.doc_id
+    )
+    SELECT component, doc_id AS canonical_doc, quality AS canon_quality,
+           n_members
+    FROM (
+      SELECT j.*,
+             row_number() OVER (
+               PARTITION BY component ORDER BY quality DESC, doc_id ASC
+             ) AS rnk,
+             count(*) OVER (PARTITION BY component) AS n_members
+      FROM j
+    ) WHERE rnk = 1
+    """
+
+
+@query("q_dedup_survivorship", oracle=_sql_survivorship())
+def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster survivorship (Y33): pick the CANONICAL document
+    per near-dup cluster by QUALITY argmax instead of min-id — the
+    policy step real corpus dedup runs after clustering (C4/RefinedWeb
+    keep the best-scoring member, not an arbitrary one; min-id keeps
+    whatever crawled first). Composes the verified pieces: MinHash-LSH
+    pair graph → connected components (q_dedup_components' plan) →
+    quality score (q_quality_score's formula) → per-cluster argmax.
+
+    The argmax is a window over rows-per-cluster (bounded by clique
+    size), ordered on the ROUNDED quality with a doc-id tie-break so
+    both engines resolve ties identically. Same 1-in-10 stratum and
+    O(log-diameter) CC rounds as q_dedup_components; the only addition
+    is one cluster-keyed window — nothing here grows faster than the
+    cluster graph itself."""
+    from .functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    edges = minhash_near_dup(docs, threshold=0.7)
+    cc = connected_components(edges, docs, id_col="doc_id")
+    qual = docs.select("doc_id", quality_score("text").alias("quality"))
+    j = cc.select("doc_id", "component").join(qual, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "n_members", F.count(F.lit(1)).over(Window.partitionBy("component"))
+        )
+        .filter(F.col("rnk") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("quality").alias("canon_quality"),
+            "n_members",
+        )
+    )

@@ -373,3 +373,108 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("valid_from"),
         F.lead("ts").over(w).alias("valid_to"),
     )
+
+
+# --- W15: snapshot diff / reconciliation -------------------------------------
+
+
+@query(
+    "q_table_diff",
+    oracle="""
+    WITH before AS (SELECT * FROM orders),
+    after AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    classified AS (
+      SELECT CASE
+               WHEN a.o_orderkey IS NULL THEN 'added'
+               WHEN b.o_orderkey IS NULL THEN 'deleted'
+               WHEN a.o_custkey IS DISTINCT FROM b.o_custkey
+                 OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                 OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                 OR a.o_orderdate IS DISTINCT FROM b.o_orderdate
+                 OR a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+                 THEN 'modified'
+               ELSE 'unchanged'
+             END AS change_type,
+             coalesce(b.o_totalprice, 0.0) - coalesce(a.o_totalprice, 0.0)
+               AS delta
+      FROM before a FULL OUTER JOIN after b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT change_type, count(*) AS n_rows,
+           round(sum(delta), 2) AS price_delta
+    FROM classified GROUP BY change_type
+    """,
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / reconciliation (W15): classify every key of two
+    table versions as added / deleted / modified / unchanged — the
+    audit primitive behind CDC validation, replica reconciliation, and
+    "what did this pipeline run change". The synthetic after-image
+    deterministically deletes the %97 keys, bumps the %89 prices, and
+    inserts shifted-key copies of the %101 rows, so every class is
+    non-empty and the expected deltas are recomputable.
+
+    Plan shape: one full outer join keyed on the primary key — both
+    sides shuffle-partition on o_orderkey and AQE may sort-merge it;
+    classification is a null-safe column compare projected BEFORE the
+    final tiny aggregate, so nothing wider than the join itself ever
+    shuffles. At 100 TB the same plan runs with column-pruned
+    comparison hashes (sha2 over the compared columns) so the join
+    carries (key, hash) instead of full rows; the fixture rows are
+    narrow enough that hashing would only add parity risk between the
+    engines' float formatting, so the compare stays columnar here."""
+    orders = load_table(spark, "orders", sf_dir)
+    before = orders
+    after = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") % 101 == 0).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+    a = before.select([F.col(c).alias(f"a_{c}") for c in before.columns])
+    b = after.select([F.col(c).alias(f"b_{c}") for c in after.columns])
+    joined = a.join(b, a.a_o_orderkey == b.b_o_orderkey, "full_outer")
+    differs = (
+        ~F.col("a_o_custkey").eqNullSafe(F.col("b_o_custkey"))
+        | ~F.col("a_o_orderstatus").eqNullSafe(F.col("b_o_orderstatus"))
+        | ~F.col("a_o_totalprice").eqNullSafe(F.col("b_o_totalprice"))
+        | ~F.col("a_o_orderdate").eqNullSafe(F.col("b_o_orderdate"))
+        | ~F.col("a_o_orderpriority").eqNullSafe(F.col("b_o_orderpriority"))
+    )
+    classified = joined.select(
+        F.when(F.col("a_o_orderkey").isNull(), "added")
+        .when(F.col("b_o_orderkey").isNull(), "deleted")
+        .when(differs, "modified")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        (
+            F.coalesce("b_o_totalprice", F.lit(0.0))
+            - F.coalesce("a_o_totalprice", F.lit(0.0))
+        ).alias("delta"),
+    )
+    return classified.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("delta"), 2).alias("price_delta"),
+    )

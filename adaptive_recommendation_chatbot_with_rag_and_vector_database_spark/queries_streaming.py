@@ -387,3 +387,73 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# --- T12: streaming keyed-upsert materialization (foreachBatch MERGE) --------
+
+
+@query(
+    "q_stream_upsert_merge",
+    oracle="""
+    SELECT user_id, last_ts, last_event_id, last_event_type, last_value
+    FROM (
+      SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+             event_type AS last_event_type, value AS last_value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keyed-upsert materialization (T12): a REAL Structured
+    Streaming run — the event table is staged as 4 files, consumed with
+    ``maxFilesPerTrigger=1`` (so the fold genuinely crosses ≥2
+    micro-batch boundaries, asserted), and each batch MERGEs
+    latest-per-key into a versioned parquet state via ``foreachBatch``
+    (streaming/upsert_merge.py — the replace-per-key sibling of
+    ``index_stream``'s append-only maintenance). Unlike the module's
+    batch-twin queries, the oracle here checks the final state of the
+    actual multi-batch streaming execution: because "latest" is an
+    associative+commutative struct-max fold with a total order
+    (ts, event_id), the materialized table is provably independent of
+    how the stream was micro-batched — the batch-global argmax the
+    oracle computes. Any violation of that invariance (a lost update, a
+    non-atomic state flip, replay duplication) hash-mismatches."""
+    import shutil
+    import tempfile
+
+    from .streaming.upsert_merge import (
+        current_state_path,
+        upsert_merge_stream,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    work = tempfile.mkdtemp(prefix="spark_graft_upsert_merge_")
+    try:
+        staged = f"{work}/staged"
+        ev.repartition(4).write.parquet(staged)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+        )
+        batches: list = []
+        q = upsert_merge_stream(
+            stream,
+            state_root=f"{work}/state",
+            checkpoint_path=f"{work}/ckpt",
+            key="user_id",
+            batch_counter=batches,
+        )
+        q.awaitTermination()
+        assert len(batches) >= 2, f"stream ran {len(batches)} batch(es)"
+        final = spark.read.parquet(current_state_path(f"{work}/state"))
+        # eager checkpoint: the staged/state files are deleted below,
+        # so the returned plan must not re-read them at collect time
+        return final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -11,7 +11,7 @@ sketches from two independent implementations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.text import (
@@ -662,7 +662,20 @@ def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimation — the same block+probe discipline as every pair
     operator here. Spark's levenshtein(l, r, threshold) short-circuits
     the DP once the bound is exceeded, so cost per candidate is
-    O(len·threshold), not O(len²)."""
+    O(len·threshold), not O(len²).
+
+    Scale notes (round-5 sweep): on a replicated tier the OUTPUT is
+    quadratic in clique size by definition (101× rows for 10× data
+    measured) — the same pair-emitter property as the near-dup
+    queries, answered by the exact-collapse prepass, not this plan.
+    For low-duplication corpora where the CANDIDATE space (lang-block
+    × probes) is the cost, the sound tightening is PassJoin segment
+    blocking: split each probe signature into threshold+1 segments —
+    pigeonhole guarantees a pair within distance t shares one segment
+    verbatim — and inverted-index the corpus on segment substrings
+    (the inverted_index_jaccard discipline). Not applied here because
+    sorted-token signatures on this corpus share hot prefixes, making
+    segment buckets as dense as the lang block itself."""
     docs = _docs(spark, sf_dir)
     keys = docs.select(
         "doc_id",
@@ -797,4 +810,160 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("new")
             .alias("verdict"),
         )
+    )
+
+
+# --- X13: character-entropy quality signal ----------------------------------
+
+
+@query(
+    "q_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+    ),
+    tot AS (SELECT doc_id, sum(c) AS n FROM counts GROUP BY doc_id),
+    ent AS (
+      SELECT counts.doc_id,
+             CAST(max(tot.n) AS BIGINT) AS n_chars,
+             CAST(count(*) AS BIGINT) AS n_distinct_chars,
+             round(-sum((c::DOUBLE / tot.n) * log2(c::DOUBLE / tot.n)),
+                   6) AS entropy_bits
+      FROM counts JOIN tot ON tot.doc_id = counts.doc_id
+      GROUP BY counts.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(e.n_chars, 0) AS n_chars,
+           coalesce(e.n_distinct_chars, 0) AS n_distinct_chars,
+           coalesce(e.entropy_bits, 0.0) AS entropy_bits,
+           coalesce(e.entropy_bits, 0.0) < 2.0 AS low_entropy
+    FROM documents d LEFT JOIN ent e ON e.doc_id = d.doc_id
+    """,
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document (X13) — the
+    classic cheap quality/garbage signal an LLM data pipeline runs
+    before anything tokenizer-shaped (boilerplate, base64 blobs and
+    key-mash all sit far from natural-text entropy; Gopher's repetition
+    rules, q_doc_repetition, catch the complementary failure mode).
+    The reference filters retrieved context by shape too
+    (/root/reference/AI.py:176-185); this is that idea applied to the
+    corpus at ingest.
+
+    Plan shape: explode to (doc_id, char) → two-level hash aggregate.
+    The explode is linear in corpus bytes and the aggregate partials
+    combine map-side (≤ |alphabet| rows per doc per task), so the
+    shuffle carries ~alphabet-sized rows per document — the same
+    discipline as the token-count battery, fine at 100 TB. Entropy is
+    computed from exact per-char counts; log2 stays in Catalyst
+    (no Python)."""
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", "")).alias("ch")
+        )
+        .filter(F.col("ch") != "")  # Java split(-1) keeps a trailing ""
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # per-doc char total as a WINDOW over the (doc, char) counts — an
+    # alphabet-bounded frame, not a second corpus scan — then the
+    # entropy fold is a plain hash aggregate over p = c/n
+    p = F.col("c") / F.sum("c").over(Window.partitionBy("doc_id"))
+    ent = (
+        counts.withColumn("p", p)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_chars"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            F.round(-F.sum(F.col("p") * F.log2("p")), 6).alias("entropy_bits"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(ent, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+            F.coalesce("n_distinct_chars", F.lit(0)).alias("n_distinct_chars"),
+            F.coalesce("entropy_bits", F.lit(0.0)).alias("entropy_bits"),
+            (F.coalesce("entropy_bits", F.lit(0.0)) < 2.0).alias("low_entropy"),
+        )
+    )
+
+
+# --- Z7: per-source TF-IDF keyword extraction --------------------------------
+
+
+@query(
+    "q_tfidf_keywords",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY source, term
+    ),
+    df AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.source, tf.term, tf.tf, df.df,
+             round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6)
+               AS tfidf
+      FROM tf JOIN df ON df.term = tf.term CROSS JOIN n
+    )
+    SELECT source, term, tf, df, tfidf, rnk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY tfidf DESC, term ASC
+      ) AS rnk FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TF-IDF keyword extraction (Z7): the corpus-summary
+    operator behind source labeling and mixture debugging — which terms
+    characterize each slice, weighted against corpus-wide commonness.
+    Distinct from BM25 (R1), which scores documents against a QUERY;
+    TF-IDF here profiles the SOURCES themselves.
+
+    idf = ln((N+1)/(df+1)) + 1 (sklearn's smooth variant — never
+    divides by zero, never negative). Plan: one token explode feeds
+    both the (source, term) tf aggregate and the per-term df
+    count-distinct; both partials combine map-side, the tf↔df equi-join
+    is keyed on term (the bounded vocabulary axis, not the corpus
+    axis), and the single-row doc count broadcasts. The final top-5 cut
+    windows over at most |vocab| rows per source — at 100 TB every
+    corpus-sized structure here is already aggregate-compressed before
+    it shuffles."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", "source", F.explode(tokens("text")).alias("term")
+    )
+    tf = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "source",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("term"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 5
     )

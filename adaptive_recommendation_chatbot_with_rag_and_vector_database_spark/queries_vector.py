@@ -196,6 +196,14 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RECALL_THRESHOLD = 0.9
+#: recall is estimated on a FIXED-SIZE probe panel (the smallest probe
+#: ids — stable under the N× replicated tiers, which shift ids upward),
+#: so the exact ground truth costs O(panel × index) — linear in the
+#: index — instead of O(probes × index), which is quadratic in the
+#: corpus (measured: 2.2 s → 26.1 s for 10× data before the panel cap).
+#: A measurement query must never be the scale bottleneck of the thing
+#: it measures.
+_RECALL_PANEL = 64
 
 
 @query(
@@ -203,11 +211,14 @@ _RECALL_THRESHOLD = 0.9
     oracle=f"""
     SELECT method, n_probes, recall_ok FROM (
       SELECT 'ivf' AS method,
-             (SELECT count(*) FROM embeddings WHERE {_KNN_PROBE_FILTER}) AS n_probes,
+             least({_RECALL_PANEL},
+                   (SELECT count(*) FROM embeddings WHERE {_KNN_PROBE_FILTER}))
+               AS n_probes,
              true AS recall_ok
       UNION ALL
       SELECT 'lsh',
-             (SELECT count(*) FROM embeddings WHERE {_KNN_PROBE_FILTER}),
+             least({_RECALL_PANEL},
+                   (SELECT count(*) FROM embeddings WHERE {_KNN_PROBE_FILTER})),
              true
     )
     """,
@@ -215,11 +226,12 @@ _RECALL_THRESHOLD = 0.9
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality as a driver-checkable scalar (VERDICT r1 #7): recall
     of each approximate path (LSH bands, IVF cells) against the exact
-    brute-force top-k, thresholded at {_RECALL_THRESHOLD}. The oracle
-    asserts the VERDICT — ``recall_ok = true`` per method — so a recall
-    regression below threshold hash-mismatches in CORRECTNESS even
-    though DuckDB cannot run the ANN itself. The per-commit recall
-    value is additionally asserted in tests/test_similarity.py.
+    brute-force top-k over a fixed {_RECALL_PANEL}-probe panel,
+    thresholded at {_RECALL_THRESHOLD}. The oracle asserts the VERDICT
+    — ``recall_ok = true`` per method — so a recall regression below
+    threshold hash-mismatches in CORRECTNESS even though DuckDB cannot
+    run the ANN itself. The per-commit recall value is additionally
+    asserted in tests/test_similarity.py.
 
     IVF probes 12/16 cells here: fixture embeddings are ~uniform on
     the sphere (no cluster structure), so IVF recall is bounded by the
@@ -229,12 +241,26 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivf_knn, lsh_knn
 
     emb = _emb(spark, sf_dir)
-    probes = _probes(spark, sf_dir)
-    # the exact top-k feeds three consumers (totals + one semi-join per
-    # method); persist the tiny (n_probes × k) result instead of
-    # re-running the brute-force scoring three times
+    probes = _probes(spark, sf_dir).orderBy("query_id").limit(_RECALL_PANEL)
+    # the exact panel top-k feeds three consumers (totals + one
+    # semi-join per method); persist the tiny (panel × k) result
+    # instead of re-running the brute-force scoring three times
+    bprobes = F.broadcast(probes)
+    scored = (
+        emb.crossJoin(bprobes)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_sim(F.col("embedding"), F.col("qvec")), 6).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     exact = (
-        q_knn_join(spark, sf_dir)
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _K)
         .select("query_id", "vec_id")
         .persist()
     )
@@ -395,3 +421,116 @@ def q_index_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hash_consistent"),
     )
     return stats.select("n_docs", "chunk_len_ok", "unit_norms", "hash_consistent")
+
+
+# --- V14: matryoshka truncation recall ---------------------------------------
+
+
+def _sql_matryoshka() -> str:
+    def topk(dim_slice: str, tag: str) -> str:
+        if dim_slice:
+            vec = f"list_slice(e.embedding, 1, {dim_slice})::DOUBLE[]"
+            qvec = f"list_slice(q.embedding, 1, {dim_slice})::DOUBLE[]"
+        else:
+            vec = "e.embedding::DOUBLE[]"
+            qvec = "q.embedding::DOUBLE[]"
+        return f"""
+    {tag} AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity({vec}, {qvec}), 6) DESC,
+                          e.vec_id ASC
+               ) AS rnk
+        FROM embeddings e,
+             (SELECT * FROM embeddings WHERE {_KNN_PROBE_FILTER}) q
+        WHERE e.vec_id <> q.vec_id
+      ) WHERE rnk <= {_K}
+    )"""
+
+    return f"""
+    WITH {topk('', 'full_k')},
+    {topk('32', 't32')},
+    {topk('16', 't16')},
+    hits AS (
+      SELECT 32 AS trunc_dim, t.query_id,
+             sum(CASE WHEN f.vec_id IS NULL THEN 0 ELSE 1 END) AS n_hits
+      FROM t32 t LEFT JOIN full_k f
+        ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+      GROUP BY t.query_id
+      UNION ALL
+      SELECT 16, t.query_id,
+             sum(CASE WHEN f.vec_id IS NULL THEN 0 ELSE 1 END)
+      FROM t16 t LEFT JOIN full_k f
+        ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+      GROUP BY t.query_id
+    )
+    SELECT trunc_dim, CAST(count(*) AS BIGINT) AS n_probes,
+           round(avg(n_hits / {_K}.0), 4) AS avg_recall
+    FROM hits GROUP BY trunc_dim
+    """
+
+
+@query("q_matryoshka_recall", oracle=_sql_matryoshka())
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation quality (V14): how much top-k retrieval
+    survives truncating the embedding to its leading 32 / 16 of 64
+    dims — the measurement behind MRL-style dimension-tiering (serve
+    ANN from the cheap prefix, rerank with the full vector; the same
+    cost lever as q_vector_quantize's int8 path, on the dimension axis
+    instead of the precision axis).
+
+    Both engines compute exact top-k under each truncation (rank on
+    ROUNDED cosine, vec_id tie-break — deterministic everywhere) and
+    score recall@k against the full-dim top-k. Plan: the probe side
+    broadcasts into each scoring pass (the index never shuffles), the
+    per-probe cut is a window row_number, and the recall join is keyed
+    on (query, vec) pairs — k rows per probe, nothing corpus-sized
+    moves. Truncated scoring reads the SAME column sliced in-row
+    (F.slice), which at 100 TB is the no-second-copy property that
+    makes prefix-dim serving free at storage level."""
+    emb = _emb(spark, sf_dir)
+    probes = F.broadcast(
+        emb.filter(F.expr(_KNN_PROBE_FILTER)).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        )
+    )
+
+    def topk(dim: int | None) -> DataFrame:
+        e = F.slice("embedding", 1, dim) if dim else F.col("embedding")
+        q = F.slice("qvec", 1, dim) if dim else F.col("qvec")
+        scored = (
+            emb.crossJoin(probes)
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "vec_id",
+                F.round(cosine_sim(e, q), 6).alias("score"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("vec_id")
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _K)
+            .select("query_id", "vec_id")
+        )
+
+    full_k = topk(None).withColumn("hit", F.lit(1))
+    out = None
+    for dim in (32, 16):
+        hits = (
+            topk(dim)
+            .join(full_k, ["query_id", "vec_id"], "left")
+            .groupBy("query_id")
+            .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"))
+            .agg(
+                F.count(F.lit(1)).alias("n_probes"),
+                F.round(F.avg(F.col("n_hits") / float(_K)), 4).alias("avg_recall"),
+            )
+            .select(F.lit(dim).alias("trunc_dim"), "n_probes", "avg_recall")
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out

@@ -1,0 +1,105 @@
+"""Builder's round-close local bench pair (BENCH_LOCAL_r{N}.json).
+
+The driver's BENCH tail truncates and its container co-tenancy swings
+per-query numbers ±2×, so the honest record is this same-machine,
+same-day pair: every registered Spark query AND every registered DuckDB
+oracle, each timed as the MEDIAN of 3 engine-side-materialized runs
+(round-4 verdict asked for medians over best-of — a median is robust to
+one co-tenant spike in either direction, where best-of hides only the
+slow side).
+
+Usage:
+  python bench_local.py --round 5        # writes BENCH_LOCAL_r5.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import time
+
+import bench  # noqa: F401  (shares SF_DIR, _force, _warmup)
+from bench import SF_DIR, _force, _sf_from_dir, _warmup
+
+from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark import registry
+from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.plans.flagship import (
+    flagship,
+)
+from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.session import (
+    get_spark,
+)
+
+RUNS = 3
+
+
+def _median_timed(fn) -> float:
+    samples = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        fn()
+        samples.append(time.perf_counter() - t0)
+    return round(statistics.median(samples), 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, required=True)
+    args = ap.parse_args()
+
+    spark = get_spark("bench_local")
+    queries = registry.queries()
+    oracles = registry.oracle_sql()
+    _warmup(spark)
+
+    spark_t: dict[str, float] = {}
+    spark_t["flagship"] = _median_timed(lambda: _force(flagship(spark, SF_DIR)))
+    for name in sorted(queries):
+        fn = queries[name]
+        spark_t[name] = _median_timed(lambda: _force(fn(spark, SF_DIR)))
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    duck_t: dict[str, float] = {}
+    for name in sorted(oracles):
+        sql = oracles[name]
+        duck_t[name] = _median_timed(
+            lambda: con.execute(
+                f"CREATE OR REPLACE TEMP TABLE _bench_sink AS ({sql})"
+            )
+        )
+
+    out = {
+        "round": args.round,
+        "sf": _sf_from_dir(SF_DIR),
+        "runs_per_query": RUNS,
+        "statistic": "median",
+        "spark_total_sec": round(sum(spark_t.values()), 3),
+        "duckdb_total_sec": round(sum(duck_t.values()), 3),
+        "pair_ratio": round(sum(spark_t.values()) / sum(duck_t.values()), 3),
+        "spark_per_query_sec": spark_t,
+        "duckdb_per_query_sec": duck_t,
+    }
+    path = f"BENCH_LOCAL_r{args.round}.json"
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    print(
+        json.dumps(
+            {
+                "written": path,
+                "spark_total_sec": out["spark_total_sec"],
+                "duckdb_total_sec": out["duckdb_total_sec"],
+                "pair_ratio": out["pair_ratio"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
