@@ -458,3 +458,102 @@ def ivf_knn(
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(index_id))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def brute_topk_partials(
+    emb: DataFrame,
+    probes: list,
+    k: int,
+    dims: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Per-partition exact-kNN partials at multiple embedding-prefix
+    truncations: returns ``(trunc_dim, query_id, vec_id, score)`` rows
+    holding each Arrow batch's top-k candidates per (probe, truncation);
+    a global per-(trunc_dim, query_id) window then yields the exact
+    top-k. The ``maxsim_label_partials`` discipline generalized from
+    max-reduction to top-k-reduction: scoring stays in one numpy pass,
+    the reduction happens INSIDE the UDF, and the exchange carries at
+    most |dims|·|probes|·k rows per batch — never the |rows| × |probes|
+    pair space.
+
+    Prefix truncations share work: dot products and squared norms
+    accumulate dimension by dimension in strict index order over
+    float64 (bit-identical to the Catalyst ``aggregate(zip_with(...))``
+    fold and to ``_round6_duck`` rounding), and each requested dim
+    snapshots the running accumulator — scoring 16+32+64 dims costs one
+    64-dim pass, not three.
+
+    ``probes`` is ``[(query_id, vector), ...]``, bounded by construction
+    (the broadcast-smallness assumption, same as the centroid /
+    hyperplane closures)."""
+    qids = np.array([q for q, _ in probes], dtype=np.int64)
+    P = np.array([list(v) for _, v in probes], dtype=np.float64)
+    n_q = P.shape[0] if P.size else 0
+    dims_sorted = sorted(dims)
+    pn: dict[int, np.ndarray] = {}
+    pn2 = np.zeros(n_q)
+    j = 0
+    for d in dims_sorted:
+        while j < d:
+            pn2 = pn2 + P[:, j] * P[:, j]
+            j += 1
+        pn[d] = np.sqrt(pn2.copy())
+
+    def part(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or n_q == 0:
+                continue
+            A = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy().astype(np.int64)
+            n = A.shape[0]
+            acc = np.zeros((n, n_q))
+            an2 = np.zeros(n)
+            out_d, out_q, out_v, out_s = [], [], [], []
+            j = 0
+            for d in dims_sorted:
+                while j < d:
+                    acc += np.outer(A[:, j], P[:, j])
+                    an2 = an2 + A[:, j] * A[:, j]
+                    j += 1
+                denom = np.sqrt(an2)[:, None] * pn[d][None, :]
+                s = _round6_duck(
+                    np.where(
+                        denom > 0.0, acc / np.where(denom > 0.0, denom, 1.0), 0.0
+                    )
+                )
+                for qi in range(n_q):
+                    col = s[:, qi]
+                    mask = (
+                        ids != qids[qi]
+                        if exclude_self
+                        else np.ones(n, dtype=bool)
+                    )
+                    cand_ids = ids[mask]
+                    cand_s = col[mask]
+                    if cand_ids.size == 0:
+                        continue
+                    # (score desc, vec_id asc) — lexsort keys are
+                    # last-key-primary
+                    order = np.lexsort((cand_ids, -cand_s))[:k]
+                    out_d.extend([d] * len(order))
+                    out_q.extend([qids[qi]] * len(order))
+                    out_v.extend(cand_ids[order])
+                    out_s.extend(cand_s[order])
+            if out_d:
+                yield pd.DataFrame(
+                    {
+                        "trunc_dim": np.array(out_d, dtype=np.int32),
+                        "query_id": np.array(out_q, dtype=np.int64),
+                        "vec_id": np.array(out_v, dtype=np.int64),
+                        "score": np.array(out_s, dtype=np.float64),
+                    }
+                )
+
+    return emb.select(
+        F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col)
+    ).mapInPandas(
+        part, "trunc_dim int, query_id long, vec_id long, score double"
+    )

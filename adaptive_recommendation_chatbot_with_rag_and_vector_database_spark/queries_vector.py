@@ -444,7 +444,8 @@ def _sql_matryoshka() -> str:
                           e.vec_id ASC
                ) AS rnk
         FROM embeddings e,
-             (SELECT * FROM embeddings WHERE {_KNN_PROBE_FILTER}) q
+             (SELECT * FROM embeddings WHERE {_KNN_PROBE_FILTER}
+              ORDER BY vec_id LIMIT {_RECALL_PANEL}) q
         WHERE e.vec_id <> q.vec_id
       ) WHERE rnk <= {_K}
     )"""
@@ -489,48 +490,58 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (query, vec) pairs — k rows per probe, nothing corpus-sized
     moves. Truncated scoring reads the SAME column sliced in-row
     (F.slice), which at 100 TB is the no-second-copy property that
-    makes prefix-dim serving free at storage level."""
+    makes prefix-dim serving free at storage level.
+
+    Like q_ann_recall, recall is estimated on a fixed
+    {_RECALL_PANEL}-probe panel (smallest probe ids): the exact
+    ground truth is O(panel × index) instead of the probes×index
+    quadratic a corpus-growing probe set would plan (measured >11 min
+    at the 10× tier before the cap). Scoring runs through the
+    ``brute_topk_partials`` Arrow kernel — ONE numpy pass snapshots all
+    three truncations (prefix folds share the accumulator) with
+    in-UDF per-batch top-k, bit-identical to the Catalyst
+    ``round(cosine_sim(slice(...)))`` fold (asserted in
+    tests/test_similarity.py), so the exchange carries k-row partials
+    per (batch, probe, truncation) — never the pair space."""
+    from .operators.similarity import brute_topk_partials
+    from .sources.loaders import scatter
+
     emb = _emb(spark, sf_dir)
-    probes = F.broadcast(
-        emb.filter(F.expr(_KNN_PROBE_FILTER)).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    # bounded-by-construction driver collect: the fixed panel
+    panel = [
+        (r.vec_id, r.embedding)
+        for r in emb.filter(F.expr(_KNN_PROBE_FILTER))
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(_RECALL_PANEL)
+        .collect()
+    ]
+    full_dim = len(panel[0][1])
+    partials = brute_topk_partials(
+        scatter(emb), panel, k=_K, dims=[16, 32, full_dim]
+    )
+    w = Window.partitionBy("trunc_dim", "query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    topk_all = (
+        partials.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _K)
+        .select("trunc_dim", "query_id", "vec_id")
+        .persist()
+    )
+    full_k = (
+        topk_all.filter(F.col("trunc_dim") == full_dim)
+        .select("query_id", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        topk_all.filter(F.col("trunc_dim") != full_dim)
+        .join(full_k, ["query_id", "vec_id"], "left")
+        .groupBy("trunc_dim", "query_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"))
+        .groupBy("trunc_dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.round(F.avg(F.col("n_hits") / float(_K)), 4).alias("avg_recall"),
         )
     )
-
-    def topk(dim: int | None) -> DataFrame:
-        e = F.slice("embedding", 1, dim) if dim else F.col("embedding")
-        q = F.slice("qvec", 1, dim) if dim else F.col("qvec")
-        scored = (
-            emb.crossJoin(probes)
-            .filter(F.col("vec_id") != F.col("query_id"))
-            .select(
-                "query_id",
-                "vec_id",
-                F.round(cosine_sim(e, q), 6).alias("score"),
-            )
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("score"), F.asc("vec_id")
-        )
-        return (
-            scored.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= _K)
-            .select("query_id", "vec_id")
-        )
-
-    full_k = topk(None).withColumn("hit", F.lit(1))
-    out = None
-    for dim in (32, 16):
-        hits = (
-            topk(dim)
-            .join(full_k, ["query_id", "vec_id"], "left")
-            .groupBy("query_id")
-            .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"))
-            .agg(
-                F.count(F.lit(1)).alias("n_probes"),
-                F.round(F.avg(F.col("n_hits") / float(_K)), 4).alias("avg_recall"),
-            )
-            .select(F.lit(dim).alias("trunc_dim"), "n_probes", "avg_recall")
-        )
-        out = hits if out is None else out.unionByName(hits)
-    return out

@@ -208,3 +208,63 @@ def test_knn_auto_routes_by_index_size(spark):
     ex = {(r.query_id, r.vec_id) for r in exact.collect() if r.query_id != r.vec_id}
     ap = {(r.query_id, r.vec_id) for r in approx.collect()}
     assert len(ex & ap) / len(ex) >= 0.5  # bucketed candidates recall
+
+
+def test_brute_topk_partials_bit_identical_to_catalyst(emb, probes):
+    """The Arrow kernel's multi-truncation top-k must equal the
+    Catalyst round(cosine_sim(slice(...))) fold's top-k exactly —
+    same rounding, same (score desc, id asc) tie order — at every
+    requested prefix dim."""
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.functions.vector import (
+        cosine_sim,
+    )
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators.similarity import (
+        brute_topk_partials,
+    )
+
+    panel = [
+        (r.query_id, r.qvec)
+        for r in probes.orderBy("query_id").limit(8).collect()
+    ]
+    full_dim = len(panel[0][1])
+    partials = brute_topk_partials(emb, panel, k=K, dims=[16, 32, full_dim])
+    w = Window.partitionBy("trunc_dim", "query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    got = sorted(
+        map(
+            tuple,
+            partials.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= K)
+            .collect(),
+        )
+    )
+
+    spark = emb.sparkSession
+    pdf = spark.createDataFrame(
+        [(q, list(map(float, v))) for q, v in panel],
+        "query_id long, qvec array<float>",
+    )
+    want = []
+    for d in (16, 32, full_dim):
+        e = F.slice("embedding", 1, d) if d != full_dim else F.col("embedding")
+        q = F.slice("qvec", 1, d) if d != full_dim else F.col("qvec")
+        scored = (
+            emb.crossJoin(F.broadcast(pdf))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "vec_id",
+                F.round(cosine_sim(e, q), 6).alias("score"),
+            )
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("vec_id")
+        )
+        want.extend(
+            (d, r.query_id, r.vec_id, r.score, r.rnk)
+            for r in scored.withColumn("rnk", F.row_number().over(wq))
+            .filter(F.col("rnk") <= K)
+            .collect()
+        )
+    assert got == sorted(want)
