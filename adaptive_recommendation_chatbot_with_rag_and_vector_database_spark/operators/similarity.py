@@ -212,19 +212,23 @@ def lsh_knn(
     by ~2^-bits, so fixed 2-bit bands that are fine at 10⁵ rows leave
     N/4 candidates PER PROBE at 10⁶+ — at a 10⁹-row index that is
     2.5×10⁸ scored candidates per probe, unrunnable at any probe count.
-    When the caller supplies ``index_rows`` (the router does) and does
-    not pin ``n_planes``, bits-per-band scale as
+    Unless the caller pins ``n_planes``, bits-per-band scale as
     2 + log2(N / 100 k), capped at 8 (256 buckets/band) — the classic
-    LSH density rule. Recall holds where ANN is actually used (high-
-    similarity neighbors: p^bits stays near 1 for p≈1) and the recall
-    gate (q_ann_recall) pins it at the correctness tier."""
+    LSH density rule (``index_rows`` skips the sizing count; below
+    100 k rows the banding is exactly the historical 2-bit default, so
+    every correctness-tier result is unchanged). Recall holds where
+    ANN is actually used (high-similarity neighbors: p^bits stays near
+    1 for p≈1) and the recall gate (q_ann_recall) pins it at the
+    correctness tier."""
     import math
 
     from ..sources.loaders import scatter
 
     if n_planes is None:
+        if index_rows is None:
+            index_rows = index.count()
         per_band = 2
-        if index_rows is not None and index_rows > 100_000:
+        if index_rows > 100_000:
             per_band = min(8, 2 + math.ceil(math.log2(index_rows / 100_000)))
         n_planes = n_bands * per_band
 
