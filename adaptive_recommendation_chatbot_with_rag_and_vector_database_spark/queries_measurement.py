@@ -1,0 +1,477 @@
+"""Measurement & statistics wave 16 (SURVEY §2.27): the experiment-
+and-privacy toolkit a data platform runs beside its warehouse — a
+two-proportion A/B z-test with deterministic hash bucketing, per-group
+winsorized/trimmed robust statistics, behavioral diversity indices
+(Shannon/Simpson), an ε-differentially-private histogram with seeded
+Laplace noise, and a grid-blocked spatial radius join (the blocking
+pattern that keeps geo joins off the cross product).
+
+The reference (AI.py) has no experiment surface; these are the
+operators its operators-of-operators would need: the chatbot's own
+engagement logs A/B-tested, its usage histograms published with DP
+noise, its user base profiled for behavioral diversity.
+
+Every query has an exact DuckDB oracle. Determinism notes: variant
+assignment and noise seeds are LCG integer arithmetic on int64 keys
+(identical on both engines — no engine RNG anywhere); percentile
+cutoffs are rounded to 4 decimals BEFORE being used in comparisons so
+a 1-ulp interpolation difference can't flip a row's in/out status;
+haversine distances compare on values rounded to 6 decimals for the
+same reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query
+from .sources.loaders import load_table
+
+# LCG constants (glibc's rand): public-domain mixing for seeded,
+# engine-portable pseudo-randomness. int64-safe for every fixture key.
+_LCG_A = 1103515245
+_LCG_C = 12345
+_LCG_M = 1048576  # 2^20: exact in a double, so residue/M is exact too
+
+# --- W16e: two-proportion A/B z-test ---------------------------------------
+
+_AB_SPEND = 3500.0
+
+
+@query(
+    "q_ab_test",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN (user_id * {_LCG_A} + {_LCG_C}) % {_LCG_M}
+                       < {_LCG_M // 2}
+                  THEN 0 ELSE 1 END AS variant,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                THEN value ELSE 0 END) > {_AB_SPEND}
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id),
+    arms AS (
+      SELECT count(*) FILTER (variant = 0) AS n_a,
+             CAST(sum(converted) FILTER (variant = 0) AS BIGINT) AS conv_a,
+             count(*) FILTER (variant = 1) AS n_b,
+             CAST(sum(converted) FILTER (variant = 1) AS BIGINT) AS conv_b
+      FROM per_user),
+    stats AS (
+      SELECT n_a, conv_a, n_b, conv_b,
+             conv_a / CAST(n_a AS DOUBLE) AS rate_a,
+             conv_b / CAST(n_b AS DOUBLE) AS rate_b,
+             (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE) AS pooled
+      FROM arms)
+    SELECT n_a, conv_a, round(rate_a, 5) AS rate_a,
+           n_b, conv_b, round(rate_b, 5) AS rate_b,
+           round(rate_b - rate_a, 5) AS lift,
+           round((rate_b - rate_a) /
+                 nullif(sqrt(pooled * (1 - pooled) *
+                             (1.0 / n_a + 1.0 / n_b)), 0), 4) AS z_score,
+           CASE WHEN abs((rate_b - rate_a) /
+                         nullif(sqrt(pooled * (1 - pooled) *
+                                     (1.0 / n_a + 1.0 / n_b)), 0)) > 1.96
+                THEN 1 ELSE 0 END AS significant
+    FROM stats
+    """,
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B z-test (W16e): assign every user to an arm by
+    a seeded LCG hash of user_id (deterministic, replayable, identical
+    on any engine — the property `rand()` bucketing lacks), define
+    conversion as purchase spend above a threshold, and test the rate
+    difference with the pooled two-proportion z statistic.
+
+    Plan shape: one user-keyed exchange for the per-user spend rollup
+    (partial sums map-side), then a single global aggregate whose
+    exchange carries one 4-counter partial row per mapper. The z math
+    is a scalar projection on a 1-row frame. At 100 TB nothing but the
+    user rollup grows; the test itself is constant-size."""
+    per_user = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.when(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    ).otherwise(F.lit(0.0))
+                )
+                > _AB_SPEND,
+                1,
+            )
+            .otherwise(0)
+            .alias("converted")
+        )
+        .select(
+            F.when(
+                (F.col("user_id") * _LCG_A + _LCG_C) % _LCG_M < _LCG_M // 2, 0
+            )
+            .otherwise(1)
+            .alias("variant"),
+            "converted",
+        )
+    )
+    arms = per_user.agg(
+        F.count(F.when(F.col("variant") == 0, 1)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted"))).alias("conv_a"),
+        F.count(F.when(F.col("variant") == 1, 1)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted"))).alias("conv_b"),
+    )
+    rate_a = F.col("conv_a") / F.col("n_a").cast("double")
+    rate_b = F.col("conv_b") / F.col("n_b").cast("double")
+    pooled = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pooled * (1 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    z = (rate_b - rate_a) / F.nullif(se, F.lit(0.0))
+    return arms.select(
+        "n_a",
+        "conv_a",
+        F.round(rate_a, 5).alias("rate_a"),
+        "n_b",
+        "conv_b",
+        F.round(rate_b, 5).alias("rate_b"),
+        F.round(rate_b - rate_a, 5).alias("lift"),
+        F.round(z, 4).alias("z_score"),
+        F.when(F.abs(z) > 1.96, 1).otherwise(0).alias("significant"),
+    )
+
+
+# --- W16f: winsorized / trimmed robust statistics --------------------------
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+    WITH cuts AS (
+      SELECT c_mktsegment,
+             round(quantile_cont(c_acctbal, 0.05), 4) AS p05,
+             round(quantile_cont(c_acctbal, 0.95), 4) AS p95
+      FROM customer GROUP BY c_mktsegment)
+    SELECT c.c_mktsegment, count(*) AS n,
+           round(avg(c.c_acctbal), 4) AS raw_mean,
+           round(avg(least(greatest(c.c_acctbal, cuts.p05), cuts.p95)), 4)
+             AS winsorized_mean,
+           round(avg(c.c_acctbal) FILTER (
+             c.c_acctbal >= cuts.p05 AND c.c_acctbal <= cuts.p95), 4)
+             AS trimmed_mean,
+           count(*) FILTER (c.c_acctbal < cuts.p05 OR c.c_acctbal > cuts.p95)
+             AS n_clipped
+    FROM customer c JOIN cuts ON c.c_mktsegment = cuts.c_mktsegment
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment winsorized and trimmed means (W16f): compute exact
+    p05/p95 per market segment, clip (winsorize) or drop (trim) the
+    tails, and report robust means beside the raw mean with the
+    clipped-row count — the outlier-hardened summary a metrics layer
+    publishes when a single whale account shouldn't move the average.
+
+    The cutoffs are rounded to 4 decimals BEFORE the comparison on both
+    engines, so a 1-ulp difference in percentile interpolation cannot
+    flip a boundary row between clipped and kept.
+
+    Plan shape: two segment-keyed aggregates — the exact-percentile
+    pass (array-buffered per group; the documented approx_percentile
+    t-digest swap applies for wide groups at cluster scale, SURVEY §8
+    Y4) and the robust-mean pass with the 5-row cutoff table riding a
+    broadcast back onto the fact side. No fact-sized join shuffle."""
+    customer = load_table(spark, "customer", sf_dir)
+    cuts = customer.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("c_acctbal", F.lit(0.05)), 4).alias("p05"),
+        F.round(F.percentile("c_acctbal", F.lit(0.95)), 4).alias("p95"),
+    )
+    joined = customer.join(F.broadcast(cuts), "c_mktsegment")
+    clipped = F.least(F.greatest(F.col("c_acctbal"), F.col("p05")), F.col("p95"))
+    in_band = (F.col("c_acctbal") >= F.col("p05")) & (
+        F.col("c_acctbal") <= F.col("p95")
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("c_acctbal"), 4).alias("raw_mean"),
+            F.round(F.avg(clipped), 4).alias("winsorized_mean"),
+            F.round(F.avg(F.when(in_band, F.col("c_acctbal"))), 4).alias(
+                "trimmed_mean"
+            ),
+            F.count(F.when(~in_band, 1)).alias("n_clipped"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --- W16g: behavioral diversity indices ------------------------------------
+
+
+@query(
+    "q_diversity_index",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, count(*) AS cnt FROM events
+      GROUP BY user_id, event_type),
+    rollup AS (
+      SELECT user_id, CAST(sum(cnt) AS BIGINT) AS t, count(*) AS n_types,
+             CAST(sum(cnt * cnt) AS BIGINT) AS s2,
+             max(cnt) AS cmax,
+             sum(cnt * ln(cnt)) AS sl
+      FROM counts GROUP BY user_id)
+    SELECT user_id, t AS n_events, n_types,
+           round(ln(t) - sl / t, 5) AS shannon,
+           round(CAST(s2 AS DOUBLE) / CAST(t * t AS DOUBLE), 5) AS simpson,
+           round(CAST(cmax AS DOUBLE) / CAST(t AS DOUBLE), 5) AS top_share
+    FROM rollup ORDER BY user_id
+    """,
+)
+def q_diversity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user (W16g): Shannon entropy, Simpson
+    concentration, and top-type share over each user's event-type
+    distribution — the engagement-breadth score that separates
+    single-feature users from explorers (and, over token or source
+    distributions, the corpus-balance diagnostic).
+
+    Determinism: Simpson and top-share are EXACT integer ratios with
+    one final double division (Σcnt², max cnt, (Σcnt)² are int64), so
+    summation order can't move them across a rounding boundary — the
+    p²-as-doubles form flipped a .xxxx5 case between engines. Shannon
+    uses the equivalent ln(T) − Σ(cnt·ln cnt)/T, whose irrational
+    terms make boundary landings measure-zero.
+
+    Plan shape: the (user, type) count keys exchange 1 with map-side
+    partials; the per-user rollup re-keys on user_id (exchange 2
+    carries ≤|types| rows per user). Entropy is a sum of ≤|types|
+    scan-side terms — no explode of the raw stream ever shuffles. At
+    100 TB exchange 2's volume is users×types, independent of event
+    count."""
+    counts = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rollup = counts.groupBy("user_id").agg(
+        F.sum("cnt").alias("t"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+        F.max("cnt").alias("cmax"),
+        F.sum(F.col("cnt") * F.log("cnt")).alias("sl"),
+    )
+    return rollup.select(
+        "user_id",
+        F.col("t").alias("n_events"),
+        "n_types",
+        F.round(F.log("t") - F.col("sl") / F.col("t"), 5).alias("shannon"),
+        F.round(
+            F.col("s2").cast("double") / (F.col("t") * F.col("t")).cast("double"),
+            5,
+        ).alias("simpson"),
+        F.round(F.col("cmax").cast("double") / F.col("t").cast("double"), 5).alias(
+            "top_share"
+        ),
+    ).orderBy("user_id")
+
+
+# --- W16h: ε-differentially-private histogram ------------------------------
+
+_DP_B = 2.0  # Laplace scale b = sensitivity/ε = 1/0.5
+
+
+@query(
+    "q_dp_noise",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    seeded AS (
+      SELECT event_type, d, n,
+             ((date_diff('day', DATE '1970-01-01', d) * 256
+               + ascii(substr(event_type, 1, 1))) * {_LCG_A} + {_LCG_C})
+               % {_LCG_M} AS residue
+      FROM daily),
+    noised AS (
+      SELECT event_type, d, n,
+             -{_DP_B} * sign((residue + 0.5) / {_LCG_M} - 0.5)
+               * ln(1 - 2 * abs((residue + 0.5) / {_LCG_M} - 0.5)) AS lap
+      FROM seeded)
+    SELECT event_type, d, n, round(n + lap, 4) AS noisy_n,
+           round(abs(lap), 4) AS abs_noise
+    FROM noised ORDER BY event_type, d
+    """,
+)
+def q_dp_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private daily histogram (W16h): per-(type, day)
+    counts with Laplace(b=2) noise from a SEEDED inverse-CDF draw — the
+    uniform comes from an LCG over the cell key, so the release is
+    replayable and engine-portable (a governance requirement real DP
+    pipelines meet with committed seeds; engine RNG would make the
+    released numbers unverifiable). Inverse CDF: u∈(−½,½),
+    lap = −b·sign(u)·ln(1−2|u|); the +0.5 residue offset keeps u off
+    the ±½ singularities exactly.
+
+    Plan shape: one keyed exchange of ≤|types|×|days| partial counts;
+    the seed, uniform, and noise are scan-side codegen projections on
+    the aggregate's tiny output. Per-cell noise is embarrassingly
+    parallel at any scale."""
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    key = (
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).cast("long")
+        * 256
+        + F.ascii(F.substring("event_type", 1, 1))
+    )
+    residue = (key * _LCG_A + _LCG_C) % _LCG_M
+    u = (residue + 0.5) / _LCG_M - 0.5
+    lap = -_DP_B * F.signum(u) * F.log(1 - 2 * F.abs(u))
+    return daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.round(F.col("n") + lap, 4).alias("noisy_n"),
+        F.round(F.abs(lap), 4).alias("abs_noise"),
+    ).orderBy("event_type", "d")
+
+
+# --- W16i: grid-blocked spatial radius join --------------------------------
+
+_GEO_RADIUS_KM = 100.0
+_GEO_CELL_DEG = 2.0  # 2° ≈ 157 km of longitude at lat 50° — covers R
+_EARTH_KM = 6371.0
+
+
+def _haversine_km(lat1, lon1, lat2, lon2):
+    """Great-circle distance in km; plain Column math so it stays in
+    WholeStageCodegen (identical formula text in the DuckDB oracle)."""
+    dphi = F.radians(lat2 - lat1) / 2
+    dlmb = F.radians(lon2 - lon1) / 2
+    a = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(F.radians(lat1))
+        * F.cos(F.radians(lat2))
+        * F.sin(dlmb)
+        * F.sin(dlmb)
+    )
+    return 2 * _EARTH_KM * F.asin(F.sqrt(a))
+
+
+@query(
+    "q_spatial_knn",
+    oracle=f"""
+    WITH cust AS (
+      SELECT c_custkey,
+             ((c_custkey * 2654435761) % 120000) / 12000.0 + 40 AS lat,
+             ((c_custkey * 40503 + 7919) % 240000) / 12000.0 AS lon
+      FROM customer),
+    supp AS (
+      SELECT s_suppkey,
+             ((s_suppkey * 2654435761 + 999331) % 120000) / 12000.0 + 40
+               AS lat,
+             ((s_suppkey * 40503 + 104729) % 240000) / 12000.0 AS lon
+      FROM supplier),
+    pairs AS (
+      SELECT c.c_custkey, s.s_suppkey,
+             round(2 * {_EARTH_KM} * asin(sqrt(
+               sin(radians(s.lat - c.lat) / 2) ^ 2
+               + cos(radians(c.lat)) * cos(radians(s.lat))
+                 * sin(radians(s.lon - c.lon) / 2) ^ 2)), 6) AS d_km
+      FROM cust c CROSS JOIN supp s),
+    hits AS (
+      SELECT c_custkey, s_suppkey, d_km,
+             row_number() OVER (PARTITION BY c_custkey
+                                ORDER BY d_km, s_suppkey) AS rn,
+             count(*) OVER (PARTITION BY c_custkey) AS n_within
+      FROM pairs WHERE d_km <= {_GEO_RADIUS_KM})
+    SELECT c_custkey, n_within, s_suppkey AS nearest_suppkey,
+           round(d_km, 3) AS nearest_km
+    FROM hits WHERE rn = 1 ORDER BY c_custkey
+    """,
+)
+def q_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked spatial radius join (W16i): place customers and
+    suppliers on a deterministic 10°×20° mid-latitude patch (seeded
+    integer arithmetic from their keys — the fixtures carry no geo
+    columns), then find each customer's suppliers within 100 km and the
+    nearest one. The Spark side joins on 2° grid cells with the SMALL
+    side exploded to its 3×3 cell neighborhood — at lat 40-50° a 2°
+    cell exceeds the radius in both axes, so adjacent-cell coverage is
+    exhaustive and the blocked join provably equals the oracle's brute
+    force. Distances compare on values rounded to 6 decimals so a
+    1-ulp libm difference can't flip the radius boundary.
+
+    Plan shape: the supplier side (9 rows per supplier after the
+    neighborhood explode) broadcasts; the customer side never shuffles
+    — the exact haversine filter runs scan-side behind the cell-key
+    equi-join. At planetary scale the same shape shuffles both sides
+    keyed on the cell instead of broadcasting, pairs bounded per cell
+    by geometry rather than |C|×|S| (the pair-discipline rule every
+    dedup operator here follows)."""
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey",
+        (((F.col("c_custkey") * 2654435761) % 120000) / 12000.0 + 40).alias(
+            "c_lat"
+        ),
+        (((F.col("c_custkey") * 40503 + 7919) % 240000) / 12000.0).alias(
+            "c_lon"
+        ),
+    )
+    supp = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey",
+        (
+            ((F.col("s_suppkey") * 2654435761 + 999331) % 120000) / 12000.0
+            + 40
+        ).alias("s_lat"),
+        (((F.col("s_suppkey") * 40503 + 104729) % 240000) / 12000.0).alias(
+            "s_lon"
+        ),
+    )
+    supp_cells = (
+        supp.withColumn("dlat", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dlon", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select(
+            "s_suppkey",
+            "s_lat",
+            "s_lon",
+            (F.floor(F.col("s_lat") / _GEO_CELL_DEG) + F.col("dlat")).alias(
+                "cell_lat"
+            ),
+            (F.floor(F.col("s_lon") / _GEO_CELL_DEG) + F.col("dlon")).alias(
+                "cell_lon"
+            ),
+        )
+    )
+    cust_cells = cust.select(
+        "c_custkey",
+        "c_lat",
+        "c_lon",
+        F.floor(F.col("c_lat") / _GEO_CELL_DEG).alias("cell_lat"),
+        F.floor(F.col("c_lon") / _GEO_CELL_DEG).alias("cell_lon"),
+    )
+    pairs = cust_cells.join(
+        F.broadcast(supp_cells), ["cell_lat", "cell_lon"]
+    ).select(
+        "c_custkey",
+        "s_suppkey",
+        F.round(
+            _haversine_km(
+                F.col("c_lat"), F.col("c_lon"), F.col("s_lat"), F.col("s_lon")
+            ),
+            6,
+        ).alias("d_km"),
+    )
+    hits = pairs.filter(F.col("d_km") <= _GEO_RADIUS_KM)
+    nearest = hits.groupBy("c_custkey").agg(
+        F.count(F.lit(1)).alias("n_within"),
+        F.min(F.struct("d_km", "s_suppkey")).alias("best"),
+    )
+    return nearest.select(
+        "c_custkey",
+        "n_within",
+        F.col("best.s_suppkey").alias("nearest_suppkey"),
+        F.round(F.col("best.d_km"), 3).alias("nearest_km"),
+    ).orderBy("c_custkey")

@@ -1,0 +1,329 @@
+"""Temporal-analytics wave 16 (SURVEY §2.26): the interval and
+calendar operators an event-log warehouse runs daily — overlapping-
+interval merge (the coverage primitive behind SLA/uptime accounting),
+gaps-and-islands activity streaks (retention's "consecutive days"
+metric), cumulative-distinct user growth (the first-seen trick that
+makes a running COUNT(DISTINCT) linear), and a seasonal-naive forecast
+backtest (the baseline every demand forecast must beat).
+
+The reference keeps per-session message history and timestamps only
+(AI.py:155-161); these are the temporal analytics a production log of
+those sessions would need at fleet scale.
+
+Every query has an exact DuckDB oracle. Portability notes: timestamps
+compare as ``unix_micros`` ↔ ``epoch_us`` (integer microseconds, no
+timezone surface); day bucketing is ``to_date`` ↔ ``CAST(ts AS
+DATE)`` under the UTC-pinned session; interval endpoints and island
+ids are int64 arithmetic, identical on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import query
+from .sources.loaders import load_table
+
+# --- W16a: overlapping-interval merge --------------------------------------
+
+
+@query(
+    "q_interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS e
+      FROM events),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= s
+                  THEN 0 ELSE 1 END AS new_island,
+             event_id
+      FROM iv),
+    islands AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, e, event_id
+               ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged),
+    merged AS (
+      SELECT user_id, island, count(*) AS n, min(s) AS ms, max(e) AS me
+      FROM islands GROUP BY user_id, island)
+    SELECT user_id, CAST(sum(n) AS BIGINT) AS n_raw, count(*) AS n_merged,
+           CAST(sum(me - ms) AS BIGINT) AS covered_us,
+           max(me - ms) AS max_merged_us
+    FROM merged GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping intervals per user (W16a): each event opens an
+    interval of ``value`` minutes; overlapping-or-touching intervals
+    collapse into islands, reported per user as raw/merged counts and
+    covered time — the primitive behind uptime accounting, on-call
+    coverage, and de-overlapped billable time.
+
+    Plan shape: ONE data-sized exchange. The max-end prefix window, the
+    running island-id sum, the (user, island) merge, and the final
+    per-user rollup all cluster on user_id, so Catalyst reuses the one
+    hash partitioning for every downstream aggregate (hash on a subset
+    of the grouping keys satisfies the clustered distribution). Island
+    detection is O(1) state per row — no pair join, no self-join — so
+    the shape is history-depth-independent, the property that made the
+    as-of join scale (see BASELINE.md round-4 sweep). At 100 TB the
+    sort within each user partition is the only superlinear term and
+    rides the shuffle's spill machinery."""
+    iv = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.floor(F.col("value") * 60000000).cast("long")
+        ).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e", "event_id")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(prev_max_e >= F.col("s"), F.lit(0)).otherwise(F.lit(1)),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("s").alias("ms"),
+        F.max("e").alias("me"),
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.sum("n").alias("n_raw"),
+            F.count(F.lit(1)).alias("n_merged"),
+            F.sum(F.col("me") - F.col("ms")).alias("covered_us"),
+            F.max(F.col("me") - F.col("ms")).alias("max_merged_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- W16b: gaps-and-islands activity streaks -------------------------------
+
+
+@query(
+    "q_gaps_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    numbered AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp,
+             date_diff('day',
+                       lag(d) OVER (PARTITION BY user_id ORDER BY d),
+                       d) - 1 AS gap
+      FROM days),
+    streaks AS (
+      SELECT user_id, grp, count(*) AS len, max(gap) AS g
+      FROM numbered GROUP BY user_id, grp)
+    SELECT user_id, CAST(sum(len) AS BIGINT) AS active_days,
+           count(*) AS n_streaks, max(len) AS max_streak_days,
+           coalesce(max(g), 0) AS max_gap_days
+    FROM streaks GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands activity streaks per user (W16b): collapse each
+    user's active days into maximal runs of consecutive dates via the
+    classic ``date - row_number`` island key, reporting active days,
+    streak count, longest streak, and widest gap — the retention
+    metric behind "7-day streak" product features.
+
+    Plan shape: two keyed exchanges. The DISTINCT (user, day) dedup
+    partial-aggregates map-side, so exchange 1 carries at most
+    |users|×|days| rows; exchange 2 re-keys on user_id for the
+    row_number window, and the streak + per-user rollups reuse that
+    partitioning (subset-clustering, as in q_interval_merge). Nothing
+    here scales with raw event count past the map-side dedup, so at
+    100 TB the shape is bounded by users × calendar days."""
+    days = (
+        load_table(spark, "events", sf_dir)
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    numbered = days.select(
+        "user_id",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("grp"),
+        (F.datediff(F.col("d"), F.lag("d").over(w)) - 1)
+        .cast("long")
+        .alias("gap"),
+    )
+    streaks = numbered.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"), F.max("gap").alias("g")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("len").alias("active_days"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("len").alias("max_streak_days"),
+            F.coalesce(F.max("g"), F.lit(0).cast("long")).alias(
+                "max_gap_days"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- W16c: cumulative-distinct user growth ---------------------------------
+
+
+@query(
+    "q_running_distinct",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS fd FROM events
+      GROUP BY user_id),
+    new_by_day AS (
+      SELECT fd AS d, count(*) AS new_users FROM first_seen GROUP BY fd),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             count(DISTINCT user_id) AS active_users FROM events
+      GROUP BY 1)
+    SELECT daily.d, daily.active_users,
+           coalesce(new_by_day.new_users, 0) AS new_users,
+           daily.active_users - coalesce(new_by_day.new_users, 0)
+             AS returning_users,
+           CAST(sum(coalesce(new_by_day.new_users, 0)) OVER (
+             ORDER BY daily.d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_users
+    FROM daily LEFT JOIN new_by_day ON daily.d = new_by_day.d
+    ORDER BY daily.d
+    """,
+)
+def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-distinct user growth by day (W16c): a running
+    COUNT(DISTINCT user) over an ever-growing prefix is quadratic if
+    evaluated per day; the first-seen trick (min event date per user,
+    then a running sum of per-day first-timers) makes it one linear
+    pass — the standard growth-curve query.
+
+    Plan shape: the first-seen aggregate keys one exchange on user_id
+    (partial min map-side); the per-day rollups carry ≤|days| groups;
+    the final running sum is a single-partition window over the
+    |days|-row daily series — a deliberate driver-scale artifact
+    (30 rows here, ~37k rows for a century of days), never data-sized.
+    At 100 TB only the user-keyed exchange grows, and it carries one
+    (user, date) pair per user after the map-side combine."""
+    events = load_table(spark, "events", sf_dir)
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("fd")
+    )
+    new_by_day = first_seen.groupBy(F.col("fd").alias("d")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    daily = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count_distinct("user_id").alias("active_users")
+    )
+    joined = daily.join(new_by_day, "d", "left").select(
+        "d",
+        "active_users",
+        F.coalesce("new_users", F.lit(0)).alias("new_users"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "d",
+        "active_users",
+        "new_users",
+        (F.col("active_users") - F.col("new_users")).alias("returning_users"),
+        F.sum("new_users").over(w).alias("cum_users"),
+    ).orderBy("d")
+
+
+# --- W16d: seasonal-naive forecast backtest --------------------------------
+
+
+@query(
+    "q_seasonal_naive",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    lagged AS (
+      SELECT event_type, d, n,
+             lag(n, 7) OVER (PARTITION BY event_type ORDER BY d) AS f7,
+             lag(n, 1) OVER (PARTITION BY event_type ORDER BY d) AS f1,
+             max(d) OVER (PARTITION BY event_type) AS md
+      FROM daily)
+    SELECT event_type, count(*) AS n_days_eval,
+           round(avg(abs(n - f7) / n), 5) AS mape_seasonal,
+           round(avg(abs(n - f1) / n), 5) AS mape_naive,
+           round(avg(2.0 * abs(n - f7) / (n + f7)), 5) AS smape_seasonal
+    FROM lagged
+    WHERE date_diff('day', d, md) < 14 AND f7 IS NOT NULL AND f1 IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest (W16d): forecast each event
+    type's daily volume as last week's same-weekday value (lag-7 on the
+    observed daily series), score MAPE/sMAPE over the trailing 14 days,
+    and report the lag-1 naive baseline beside it — the sanity floor
+    every real demand forecast is graded against.
+
+    The lags are observation lags on the daily series (the series is
+    dense at fixture scale; both engines see the identical daily table,
+    so semantics match by construction either way). The eval horizon is
+    data-driven (max date per type) rather than a calendar constant, so
+    replicated tiers need no query change.
+
+    Plan shape: one exchange keys the (type, day) daily rollup with
+    map-side partials; the lag window repartitions to |types| groups of
+    |days| rows each — KB-sized forever — and the final aggregate is
+    5 rows. At 100 TB only the first exchange grows and it carries
+    ≤ |types|×|days| partial counts per mapper."""
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.lag("n", 7).over(w).alias("f7"),
+        F.lag("n", 1).over(w).alias("f1"),
+        F.max("d").over(Window.partitionBy("event_type")).alias("md"),
+    )
+    evald = lagged.filter(
+        (F.datediff("md", "d") < 14)
+        & F.col("f7").isNotNull()
+        & F.col("f1").isNotNull()
+    )
+    return (
+        evald.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days_eval"),
+            F.round(F.avg(F.abs(F.col("n") - F.col("f7")) / F.col("n")), 5).alias(
+                "mape_seasonal"
+            ),
+            F.round(F.avg(F.abs(F.col("n") - F.col("f1")) / F.col("n")), 5).alias(
+                "mape_naive"
+            ),
+            F.round(
+                F.avg(
+                    2.0
+                    * F.abs(F.col("n") - F.col("f7"))
+                    / (F.col("n") + F.col("f7"))
+                ),
+                5,
+            ).alias("smape_seasonal"),
+        )
+        .orderBy("event_type")
+    )

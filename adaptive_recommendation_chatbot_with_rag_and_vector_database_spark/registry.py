@@ -45,6 +45,8 @@ _MODULES = (
     "adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_graphstats",
     "adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_hygiene",
     "adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_trainset",
+    "adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_temporal",
+    "adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_measurement",
 )
 
 
