@@ -49,6 +49,19 @@ def _epoch_us(ts) -> int:
     return int(ts.timestamp() * 1_000_000)
 
 
+def _utc_date(ts):
+    """UTC calendar day of a collected Spark timestamp. PySpark renders
+    TimestampType in the driver's LOCAL timezone, so ``ts.date()``
+    shifts under a non-UTC TZ env while the engine (session TZ pinned
+    UTC) does not; round-tripping through the epoch instant is
+    TZ-invariant."""
+    import datetime
+
+    return datetime.datetime.fromtimestamp(
+        ts.timestamp(), tz=datetime.timezone.utc
+    ).date()
+
+
 def test_interval_merge_matches_sweep(spark, events_rows):
     by_user = defaultdict(list)
     for r in events_rows:
@@ -80,7 +93,7 @@ def test_interval_merge_matches_sweep(spark, events_rows):
 def test_gaps_islands_matches_streak_scan(spark, events_rows):
     days = defaultdict(set)
     for r in events_rows:
-        days[r.user_id].add(r.ts.date())
+        days[r.user_id].add(_utc_date(r.ts))
     expected = {}
     for u, ds in days.items():
         ordered = sorted(ds)
@@ -110,7 +123,7 @@ def test_gaps_islands_matches_streak_scan(spark, events_rows):
 def test_running_distinct_matches_first_seen(spark, events_rows):
     first_seen, per_day = {}, defaultdict(set)
     for r in events_rows:
-        d = r.ts.date()
+        d = _utc_date(r.ts)
         per_day[d].add(r.user_id)
         if r.user_id not in first_seen or d < first_seen[r.user_id]:
             first_seen[r.user_id] = d
@@ -132,7 +145,7 @@ def test_running_distinct_matches_first_seen(spark, events_rows):
 def test_seasonal_naive_matches_backtest(spark, events_rows):
     daily = defaultdict(lambda: defaultdict(int))
     for r in events_rows:
-        daily[r.event_type][r.ts.date()] += 1
+        daily[r.event_type][_utc_date(r.ts)] += 1
     out = {r.event_type: r for r in q_seasonal_naive(spark, SF_DIR).collect()}
     for et, series in daily.items():
         ds = sorted(series)
@@ -234,7 +247,7 @@ def test_diversity_closed_forms(spark, events_rows):
 def test_dp_noise_matches_seeded_laplace(spark, events_rows):
     daily = defaultdict(int)
     for r in events_rows:
-        daily[(r.event_type, r.ts.date())] += 1
+        daily[(r.event_type, _utc_date(r.ts))] += 1
     out = q_dp_noise(spark, SF_DIR).collect()
     assert len(out) == len(daily)
     epoch = __import__("datetime").date(1970, 1, 1)
