@@ -1,0 +1,407 @@
+"""ML-ops & feature-engineering wave 18 (SURVEY §2.29): the operators
+between a warehouse and a model — PSI feature-drift monitoring (the
+binned complement to G5's KS test, and the one production monitors
+actually ship), k-fold leakage-safe target encoding (the categorical
+encoder that must NOT see its own fold's labels), a k-anonymity audit
+with hierarchical generalization levels (the privacy gate before a
+dataset leaves the platform), and point-in-time feature backfill
+(training-serving-skew-free features as of each label event — the
+feature-store correctness primitive).
+
+Every query has an exact DuckDB oracle. Determinism notes: PSI bins
+are fixed-width integer arithmetic with an ε-floor on shares (no
+ln(0)); the encoding's fold assignment is key-modulo (replayable);
+backfill windows are integer-microsecond RANGE frames anchored
+strictly before the label row (no label leakage by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import query
+from .sources.loaders import load_table
+
+# --- W18a: PSI feature-drift report ----------------------------------------
+
+_PSI_BIN_W = 50.0
+_PSI_BINS = 10
+_PSI_EPS = 1e-6
+
+
+@query(
+    "q_psi_drift",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT (CAST(min(epoch_us(ts)) AS BIGINT)
+              + CAST(max(epoch_us(ts)) AS BIGINT)) // 2 AS mid
+      FROM events),
+    binned AS (
+      SELECT event_type,
+             CASE WHEN epoch_us(ts) < bounds.mid THEN 0 ELSE 1 END AS period,
+             least(CAST(floor(value / {_PSI_BIN_W}) AS BIGINT),
+                   {_PSI_BINS - 1}) AS bin
+      FROM events, bounds),
+    cells AS (
+      SELECT event_type, period, bin, count(*) AS n
+      FROM binned GROUP BY 1, 2, 3),
+    shares AS (
+      SELECT event_type, bin,
+             greatest(CAST(sum(CASE WHEN period = 0 THEN n ELSE 0 END)
+                             AS DOUBLE)
+                      / sum(sum(CASE WHEN period = 0 THEN n ELSE 0 END))
+                        OVER (PARTITION BY event_type), {_PSI_EPS}) AS p_ref,
+             greatest(CAST(sum(CASE WHEN period = 1 THEN n ELSE 0 END)
+                             AS DOUBLE)
+                      / sum(sum(CASE WHEN period = 1 THEN n ELSE 0 END))
+                        OVER (PARTITION BY event_type), {_PSI_EPS}) AS p_cur
+      FROM cells GROUP BY event_type, bin)
+    SELECT event_type,
+           round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 5) AS psi,
+           CASE WHEN sum((p_cur - p_ref) * ln(p_cur / p_ref)) > 0.2
+                THEN 1 ELSE 0 END AS drifted
+    FROM shares GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI feature-drift report (W18a): split the stream at its
+    temporal midpoint (data-driven, so replicated tiers need no query
+    change), histogram ``value`` into fixed-width bins per event type,
+    and compute the population stability index
+    Σ(p_cur−p_ref)·ln(p_cur/p_ref) with an ε-floor on shares — the
+    binned drift monitor production ML ships beside the KS test (G5),
+    because it decomposes per-bin and is cheap to recompute hourly.
+
+    Plan shape: one 1-row min/max reduction broadcast back onto the
+    scan, then one keyed aggregate whose exchange carries at most
+    |types|×2×|bins| partial counts per mapper; the share windows run
+    over ≤|bins| rows per type. Nothing downstream of the map-side
+    combine scales with row count."""
+    events = load_table(spark, "events", sf_dir)
+    mid = events.agg(
+        (
+            (
+                F.min(F.unix_micros("ts")).cast("long")
+                + F.max(F.unix_micros("ts")).cast("long")
+            )
+            / 2
+        )
+        .cast("long")
+        .alias("mid")
+    )
+    binned = events.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        F.when(F.unix_micros("ts") < F.col("mid"), 0).otherwise(1).alias(
+            "period"
+        ),
+        F.least(
+            F.floor(F.col("value") / _PSI_BIN_W).cast("long"),
+            F.lit(_PSI_BINS - 1),
+        ).alias("bin"),
+    )
+    cells = binned.groupBy("event_type", "period", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.partitionBy("event_type")
+    n_ref = F.sum(F.when(F.col("period") == 0, F.col("n")).otherwise(0))
+    n_cur = F.sum(F.when(F.col("period") == 1, F.col("n")).otherwise(0))
+    shares = cells.groupBy("event_type", "bin").agg(
+        n_ref.alias("ref"), n_cur.alias("cur")
+    )
+    shares = shares.select(
+        "event_type",
+        "bin",
+        F.greatest(
+            F.col("ref").cast("double") / F.sum("ref").over(wt),
+            F.lit(_PSI_EPS),
+        ).alias("p_ref"),
+        F.greatest(
+            F.col("cur").cast("double") / F.sum("cur").over(wt),
+            F.lit(_PSI_EPS),
+        ).alias("p_cur"),
+    )
+    term = (F.col("p_cur") - F.col("p_ref")) * F.log(
+        F.col("p_cur") / F.col("p_ref")
+    )
+    return (
+        shares.groupBy("event_type")
+        .agg(
+            F.round(F.sum(term), 5).alias("psi"),
+            F.when(F.sum(term) > 0.2, 1).otherwise(0).alias("drifted"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- W18b: k-fold leakage-safe target encoding -----------------------------
+
+_TE_FOLDS = 5
+_TE_SMOOTH = 50.0
+
+
+@query(
+    "q_target_encoding",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT c.c_mktsegment AS category,
+             o.o_custkey % {_TE_FOLDS} AS fold,
+             o.o_totalprice AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    g AS (SELECT avg(y) AS gmean FROM labeled),
+    per_fold AS (
+      SELECT category, fold, count(*) AS n, sum(y) AS s
+      FROM labeled GROUP BY category, fold),
+    enc AS (
+      SELECT category, fold, n, s,
+             CAST(sum(n) OVER (PARTITION BY category) AS BIGINT) AS n_tot,
+             sum(s) OVER (PARTITION BY category) AS s_tot
+      FROM per_fold)
+    SELECT enc.category, enc.fold, enc.n AS n_in_fold,
+           round((enc.s_tot - enc.s + {_TE_SMOOTH} * g.gmean)
+                 / (enc.n_tot - enc.n + {_TE_SMOOTH}), 4) AS encoded,
+           round(enc.s / enc.n, 4) AS fold_raw_mean
+    FROM enc, g ORDER BY enc.category, enc.fold
+    """,
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold leakage-safe target encoding (W18b): encode a categorical
+    feature by the smoothed target mean computed from the OTHER folds —
+    (S_total − S_fold + m·ḡ)/(N_total − N_fold + m) — so no row's
+    encoding ever saw its own fold's labels, the property that
+    separates a valid encoder from a leak. Fold assignment is
+    key-modulo: replayable on any engine, stable across retries (the
+    same reason L1's sampling and M1's bucketing avoid rand()).
+
+    Plan shape: one fact-keyed join (customer dimension broadcast),
+    one (category, fold) aggregate — the exchange carries
+    |categories|×|folds| partial sums — and category-window totals over
+    ≤|folds| rows each. The leave-fold-out subtraction means ONE pass
+    computes all folds' encoders; the naive per-fold recompute scans
+    the facts k times."""
+    labeled = (
+        load_table(spark, "orders", sf_dir)
+        .join(
+            F.broadcast(
+                load_table(spark, "customer", sf_dir).select(
+                    "c_custkey", "c_mktsegment"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("category"),
+            (F.col("o_custkey") % _TE_FOLDS).alias("fold"),
+            F.col("o_totalprice").alias("y"),
+        )
+    )
+    g = labeled.agg(F.avg("y").alias("gmean"))
+    per_fold = labeled.groupBy("category", "fold").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    wc = Window.partitionBy("category")
+    enc = per_fold.select(
+        "category",
+        "fold",
+        "n",
+        "s",
+        F.sum("n").over(wc).alias("n_tot"),
+        F.sum("s").over(wc).alias("s_tot"),
+    )
+    return (
+        enc.crossJoin(F.broadcast(g))
+        .select(
+            "category",
+            "fold",
+            F.col("n").alias("n_in_fold"),
+            F.round(
+                (F.col("s_tot") - F.col("s") + _TE_SMOOTH * F.col("gmean"))
+                / (F.col("n_tot") - F.col("n") + _TE_SMOOTH),
+                4,
+            ).alias("encoded"),
+            F.round(F.col("s") / F.col("n"), 4).alias("fold_raw_mean"),
+        )
+        .orderBy("category", "fold")
+    )
+
+
+# --- W18c: k-anonymity audit with generalization levels --------------------
+
+_K_ANON = 5
+
+
+@query(
+    "q_k_anonymity",
+    oracle=f"""
+    WITH l0 AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS n0
+      FROM customer GROUP BY 1, 2),
+    l1 AS (
+      SELECT n.n_regionkey, c.c_mktsegment, count(*) AS n1
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2),
+    l2 AS (
+      SELECT c_mktsegment, count(*) AS n2 FROM customer GROUP BY 1)
+    SELECT l0.c_nationkey, l0.c_mktsegment, l0.n0 AS group_size,
+           CASE WHEN l0.n0 >= {_K_ANON} THEN 0
+                WHEN l1.n1 >= {_K_ANON} THEN 1
+                WHEN l2.n2 >= {_K_ANON} THEN 2
+                ELSE 999 END AS anonymity_level
+    FROM l0
+    JOIN nation ON l0.c_nationkey = nation.n_nationkey
+    JOIN l1 ON nation.n_regionkey = l1.n_regionkey
+           AND l0.c_mktsegment IS NOT DISTINCT FROM l1.c_mktsegment
+    JOIN l2 ON l0.c_mktsegment IS NOT DISTINCT FROM l2.c_mktsegment
+    ORDER BY l0.c_nationkey, l0.c_mktsegment
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity audit (W18c): for each quasi-identifier group
+    (nation, segment), report its size and the minimal generalization
+    level at which it reaches k≥5 — level 0 as-is, level 1 nation→
+    region, level 2 segment only — the privacy gate a dataset passes
+    before leaving the platform, with the generalization ladder privacy
+    engineering actually applies (suppress→generalize, not just flag).
+
+    Plan shape: three dimension-sized aggregates stitched by broadcast
+    joins (nation is 25 rows; the level tables are ≤|QI| rows). On a
+    fact-scale subject table the same shape holds: each level is one
+    keyed aggregate with map-side partials, and the ladder join touches
+    only the group summaries, never the subjects."""
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_regionkey"
+    )
+    l0 = customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n0")
+    )
+    l1 = (
+        customer.join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_regionkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n1"))
+        .withColumnRenamed("c_mktsegment", "seg1")
+        .withColumnRenamed("n_regionkey", "rk1")
+    )
+    l2 = (
+        customer.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n2"))
+        .withColumnRenamed("c_mktsegment", "seg2")
+    )
+    return (
+        l0.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(l1),
+            (F.col("n_regionkey") == F.col("rk1"))
+            & F.col("c_mktsegment").eqNullSafe(F.col("seg1")),
+        )
+        .join(F.broadcast(l2), F.col("c_mktsegment").eqNullSafe(F.col("seg2")))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("n0").alias("group_size"),
+            F.when(F.col("n0") >= _K_ANON, 0)
+            .when(F.col("n1") >= _K_ANON, 1)
+            .when(F.col("n2") >= _K_ANON, 2)
+            .otherwise(999)
+            .alias("anonymity_level"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+# --- W18d: point-in-time feature backfill ----------------------------------
+
+_US_7D = 7 * 86400 * 1_000_000
+_US_30D = 30 * 86400 * 1_000_000
+
+
+@query(
+    "q_feature_backfill",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) AS t
+      FROM events),
+    feat AS (
+      SELECT user_id, event_id, event_type, t,
+             count(CASE WHEN event_type = 'view' THEN 1 END) OVER w7
+               AS views_7d,
+             sum(CASE WHEN event_type = 'purchase' THEN cents
+                      ELSE 0 END) OVER w30 AS spend_30d_cents,
+             count(*) OVER wall AS prior_events
+      FROM ev
+      WINDOW
+        w7 AS (PARTITION BY user_id ORDER BY t
+               RANGE BETWEEN {_US_7D} PRECEDING AND 1 PRECEDING),
+        w30 AS (PARTITION BY user_id ORDER BY t
+                RANGE BETWEEN {_US_30D} PRECEDING AND 1 PRECEDING),
+        wall AS (PARTITION BY user_id ORDER BY t
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT user_id, event_id,
+           CAST(views_7d AS BIGINT) AS views_7d,
+           CAST(coalesce(spend_30d_cents, 0) AS BIGINT) AS spend_30d_cents,
+           CAST(prior_events AS BIGINT) AS prior_events
+    FROM feat WHERE event_type = 'purchase'
+    ORDER BY user_id, event_id
+    """,
+)
+def q_feature_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature backfill (W18d): for every purchase
+    (label) event, the user's features as of STRICTLY BEFORE that
+    moment — views in the trailing 7 days, spend (integer cents — the
+    wave-17 sliding-frame FP lesson) in 30, lifetime prior events —
+    via integer-microsecond RANGE frames ending at ``1 PRECEDING``. The frame boundary IS the training-serving-skew
+    guarantee: a feature computed with the label row (or anything
+    after) inside the window is leakage, and here it's excluded by
+    construction rather than by pipeline discipline. Same-timestamp
+    events are excluded together (RANGE, not ROWS) on both engines.
+
+    Plan shape: one user-keyed exchange; all three frames share the
+    one sort (T7's trailing-window machinery, anchored at label rows).
+    The label filter happens AFTER the windows — at 100 TB you push a
+    per-user month horizon instead, keeping state bounded while every
+    label in the horizon backfills in the same single pass."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.unix_micros("ts").alias("t"),
+    )
+    base = Window.partitionBy("user_id").orderBy("t")
+    w7 = base.rangeBetween(-_US_7D, -1)
+    w30 = base.rangeBetween(-_US_30D, -1)
+    wall = base.rangeBetween(Window.unboundedPreceding, -1)
+    feat = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.count(F.when(F.col("event_type") == "view", 1)).over(w7).alias(
+            "views_7d"
+        ),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.col("cents")
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        .over(w30)
+        .alias("spend_30d_cents"),
+        F.count(F.lit(1)).over(wall).alias("prior_events"),
+    )
+    return (
+        feat.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            "views_7d",
+            F.coalesce("spend_30d_cents", F.lit(0).cast("long")).alias(
+                "spend_30d_cents"
+            ),
+            "prior_events",
+        )
+        .orderBy("user_id", "event_id")
+    )

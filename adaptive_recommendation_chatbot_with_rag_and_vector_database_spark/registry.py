@@ -48,6 +48,7 @@ _MODULES = (
     "adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_temporal",
     "adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_measurement",
     "adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_ledger",
+    "adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_mlops",
 )
 
 

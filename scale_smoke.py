@@ -48,14 +48,25 @@ SHARED_SHIFT_GROUPS = ({"o_orderkey", "l_orderkey"},)
 SHIFT_QUANTUM = 1200  # lcm-safe over the query-decimation moduli
 
 
-def build_tier(base: str, mult: int, out_root: str = "/tmp/spark_graft_tier") -> str:
+def build_tier(
+    base: str,
+    mult: int,
+    out_root: str = "/tmp/spark_graft_tier",
+    only: tuple[str, ...] = (),
+) -> str:
     """Build (or reuse) the N× tier. The tier directory name embeds a
     fingerprint (mtime+size of every base table file), so regenerating
     the base fixture at the same path changes the fingerprint and the
     stale tier is simply never addressed again — same staleness guard
     as q_partition_prune's layout cache. The build stages into a unique
     temp dir and atomically renames into place, so a concurrent run
-    (driver + bench) never reads a half-written tier."""
+    (driver + bench) never reads a half-written tier.
+
+    ``only`` restricts replication to the named tables (the rest
+    hardlink at base size) — how the single-table mega-tiers are built
+    (events×1000 for the temporal family, embeddings×1000 for the ANN
+    large-index regime) without paying for a 600 M-row lineitem copy
+    nobody queries."""
     import hashlib
     import shutil
     import uuid
@@ -69,9 +80,14 @@ def build_tier(base: str, mult: int, out_root: str = "/tmp/spark_graft_tier") ->
         f"{os.stat(f'{base}/{n}.parquet').st_size}"
         for n in TABLES
     )
+    replicated = {
+        n: c for n, c in REPLICATED.items() if not only or n in only
+    }
     ver = hashlib.sha256(tag.encode()).hexdigest()[:12]
+    suffix = "" if not only else "_only-" + "-".join(sorted(replicated))
     final = os.path.join(
-        out_root, f"{os.path.basename(base.rstrip('/'))}_x{mult}_{ver}"
+        out_root,
+        f"{os.path.basename(base.rstrip('/'))}_x{mult}{suffix}_{ver}",
     )
     done_marker = os.path.join(final, ".complete")
     if os.path.exists(done_marker):
@@ -84,7 +100,7 @@ def build_tier(base: str, mult: int, out_root: str = "/tmp/spark_graft_tier") ->
     group_shift: dict[str, int] = {}
     for group in SHARED_SHIFT_GROUPS:
         mx = 0
-        for name, cols in REPLICATED.items():
+        for name, cols in replicated.items():
             for c in cols:
                 if c in group:
                     t = pq.read_table(f"{base}/{name}.parquet", columns=[c])
@@ -97,10 +113,10 @@ def build_tier(base: str, mult: int, out_root: str = "/tmp/spark_graft_tier") ->
         dst = f"{tier}/{name}.parquet"
         if os.path.exists(dst):
             os.remove(dst)
-        if name not in REPLICATED:
+        if name not in replicated:
             os.link(src, dst)
             continue
-        id_cols = REPLICATED[name]
+        id_cols = replicated[name]
         t = pq.read_table(src)
         shifts = {
             c: group_shift.get(c)
@@ -178,6 +194,11 @@ def main() -> None:
     ap.add_argument("--queries", required=True)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--skip-duck", action="store_true")
+    ap.add_argument(
+        "--only",
+        default="",
+        help="comma list: replicate only these tables, hardlink the rest",
+    )
     args = ap.parse_args()
 
     from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark import registry
@@ -186,7 +207,11 @@ def main() -> None:
     qs = registry.queries()
     oracles = registry.oracle_sql()
     names = [n.strip() for n in args.queries.split(",") if n.strip()]
-    tier = build_tier(args.base, args.mult)
+    tier = build_tier(
+        args.base,
+        args.mult,
+        only=tuple(t.strip() for t in args.only.split(",") if t.strip()),
+    )
     spark = get_spark("scale_smoke")
 
     out: dict[str, dict] = {}
