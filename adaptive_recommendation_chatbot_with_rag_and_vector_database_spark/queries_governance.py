@@ -424,3 +424,135 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ks"), "src_a", "src_b")
         .limit(25)
     )
+
+
+# --- W19/G6: Benford first-digit conformance screen -------------------------
+
+#: log10(1 + 1/d) for d = 1..9, Python-formatted once and injected into
+#: BOTH engines (computing log10 engine-side risks a ulp straddling the
+#: rounding boundary; a shared literal cannot).
+_BENFORD_SHARES = (
+    "0.3010299956639812",
+    "0.17609125905568124",
+    "0.12493873660829992",
+    "0.09691001300805642",
+    "0.07918124604762482",
+    "0.06694678963061322",
+    "0.05799194697768673",
+    "0.05115252244738129",
+    "0.04575749056067514",
+)
+#: chi-square critical value, df=8, alpha=0.05
+_BENFORD_CRIT = "15.50731305586545"
+
+
+@query(
+    "q_benford",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderpriority AS priority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders WHERE o_totalprice > 0),
+    d AS (
+      SELECT priority,
+             CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM o),
+    counts AS (
+      SELECT priority, digit, CAST(count(*) AS BIGINT) AS n
+      FROM d GROUP BY 1, 2),
+    dense AS (
+      SELECT p.priority, CAST(dig.digit AS INT) AS digit,
+             coalesce(counts.n, 0) AS n,
+             (CAST([{", ".join(_BENFORD_SHARES)}] AS DOUBLE[])
+              )[CAST(dig.digit AS INT)] AS s
+      FROM (SELECT DISTINCT priority FROM o) p
+      CROSS JOIN generate_series(1, 9) AS dig(digit)
+      LEFT JOIN counts
+        ON counts.priority = p.priority AND counts.digit = dig.digit),
+    tot AS (
+      SELECT priority, CAST(sum(n) AS BIGINT) AS nt FROM dense GROUP BY 1),
+    chi AS (
+      SELECT dense.priority,
+             round(sum((dense.n - tot.nt * dense.s)
+                       * (dense.n - tot.nt * dense.s)
+                       / (tot.nt * dense.s)), 4) AS chi2
+      FROM dense JOIN tot ON dense.priority = tot.priority
+      GROUP BY dense.priority)
+    SELECT dense.priority, dense.digit, dense.n,
+           round(dense.n / CAST(tot.nt AS DOUBLE), 5) AS obs_share,
+           round(dense.s, 5) AS exp_share,
+           chi.chi2,
+           CASE WHEN chi.chi2 > CAST({_BENFORD_CRIT} AS DOUBLE)
+                THEN 1 ELSE 0 END AS flagged
+    FROM dense
+    JOIN tot ON dense.priority = tot.priority
+    JOIN chi ON dense.priority = chi.priority
+    ORDER BY dense.priority, dense.digit
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen (W19/G6): compare each order
+    priority's first-significant-digit distribution of ``o_totalprice``
+    against Benford's law and flag groups whose chi-square statistic
+    exceeds the df=8, α=0.05 critical value — the classic forensic
+    first pass over financial columns (fabricated amounts rarely
+    respect the log-uniform leading digit).
+
+    The first digit is taken from the DECIMAL STRING of the integer
+    cents value — ×100 shifts the decimal point without changing the
+    leading digit — because ``floor(x / 10^floor(log10(x)))`` can
+    misclassify values one ulp under a power of ten. Expected shares
+    are shared literals (see _BENFORD_SHARES); missing digits densify
+    via a priorities × 1..9 frame so zero cells still contribute their
+    expected mass to the statistic.
+
+    Plan shape: one (priority, digit) aggregate with map-side partials
+    — at most |priorities|×9 partial rows per mapper — then everything
+    downstream joins ≤45-row summaries. The facts are scanned once."""
+    o = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"),
+        )
+    )
+    counts = o.select(
+        "priority",
+        F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit"),
+    ).groupBy("priority", "digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    shares = F.array(*[F.lit(float(s)) for s in _BENFORD_SHARES])
+    dense = (
+        o.select("priority")
+        .distinct()
+        .select("priority", F.explode(F.sequence(F.lit(1), F.lit(9))).alias("digit"))
+        .select("priority", F.col("digit").cast("int").alias("digit"))
+        .join(counts, ["priority", "digit"], "left")
+        .select(
+            "priority",
+            "digit",
+            F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+            F.element_at(shares, F.col("digit")).alias("s"),
+        )
+    )
+    tot = dense.groupBy("priority").agg(F.sum("n").cast("long").alias("nt"))
+    densed = dense.join(F.broadcast(tot), "priority")
+    chi_term = (F.col("n") - F.col("nt") * F.col("s")) * (
+        F.col("n") - F.col("nt") * F.col("s")
+    ) / (F.col("nt") * F.col("s"))
+    chi = densed.groupBy("priority").agg(F.round(F.sum(chi_term), 4).alias("chi2"))
+    return (
+        densed.join(F.broadcast(chi), "priority")
+        .select(
+            "priority",
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("nt").cast("double"), 5).alias("obs_share"),
+            F.round(F.col("s"), 5).alias("exp_share"),
+            "chi2",
+            F.when(F.col("chi2") > F.lit(float(_BENFORD_CRIT)), 1)
+            .otherwise(0)
+            .alias("flagged"),
+        )
+        .orderBy("priority", "digit")
+    )

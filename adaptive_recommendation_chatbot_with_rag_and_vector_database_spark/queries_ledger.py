@@ -512,3 +512,135 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --- W19/LG6: FIFO lot matching via cumulative-interval intersection --------
+
+#: One brand keeps the demo output reviewable; the operator itself is
+#: brand-agnostic (drop the filter and the same plan covers every part).
+_FIFO_BRAND = "Brand#1"
+
+
+@query(
+    "q_fifo_inventory",
+    oracle=f"""
+    WITH base AS (
+      SELECT l.l_partkey, l.l_linestatus,
+             CAST(l.l_quantity AS BIGINT) AS qty,
+             l.l_shipdate, l.l_orderkey, l.l_linenumber
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_brand = '{_FIFO_BRAND}'),
+    receipts AS (
+      SELECT l_partkey, qty, l_shipdate AS rdate,
+             row_number() OVER wo AS rseq,
+             CAST(sum(qty) OVER wo AS BIGINT) AS rhi
+      FROM base WHERE l_linestatus = 'F'
+      WINDOW wo AS (PARTITION BY l_partkey
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    issues AS (
+      SELECT l_partkey, qty, l_shipdate AS idate,
+             row_number() OVER wo AS iseq,
+             CAST(sum(qty) OVER wo AS BIGINT) AS ihi
+      FROM base WHERE l_linestatus = 'O'
+      WINDOW wo AS (PARTITION BY l_partkey
+                    ORDER BY l_shipdate, l_orderkey, l_linenumber
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT r.l_partkey, r.rseq AS receipt_seq, i.iseq AS issue_seq,
+           least(r.rhi, i.ihi)
+             - greatest(r.rhi - r.qty, i.ihi - i.qty) AS matched_qty,
+           CASE WHEN i.idate < r.rdate THEN 1 ELSE 0 END AS backordered
+    FROM receipts r JOIN issues i
+      ON r.l_partkey = i.l_partkey
+     AND r.rhi - r.qty < i.ihi AND i.ihi - i.qty < r.rhi
+    ORDER BY r.l_partkey, receipt_seq, issue_seq
+    """,
+)
+def q_fifo_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot matching (W19/LG6): allocate each issue (demand) to
+    supply lots strictly first-in-first-out — the cost-basis primitive
+    behind inventory COGS, tax-lot accounting, and queue billing —
+    WITHOUT the row-at-a-time loop the textbook algorithm implies.
+    The closed form: with receipt lots and issues each cumulatively
+    summed per part, receipt r supplies issue i exactly when their
+    cumulative-quantity intervals [rhi−qty, rhi) and [ihi−qty, ihi)
+    overlap, and the matched quantity is the overlap length
+    ``least(rhi, ihi) − greatest(rlo, ilo)`` — same closed-form family
+    as LG2's clamped balance (recursion → windows).
+
+    Determinism: quantities are integers, so every cumsum, boundary,
+    and matched quantity is exact BIGINT; fully-duplicate line rows
+    swap cumsum positions without changing the output multiset (the
+    LG1 tie argument). Output size is provably linear: every matched
+    pair consumes a receipt or an issue boundary, so matches ≤
+    receipts + issues − 1 per part.
+
+    Plan shape: two part-keyed window exchanges (one per side) and one
+    part-keyed equi-join whose range predicates prune to the linear
+    match set; the part dimension is broadcast into the scan filter.
+    At 100 TB the equi-key carries all parallelism and per-part state
+    is the pair of cumsum columns — no iteration, no driver loop."""
+    part = (
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_brand") == _FIFO_BRAND)
+        .select("p_partkey")
+    )
+    base = (
+        load_table(spark, "lineitem", sf_dir)
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            "l_linestatus",
+            F.col("l_quantity").cast("long").alias("qty"),
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+    wo = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+
+    def _cumulate(side: DataFrame, seq: str, hi: str, date: str) -> DataFrame:
+        return side.select(
+            "l_partkey",
+            "qty",
+            F.col("l_shipdate").alias(date),
+            F.row_number().over(wn).alias(seq),
+            F.sum("qty").over(wo).alias(hi),
+        )
+
+    receipts = _cumulate(
+        base.filter(F.col("l_linestatus") == "F"), "rseq", "rhi", "rdate"
+    ).withColumnRenamed("qty", "rqty")
+    issues = _cumulate(
+        base.filter(F.col("l_linestatus") == "O"), "iseq", "ihi", "idate"
+    ).withColumnRenamed("qty", "iqty").withColumnRenamed("l_partkey", "i_partkey")
+    return (
+        receipts.join(
+            issues,
+            (F.col("l_partkey") == F.col("i_partkey"))
+            & (F.col("rhi") - F.col("rqty") < F.col("ihi"))
+            & (F.col("ihi") - F.col("iqty") < F.col("rhi")),
+        )
+        .select(
+            "l_partkey",
+            F.col("rseq").alias("receipt_seq"),
+            F.col("iseq").alias("issue_seq"),
+            (
+                F.least("rhi", "ihi")
+                - F.greatest(
+                    F.col("rhi") - F.col("rqty"), F.col("ihi") - F.col("iqty")
+                )
+            ).alias("matched_qty"),
+            F.when(F.col("idate") < F.col("rdate"), 1).otherwise(0).alias(
+                "backordered"
+            ),
+        )
+        .orderBy("l_partkey", "receipt_seq", "issue_seq")
+    )

@@ -475,3 +475,135 @@ def q_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.s_suppkey").alias("nearest_suppkey"),
         F.round(F.col("best.d_km"), 3).alias("nearest_km"),
     ).orderBy("c_custkey")
+
+
+# --- W19/M6: Poisson bootstrap confidence interval --------------------------
+
+#: Replicate count and the Poisson(1) inverse-CDF thresholds. The
+#: thresholds are Python-formatted literals injected into BOTH engines'
+#: expressions, so the weight a row gets for replicate b is decided by
+#: an identical double comparison everywhere.
+_BOOT_B = 64
+_POIS_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.999916758850712",
+    "0.9999897508033253",
+)
+
+
+def _pois_case(u_expr: str) -> str:
+    """CASE chain mapping a uniform u in [0,1) to Poisson(1) inverse
+    CDF — identical SQL text for Spark and DuckDB."""
+    arms = " ".join(
+        f"WHEN {u_expr} < {t} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    return f"CASE {arms} ELSE {len(_POIS_CDF)} END"
+
+
+@query(
+    "q_poisson_bootstrap",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    pt AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             round(CAST(sum(cents) AS BIGINT) / (count(*) * 100.0), 4)
+               AS point_mean
+      FROM base),
+    weighted AS (
+      SELECT reps.b,
+             {_pois_case("(((((base.event_id % 1048576) * 1103515245 + 12345)"
+                         " % 1048576 + reps.b) * 1103515245 + 12345)"
+                         " % 1048576) / 1048576.0")} AS w,
+             base.cents
+      FROM base CROSS JOIN generate_series(0, {_BOOT_B - 1}) AS reps(b)),
+    reps AS (
+      SELECT b, CAST(sum(w) AS BIGINT) AS sw,
+             CAST(sum(w * cents) AS BIGINT) AS swc
+      FROM weighted GROUP BY b HAVING sum(w) > 0),
+    means AS (SELECT round(swc / (sw * 100.0), 4) AS m FROM reps)
+    SELECT pt.n_rows, pt.point_mean,
+           (SELECT percentile_disc(0.05) WITHIN GROUP (ORDER BY m)
+            FROM means) AS ci_lo,
+           (SELECT percentile_disc(0.95) WITHIN GROUP (ORDER BY m)
+            FROM means) AS ci_hi,
+           (SELECT CAST(count(*) AS BIGINT) FROM means) AS n_replicates
+    FROM pt
+    """,
+)
+def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap CI (W19/M6): a 90% confidence interval for the
+    mean purchase value via {_BOOT_B} Poisson(1)-weighted replicates —
+    the bootstrap that DISTRIBUTES: instead of materializing B resampled
+    datasets (or collecting rows to a driver RNG), each row draws its
+    own per-replicate multiplicity from a seeded LCG, so one pass over
+    the facts yields every replicate's weighted sum as ordinary
+    map-side-combined aggregation. This is how CIs are put on metrics
+    at warehouse scale — engine RNG would be neither replayable nor
+    engine-portable (the M1/M4 discipline).
+
+    Determinism: the LCG mixes ``event_id % 2^20`` then adds the
+    replicate id and mixes again (mod-first keeps every product inside
+    int64 at any tier); weights are small ints, so each replicate's
+    Σw and Σw·cents are exact BIGINTs, and replicate means are rounded
+    to 4 decimals BEFORE percentile_disc picks actual values — no
+    interpolation, no summation-order exposure anywhere.
+
+    Plan shape: explode ×{_BOOT_B} feeding a {_BOOT_B}-group aggregate
+    whose map-side partials reduce each task's output to {_BOOT_B}
+    rows; the percentile runs over {_BOOT_B} rounded means. At 100 TB
+    the explode is the only amplified stage and it never shuffles
+    amplified rows — the combine happens before the exchange."""
+    base = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    pt = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(
+            F.sum("cents").cast("long") / (F.count(F.lit(1)) * 100.0), 4
+        ).alias("point_mean"),
+    )
+    weighted = base.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        "event_id",
+        "cents",
+    ).select(
+        "b",
+        F.expr(
+            _pois_case(
+                "(((((event_id % 1048576) * 1103515245 + 12345) % 1048576"
+                " + b) * 1103515245 + 12345) % 1048576) / 1048576.0"
+            )
+        ).alias("w"),
+        "cents",
+    )
+    reps = (
+        weighted.groupBy("b")
+        .agg(
+            F.sum("w").cast("long").alias("sw"),
+            F.sum(F.col("w") * F.col("cents")).cast("long").alias("swc"),
+        )
+        .filter(F.col("sw") > 0)
+    )
+    means = reps.select(
+        F.round(F.col("swc") / (F.col("sw") * 100.0), 4).alias("m")
+    )
+    ci = means.agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY m)").alias("ci_lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY m)").alias("ci_hi"),
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+    )
+    return pt.crossJoin(F.broadcast(ci)).select(
+        "n_rows", "point_mean", "ci_lo", "ci_hi", "n_replicates"
+    )

@@ -405,3 +405,132 @@ def q_feature_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# --- W19/MO5: decile lift & gains table -------------------------------------
+
+
+@query(
+    "q_decile_lift",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(pos) AS BIGINT) AS p FROM e),
+    b AS (SELECT *, CAST(floor(value) AS BIGINT) AS bkt FROM e),
+    bc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS bn FROM b GROUP BY 1),
+    boff AS (
+      SELECT bkt,
+             CAST(coalesce(sum(bn) OVER (ORDER BY bkt DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS off
+      FROM bc),
+    ranked AS (
+      SELECT b.pos,
+             boff.off + row_number() OVER (
+               PARTITION BY b.bkt ORDER BY b.value DESC, b.event_id) AS rnk,
+             tot.n, tot.p
+      FROM b JOIN boff ON b.bkt = boff.bkt, tot),
+    agg AS (
+      SELECT ((rnk - 1) * 10) // n AS decile,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(pos) AS BIGINT) AS positives,
+             max(n) AS n, max(p) AS p
+      FROM ranked GROUP BY 1)
+    SELECT decile, n_rows, positives,
+           round(positives / CAST(n_rows AS DOUBLE), 5) AS pos_rate,
+           round((positives * n) / CAST(n_rows * p AS DOUBLE), 5) AS lift,
+           round(CAST(sum(positives) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) / CAST(p AS DOUBLE), 5) AS cum_capture
+    FROM agg ORDER BY decile
+    """,
+)
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift & gains table (W19/MO5): treat ``value`` as a model
+    score and purchases as the positive class, cut the population into
+    score deciles, and report per-decile positive rate, lift over the
+    base rate, and cumulative capture — the table every targeting model
+    is read off before deployment.
+
+    The global rank that defines deciles is computed WITHOUT a
+    single-partition sort over the facts: rows bucket by ``floor(score)``,
+    the ~|buckets| bucket counts prefix-sum on the driver-scale side
+    (the q_concurrency_sweep two-phase idiom), and each row's exact
+    global rank is its bucket offset plus a within-bucket row_number —
+    the within-bucket windows carry all the parallelism. Rank → decile
+    is the exact ``(rank−1)·10 div N`` cut (ntile's tie-free twin),
+    with an id tie-break making every rank unique and engine-portable.
+
+    Plan shape at 100 TB: one bucket-keyed window exchange over the
+    facts plus two scalar/driver-scale sides broadcast back; no stage
+    sorts more than one bucket's rows on one task. Lift and capture
+    are exact integer ratios with one final double division each."""
+    e = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    tot = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    b = e.withColumn("bkt", F.floor("value").cast("long"))
+    bc = b.groupBy("bkt").agg(F.count(F.lit(1)).cast("long").alias("bn"))
+    w_off = (
+        Window.orderBy(F.desc("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = bc.select(
+        "bkt",
+        F.coalesce(F.sum("bn").over(w_off), F.lit(0)).cast("long").alias("off"),
+    )
+    w_in = Window.partitionBy("bkt").orderBy(F.desc("value"), F.asc("event_id"))
+    ranked = (
+        b.join(F.broadcast(boff), "bkt")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pos",
+            (F.col("off") + F.row_number().over(w_in)).alias("rnk"),
+            "n",
+            "p",
+        )
+    )
+    agg = (
+        ranked.select(
+            F.expr("(rnk - 1) * 10 DIV n").alias("decile"), "pos", "n", "p"
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("pos").cast("long").alias("positives"),
+            F.max("n").alias("n"),
+            F.max("p").alias("p"),
+        )
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        agg.select(
+            "decile",
+            "n_rows",
+            "positives",
+            F.round(F.col("positives") / F.col("n_rows").cast("double"), 5).alias(
+                "pos_rate"
+            ),
+            F.round(
+                (F.col("positives") * F.col("n"))
+                / (F.col("n_rows") * F.col("p")).cast("double"),
+                5,
+            ).alias("lift"),
+            F.round(
+                F.sum("positives").over(w_cum).cast("long")
+                / F.col("p").cast("double"),
+                5,
+            ).alias("cum_capture"),
+        )
+        .orderBy("decile")
+    )

@@ -573,3 +573,150 @@ def q_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("label"))
         .limit(5)
     )
+
+
+# --- W19/R8: ranked-retrieval quality metrics (NDCG / MRR / P@k) -------------
+
+#: Fixed probe panel (smallest vec_ids) — the V14/q_ann_recall lesson:
+#: corpus-growing probe sets make evaluation quadratic in the corpus.
+_RM_PANEL = 64
+_RM_K = 10
+#: round(1e6 / log2(r+1)) for ranks r = 1..10, and its prefix sums
+#: (IDCG for 0..10 relevant): INTEGER discount weights so DCG sums are
+#: exact BIGINTs on both engines — no float summation order anywhere.
+_RM_DISC = (1000000, 630930, 500000, 430677, 386853,
+            356207, 333333, 315465, 301030, 289065)
+_RM_IDCG = (0, 1000000, 1630930, 2130930, 2561607, 2948460,
+            3304667, 3638000, 3953465, 4254495, 4543560)
+
+
+@query(
+    "q_ranking_metrics",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+      FROM embeddings ORDER BY vec_id LIMIT {_RM_PANEL}),
+    lbl AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS cnt
+      FROM embeddings GROUP BY label),
+    ranked AS (
+      SELECT p.query_id, p.qlabel,
+             CASE WHEN e.label = p.qlabel THEN 1 ELSE 0 END AS rel,
+             row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY round(list_cosine_similarity(
+                          e.embedding::DOUBLE[], p.qvec::DOUBLE[]), 6) DESC,
+                        e.vec_id ASC) AS rnk
+      FROM embeddings e, probes p
+      WHERE e.vec_id <> p.query_id),
+    top AS (SELECT * FROM ranked WHERE rnk <= {_RM_K}),
+    disc AS (SELECT * FROM top, LATERAL (SELECT
+               ([{", ".join(str(d) for d in _RM_DISC)}])[rnk] AS d)),
+    per_q AS (
+      SELECT query_id, qlabel,
+             CAST(sum(rel) AS BIGINT) AS n_hits,
+             CAST(sum(rel * d) AS BIGINT) AS dcg_scaled,
+             min(CASE WHEN rel = 1 THEN rnk END) AS first_rel
+      FROM disc GROUP BY query_id, qlabel)
+    SELECT per_q.query_id,
+           round(per_q.n_hits / {_RM_K}.0, 5) AS p_at_k,
+           round(CASE WHEN per_q.first_rel IS NULL THEN 0.0
+                 ELSE 1.0 / per_q.first_rel END, 5) AS mrr,
+           round(CASE WHEN lbl.cnt <= 1 THEN 0.0
+                 ELSE per_q.dcg_scaled / CAST(
+                   ([{", ".join(str(i) for i in _RM_IDCG)}])
+                     [least(lbl.cnt - 1, {_RM_K}) + 1] AS DOUBLE) END, 5)
+             AS ndcg,
+           lbl.cnt - 1 AS n_rel_corpus
+    FROM per_q JOIN lbl ON per_q.qlabel = lbl.label
+    ORDER BY per_q.query_id
+    """,
+)
+def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked-retrieval quality metrics (W19/R8): NDCG@{_RM_K},
+    MRR, and precision@{_RM_K} for exact cosine retrieval over a fixed
+    {_RM_PANEL}-probe panel, with same-label index vectors as the
+    relevance ground truth — the offline evaluation harness that grades
+    every retriever change (J1/J2, R1-R7) before it ships. The
+    reference's stack has no evaluation surface at all; a production
+    RAG system cannot tune k, chunking, or fusion weights without this.
+
+    Determinism: rank discounts 1/log2(r+1) are pre-scaled INTEGER
+    literals (_RM_DISC) and ideal DCG is their prefix-sum table
+    (_RM_IDCG), so DCG is an exact BIGINT sum — computing log2
+    engine-side would expose both a ulp and a summation-order surface.
+    Ranking orders by the 6-decimal-rounded score with a vec_id
+    tie-break (the J1 discipline). NDCG divides two exact integers in
+    one double op; singleton-label probes define NDCG = 0.
+
+    Plan shape: the index side is scanned once and never shuffled
+    amplified — the {_RM_PANEL}-row probe panel is broadcast, the
+    per-probe cut is a window over query_id (64 groups), and the label
+    ground-truth sizes come from a label-keyed aggregate joined to 64
+    rows. Evaluation cost is O(panel × index): linear in the corpus."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = F.broadcast(
+        emb.orderBy("vec_id")
+        .limit(_RM_PANEL)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+            F.col("label").alias("qlabel"),
+        )
+    )
+    lbl = emb.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    from .sources.loaders import scatter
+
+    ranked = (
+        scatter(emb)
+        .crossJoin(probes)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            "vec_id",
+            F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0).alias("rel"),
+            F.round(cosine_sim(F.col("embedding"), F.col("qvec")), 6).alias(
+                "score"
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _RM_K)
+    )
+    disc = F.array(*[F.lit(d) for d in _RM_DISC])
+    idcg = F.array(*[F.lit(i) for i in _RM_IDCG])
+    per_q = (
+        ranked.withColumn("d", F.element_at(disc, F.col("rnk")))
+        .groupBy("query_id", "qlabel")
+        .agg(
+            F.sum("rel").cast("long").alias("n_hits"),
+            F.sum(F.col("rel") * F.col("d")).cast("long").alias("dcg_scaled"),
+            F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("first_rel"),
+        )
+    )
+    return (
+        per_q.join(F.broadcast(lbl), F.col("qlabel") == F.col("label"))
+        .select(
+            "query_id",
+            F.round(F.col("n_hits") / float(_RM_K), 5).alias("p_at_k"),
+            F.round(
+                F.when(F.col("first_rel").isNull(), 0.0).otherwise(
+                    F.lit(1.0) / F.col("first_rel")
+                ),
+                5,
+            ).alias("mrr"),
+            F.round(
+                F.when(F.col("cnt") <= 1, 0.0).otherwise(
+                    F.col("dcg_scaled")
+                    / F.element_at(
+                        idcg,
+                        (F.least(F.col("cnt") - 1, F.lit(_RM_K)) + 1).cast("int"),
+                    ).cast("double")
+                ),
+                5,
+            ).alias("ndcg"),
+            (F.col("cnt") - 1).alias("n_rel_corpus"),
+        )
+        .orderBy("query_id")
+    )

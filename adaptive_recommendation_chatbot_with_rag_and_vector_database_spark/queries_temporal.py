@@ -327,3 +327,118 @@ def q_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- W19/TM5: autocorrelation function of the daily series ------------------
+
+_ACF_MAX_LAG = 7
+
+
+@query(
+    "q_acf",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    lagged AS (
+      SELECT event_type, n,
+             lag(n, 1) OVER w AS l1, lag(n, 2) OVER w AS l2,
+             lag(n, 3) OVER w AS l3, lag(n, 4) OVER w AS l4,
+             lag(n, 5) OVER w AS l5, lag(n, 6) OVER w AS l6,
+             lag(n, 7) OVER w AS l7
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d)),
+    pairs AS (
+      SELECT event_type, 1 AS lag, n AS x, l1 AS y FROM lagged WHERE l1 IS NOT NULL
+      UNION ALL
+      SELECT event_type, 2, n, l2 FROM lagged WHERE l2 IS NOT NULL
+      UNION ALL
+      SELECT event_type, 3, n, l3 FROM lagged WHERE l3 IS NOT NULL
+      UNION ALL
+      SELECT event_type, 4, n, l4 FROM lagged WHERE l4 IS NOT NULL
+      UNION ALL
+      SELECT event_type, 5, n, l5 FROM lagged WHERE l5 IS NOT NULL
+      UNION ALL
+      SELECT event_type, 6, n, l6 FROM lagged WHERE l6 IS NOT NULL
+      UNION ALL
+      SELECT event_type, 7, n, l7 FROM lagged WHERE l7 IS NOT NULL),
+    sums AS (
+      SELECT event_type, lag,
+             CAST(count(*) AS BIGINT) AS np,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY 1, 2)
+    SELECT event_type, lag, np AS n_pairs,
+           round(CASE WHEN (np * sxx - sx * sx) = 0
+                        OR (np * syy - sy * sy) = 0 THEN NULL
+                 ELSE CAST(np * sxy - sx * sy AS DOUBLE)
+                      / (sqrt(CAST(np * sxx - sx * sx AS DOUBLE))
+                         * sqrt(CAST(np * syy - sy * sy AS DOUBLE)))
+                 END, 5) AS acf
+    FROM sums ORDER BY event_type, lag
+    """,
+)
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (W19/TM5): Pearson r between each
+    event type's daily count series and its own observation-lagged copy
+    at lags 1..{_ACF_MAX_LAG} — the seasonality fingerprint read before
+    choosing TM4's seasonal-naive lag (a weekly cycle shows as an ACF
+    peak at lag 7). Lags are observation lags on the ordered daily
+    series, matching TM4's convention.
+
+    Determinism: the daily counts are integers, so every Pearson
+    component (n, Σx, Σy, Σxy, Σx², Σy²) is an exact BIGINT; only the
+    final r casts to double, with each variance term cast BEFORE its
+    sqrt so both engines run the identical float expression (the
+    term-product form would overflow int64 at the 100× tier).
+
+    Plan shape: one (type, day) keyed aggregate with map-side partials
+    is the only data-sized exchange; the seven lag columns share one
+    |types|-group window sort over KB-sized series; the unpivot
+    multiplies only the daily table by 7. Nothing past the first
+    combine scales with row count."""
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "n",
+        *[F.lag("n", i).over(w).alias(f"l{i}") for i in range(1, _ACF_MAX_LAG + 1)],
+    )
+    stack_args = ", ".join(f"{i}, l{i}" for i in range(1, _ACF_MAX_LAG + 1))
+    pairs = lagged.select(
+        "event_type",
+        F.col("n").alias("x"),
+        F.expr(f"stack({_ACF_MAX_LAG}, {stack_args}) AS (lag, y)"),
+    ).filter(F.col("y").isNotNull())
+    sums = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    tx = F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ty = F.col("np") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return (
+        sums.select(
+            "event_type",
+            "lag",
+            F.col("np").alias("n_pairs"),
+            F.round(
+                F.when((tx == 0) | (ty == 0), F.lit(None).cast("double")).otherwise(
+                    num / (F.sqrt(tx.cast("double")) * F.sqrt(ty.cast("double")))
+                ),
+                5,
+            ).alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )

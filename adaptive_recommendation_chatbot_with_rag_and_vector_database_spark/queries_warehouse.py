@@ -617,3 +617,123 @@ def q_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p50_ok"
         ),
     )
+
+
+# --- W19/W16: RFM customer segmentation --------------------------------------
+
+
+@query(
+    "q_rfm_segmentation",
+    oracle="""
+    WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS md FROM orders),
+    cust AS (
+      SELECT o.o_custkey,
+             datediff('day', max(CAST(o.o_orderdate AS DATE)), mx.md)
+               AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM orders o, mx GROUP BY o.o_custkey, mx.md),
+    scored AS (
+      SELECT c.c_nationkey,
+             ntile(5) OVER (PARTITION BY c.c_nationkey
+               ORDER BY cust.recency_days ASC, cust.o_custkey) AS r_q,
+             ntile(5) OVER (PARTITION BY c.c_nationkey
+               ORDER BY cust.frequency DESC, cust.o_custkey) AS f_q,
+             ntile(5) OVER (PARTITION BY c.c_nationkey
+               ORDER BY cust.monetary_cents DESC, cust.o_custkey) AS m_q,
+             cust.monetary_cents
+      FROM cust JOIN customer c ON cust.o_custkey = c.c_custkey)
+    SELECT r_q, f_q, m_q,
+           CASE WHEN r_q = 1 AND f_q <= 2 AND m_q <= 2 THEN 'champion'
+                WHEN r_q >= 4 AND f_q <= 2 THEN 'at_risk'
+                WHEN r_q >= 4 AND f_q >= 4 THEN 'lost'
+                ELSE 'regular' END AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary_cents) AS BIGINT) AS total_monetary_cents
+    FROM scored GROUP BY r_q, f_q, m_q
+    ORDER BY r_q, f_q, m_q
+    """,
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (W19/W16): score every purchasing customer by
+    Recency (days since last order, vs the corpus max date — data-driven
+    so replicated tiers need no change), Frequency, and Monetary
+    (integer cents), cut each dimension into quintiles, and roll the
+    125 (R,F,M) cells up with the standard lifecycle labels
+    (champion / at_risk / lost / regular) — the segmentation CRM
+    campaigns are keyed on.
+
+    Quintiles are ntile(5) WITHIN NATION with a custkey tie-break —
+    ntile over a keyed partition is the scalable form (the global-cut
+    alternative is the bucketed-rank pattern q_decile_lift shows); the
+    per-nation framing is also the analytically honest one, since
+    order recency/value distributions differ by market.
+
+    Plan shape: one custkey aggregate over the facts (map-side
+    partials), a broadcast customer-dimension join, three ntile windows
+    SHARING the single nation-keyed exchange (same partition key), and
+    a ≤125-cell rollup. The facts are scanned once; no global sort."""
+    orders = load_table(spark, "orders", sf_dir)
+    mx = orders.agg(
+        F.max(F.to_date("o_orderdate")).alias("md")
+    )
+    cust = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "md")
+        .agg(
+            F.datediff(F.col("md"), F.max(F.to_date("o_orderdate"))).alias(
+                "recency_days"
+            ),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+    )
+    dim = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    scored = cust.join(
+        F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey")
+    ).select(
+        "c_nationkey",
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+    )
+    base = Window.partitionBy("c_nationkey")
+    scored = scored.select(
+        F.ntile(5)
+        .over(base.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
+        .alias("r_q"),
+        F.ntile(5)
+        .over(base.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        .alias("f_q"),
+        F.ntile(5)
+        .over(base.orderBy(F.desc("monetary_cents"), F.asc("o_custkey")))
+        .alias("m_q"),
+        "monetary_cents",
+    )
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("monetary_cents").cast("long").alias("total_monetary_cents"),
+        )
+        .select(
+            "r_q",
+            "f_q",
+            "m_q",
+            F.when(
+                (F.col("r_q") == 1) & (F.col("f_q") <= 2) & (F.col("m_q") <= 2),
+                "champion",
+            )
+            .when((F.col("r_q") >= 4) & (F.col("f_q") <= 2), "at_risk")
+            .when((F.col("r_q") >= 4) & (F.col("f_q") >= 4), "lost")
+            .otherwise("regular")
+            .alias("segment"),
+            "n_customers",
+            "total_monetary_cents",
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
