@@ -556,3 +556,129 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "digit")
     )
+
+
+# --- W20/G7: data-contract expectation audit ---------------------------------
+
+_EXP_DATE_LO = "1990-01-01"
+_EXP_DATE_HI = "2005-12-31"
+
+
+@query(
+    "q_expectation_audit",
+    oracle=f"""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders),
+    checks AS (
+      SELECT 'orderkey_unique' AS expectation,
+             (SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+              FROM orders) AS n_violations
+      UNION ALL
+      SELECT 'custkey_referential',
+             (SELECT CAST(count(*) AS BIGINT) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+      UNION ALL
+      SELECT 'totalprice_positive',
+             (SELECT CAST(count(*) AS BIGINT) FROM orders
+              WHERE o_totalprice IS NULL OR o_totalprice <= 0)
+      UNION ALL
+      SELECT 'status_in_domain',
+             (SELECT CAST(count(*) AS BIGINT) FROM orders
+              WHERE o_orderstatus IS NULL
+                 OR o_orderstatus NOT IN ('O', 'F', 'P'))
+      UNION ALL
+      SELECT 'orderdate_bounded',
+             (SELECT CAST(count(*) AS BIGINT) FROM orders
+              WHERE o_orderdate IS NULL
+                 OR CAST(o_orderdate AS DATE) < DATE '{_EXP_DATE_LO}'
+                 OR CAST(o_orderdate AS DATE) > DATE '{_EXP_DATE_HI}'))
+    SELECT checks.expectation, n.n_rows, checks.n_violations,
+           round(checks.n_violations / CAST(n.n_rows AS DOUBLE), 6)
+             AS violation_rate,
+           CASE WHEN checks.n_violations = 0 THEN 1 ELSE 0 END AS passed
+    FROM checks, n ORDER BY expectation
+    """,
+)
+def q_expectation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract expectation audit (W20/G7): the
+    Great-Expectations-style gate a table passes before downstream
+    consumers may read it — uniqueness of the primary key, referential
+    integrity of the customer FK, positivity, a value domain, and a
+    date-range bound — each reported as (expectation, violations, rate,
+    pass) rather than a single boolean, because the REPORT is the
+    product: it is what lands in the data-quality dashboard and what a
+    failed SLA pages on. Complements G1's descriptive profile with
+    normative checks (G1 says what IS, this says what MUST BE).
+
+    Plan shape: the row-local checks (positivity, domain, bounds) fold
+    into ONE conditional aggregate over a single scan; uniqueness is
+    one exact count-distinct (the one key-shuffled stage — at 100 TB
+    that exchange is the audit's honest cost, and the key is the PK so
+    it cannot skew); the FK check is a broadcast anti-join count. The
+    verdict table is 5 rows assembled from scalars."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey")
+    row_local = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct(F.col("o_orderkey")).cast("long").alias("n_keys"),
+        F.sum(
+            F.when(
+                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("v_price"),
+        F.sum(
+            F.when(
+                F.col("o_orderstatus").isNull()
+                | ~F.col("o_orderstatus").isin("O", "F", "P"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("v_status"),
+        F.sum(
+            F.when(
+                F.col("o_orderdate").isNull()
+                | (F.to_date("o_orderdate") < F.lit(_EXP_DATE_LO).cast("date"))
+                | (F.to_date("o_orderdate") > F.lit(_EXP_DATE_HI).cast("date")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("v_date"),
+    )
+    v_fk = (
+        orders.join(
+            F.broadcast(cust),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("v_fk"))
+    )
+    scalars = row_local.crossJoin(F.broadcast(v_fk))
+    checks = scalars.select(
+        "n_rows",
+        F.expr(
+            "stack(5,"
+            " 'orderkey_unique', n_rows - n_keys,"
+            " 'custkey_referential', v_fk,"
+            " 'totalprice_positive', v_price,"
+            " 'status_in_domain', v_status,"
+            " 'orderdate_bounded', v_date"
+            ") AS (expectation, n_violations)"
+        ),
+    )
+    return (
+        checks.select(
+            "expectation",
+            "n_rows",
+            F.col("n_violations").cast("long").alias("n_violations"),
+            F.round(
+                F.col("n_violations") / F.col("n_rows").cast("double"), 6
+            ).alias("violation_rate"),
+            F.when(F.col("n_violations") == 0, 1).otherwise(0).alias("passed"),
+        )
+        .orderBy("expectation")
+    )

@@ -607,3 +607,91 @@ def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pt.crossJoin(F.broadcast(ci)).select(
         "n_rows", "point_mean", "ci_lo", "ci_hi", "n_replicates"
     )
+
+
+# --- W20/M7: Theil-Sen robust trend estimator --------------------------------
+
+
+@query(
+    "q_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.event_type,
+             round((b.n - a.n)
+                   / CAST(datediff('day', a.d, b.d) AS DOUBLE), 6) AS slope
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)
+             AS slope_per_day,
+           CASE WHEN percentile_disc(0.5) WITHIN GROUP (ORDER BY slope) > 0
+                THEN 'up'
+                WHEN percentile_disc(0.5) WITHIN GROUP (ORDER BY slope) < 0
+                THEN 'down' ELSE 'flat' END AS direction
+    FROM pairs GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend (W20/M7): the median of all pairwise
+    slopes of each event type's daily series — the trend estimator that
+    shrugs off the outlier days that wreck least squares (up to 29%
+    contamination), paired with Y31's per-group OLS the way M2's
+    winsorized mean pairs with the plain mean.
+
+    The pairwise blowup is CALENDAR-bounded, not data-bounded: the
+    facts collapse to ≤ |types|×|days| daily rows first, so the pair
+    join is at most |days|²/2 rows per type regardless of corpus size
+    — the same rollup-before-quadratic discipline as TM4/TM5. Slopes
+    are integer-count differences over integer day gaps, rounded to 6
+    BEFORE the median; percentile_disc then picks an actual slope
+    value, so no interpolation and no summation anywhere.
+
+    Plan shape at 100 TB: one (type, day) aggregate with map-side
+    partials is the only data-sized exchange; the self-join and median
+    run over KB-sized series."""
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    a = daily.select(
+        "event_type", F.col("d").alias("da"), F.col("n").alias("na")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("d").alias("db"),
+        F.col("n").alias("nb"),
+    )
+    pairs = a.join(
+        b, (F.col("event_type") == F.col("et_b")) & (F.col("da") < F.col("db"))
+    ).select(
+        "event_type",
+        F.round(
+            (F.col("nb") - F.col("na"))
+            / F.datediff("db", "da").cast("double"),
+            6,
+        ).alias("slope"),
+    )
+    med = F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)")
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            med.alias("slope_per_day"),
+        )
+        .select(
+            "event_type",
+            "n_pairs",
+            "slope_per_day",
+            F.when(F.col("slope_per_day") > 0, "up")
+            .when(F.col("slope_per_day") < 0, "down")
+            .otherwise("flat")
+            .alias("direction"),
+        )
+        .orderBy("event_type")
+    )

@@ -534,3 +534,101 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --- W20/MO6: UCB1 bandit policy report --------------------------------------
+
+#: binary-reward threshold: an event "converts" when value clears this
+_UCB_REWARD = 250.0
+
+
+@query(
+    "q_ucb_bandit",
+    oracle=f"""
+    WITH pulls AS (
+      SELECT event_type AS arm,
+             CASE WHEN value >= {_UCB_REWARD} THEN 1 ELSE 0 END AS reward
+      FROM events),
+    arms AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_pulls,
+             CAST(sum(reward) AS BIGINT) AS n_rewards
+      FROM pulls GROUP BY arm),
+    tot AS (SELECT CAST(sum(n_pulls) AS BIGINT) AS n FROM arms),
+    scored AS (
+      SELECT arms.arm, arms.n_pulls, arms.n_rewards,
+             round(arms.n_rewards / CAST(arms.n_pulls AS DOUBLE), 5)
+               AS mean_reward,
+             round(arms.n_rewards / CAST(arms.n_pulls AS DOUBLE)
+                   + sqrt(2.0 * ln(CAST(tot.n AS DOUBLE))
+                          / CAST(arms.n_pulls AS DOUBLE)), 5) AS ucb
+      FROM arms, tot)
+    SELECT arm, n_pulls, n_rewards, mean_reward, ucb,
+           CASE WHEN (ucb, arm) = (SELECT (max(ucb), min(arm)) FROM scored
+                                   WHERE ucb = (SELECT max(ucb) FROM scored))
+                THEN 1 ELSE 0 END AS chosen
+    FROM scored ORDER BY arm
+    """,
+)
+def q_ucb_bandit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 bandit policy report (W20/MO6): per arm (event type), the
+    conversion rate plus the upper-confidence bonus √(2·ln N / n), and
+    which arm the policy would pull next — the explore/exploit
+    scoreboard behind ADAPTIVE recommendation (the reference's
+    namesake): arms the system is uncertain about get pulled despite
+    lower observed means. Offline, this report IS the policy — it is
+    recomputed from the event log each round and the argmax is the
+    next action.
+
+    Determinism: pulls and rewards are exact integer counts; mean and
+    bonus are rounded to 5 before the argmax, and ties break by arm
+    name (the LG3 mode discipline). ln/sqrt run on both engines from
+    the same integers (the q_psi_drift precedent).
+
+    Plan shape: ONE |arms|-group aggregate with map-side partials over
+    a single scan; everything downstream is ≤|arms| rows. The bandit
+    update at 100 TB is the cheapest query in the fleet — which is the
+    point: the policy can re-score after every batch."""
+    pulls = load_table(spark, "events", sf_dir).select(
+        F.col("event_type").alias("arm"),
+        F.when(F.col("value") >= _UCB_REWARD, 1).otherwise(0).alias("reward"),
+    )
+    arms = pulls.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pulls"),
+        F.sum("reward").cast("long").alias("n_rewards"),
+    )
+    tot = arms.agg(F.sum("n_pulls").cast("long").alias("n"))
+    scored = arms.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        "n_pulls",
+        "n_rewards",
+        F.round(F.col("n_rewards") / F.col("n_pulls").cast("double"), 5).alias(
+            "mean_reward"
+        ),
+        F.round(
+            F.col("n_rewards") / F.col("n_pulls").cast("double")
+            + F.sqrt(
+                2.0
+                * F.log(F.col("n").cast("double"))
+                / F.col("n_pulls").cast("double")
+            ),
+            5,
+        ).alias("ucb"),
+    )
+    # tie-break: highest ucb, then lexicographically-smallest arm
+    w_best = scored.orderBy(F.desc("ucb"), F.asc("arm")).limit(1).select(
+        F.col("arm").alias("best_arm")
+    )
+    return (
+        scored.crossJoin(F.broadcast(w_best))
+        .select(
+            "arm",
+            "n_pulls",
+            "n_rewards",
+            "mean_reward",
+            "ucb",
+            F.when(F.col("arm") == F.col("best_arm"), 1).otherwise(0).alias(
+                "chosen"
+            ),
+        )
+        .orderBy("arm")
+    )

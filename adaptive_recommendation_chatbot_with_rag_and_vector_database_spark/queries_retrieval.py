@@ -720,3 +720,138 @@ def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --- W20/R9: recommendation exposure audit (coverage + Gini) -----------------
+
+
+@query(
+    "q_rec_exposure",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS query_id, embedding AS qvec
+      FROM embeddings ORDER BY vec_id LIMIT {_RM_PANEL}),
+    ranked AS (
+      SELECT e.vec_id,
+             row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY round(list_cosine_similarity(
+                          e.embedding::DOUBLE[], p.qvec::DOUBLE[]), 6) DESC,
+                        e.vec_id ASC) AS rnk
+      FROM embeddings e, probes p
+      WHERE e.vec_id <> p.query_id),
+    expo AS (
+      SELECT vec_id, CAST(count(*) AS BIGINT) AS cnt
+      FROM ranked WHERE rnk <= {_RM_K} GROUP BY vec_id),
+    catalog AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM embeddings),
+    reccd AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_recommended,
+             CAST(sum(cnt) AS BIGINT) AS total_recs
+      FROM expo),
+    gini_terms AS (
+      SELECT expo.cnt,
+             catalog.n_items - reccd.n_recommended
+               + row_number() OVER (ORDER BY expo.cnt ASC, expo.vec_id ASC)
+               AS rnk,
+             catalog.n_items, reccd.total_recs
+      FROM expo, catalog, reccd),
+    gini AS (
+      SELECT CAST(sum((2 * rnk - n_items - 1) * cnt) AS BIGINT) AS num
+      FROM gini_terms)
+    SELECT catalog.n_items, reccd.n_recommended,
+           round(reccd.n_recommended / CAST(catalog.n_items AS DOUBLE), 5)
+             AS coverage,
+           round(gini.num
+                 / CAST(catalog.n_items * reccd.total_recs AS DOUBLE), 5)
+             AS gini
+    FROM catalog, reccd, gini
+    """,
+)
+def q_rec_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommendation exposure audit (W20/R9): catalog coverage (what
+    share of items is EVER recommended) and the exact Gini coefficient
+    of per-item exposure over the {_RM_PANEL}-probe panel's top-{_RM_K}
+    lists — the popularity-bias / fairness report a recommender ships
+    beside R8's relevance metrics, because a system can score a perfect
+    NDCG while showing ten items to everyone (Gini → 1).
+
+    Gini uses the rank identity G = Σ(2rᵢ−n−1)xᵢ / (n·Σx) over ALL n
+    catalog items — but zero-exposure items contribute nothing to the
+    numerator, so only the ≤ panel×k recommended items are ever ranked:
+    their global rank is (n − |recommended|) + their rank among
+    themselves. The full catalog enters as ONE count. Every term is an
+    exact BIGINT; one double division at the end.
+
+    Plan shape: the index scan and per-probe window are R8's (probe
+    panel broadcast, index never shuffled amplified); the exposure
+    rollup is a vec_id-keyed aggregate over panel×k rows; the Gini
+    window sorts ≤ panel×k rows. Linear in the corpus, constant past
+    the rollup."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = F.broadcast(
+        emb.orderBy("vec_id")
+        .limit(_RM_PANEL)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    from .sources.loaders import scatter
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    expo = (
+        scatter(emb)
+        .crossJoin(probes)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_sim(F.col("embedding"), F.col("qvec")), 6).alias(
+                "score"
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _RM_K)
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    catalog = emb.agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+    reccd = expo.agg(
+        F.count(F.lit(1)).cast("long").alias("n_recommended"),
+        F.sum("cnt").cast("long").alias("total_recs"),
+    )
+    w_rank = Window.orderBy(F.asc("cnt"), F.asc("vec_id"))
+    gini_terms = (
+        expo.crossJoin(F.broadcast(catalog))
+        .crossJoin(F.broadcast(reccd))
+        .select(
+            "cnt",
+            "n_items",
+            "total_recs",
+            (
+                F.col("n_items")
+                - F.col("n_recommended")
+                + F.row_number().over(w_rank)
+            ).alias("rnk"),
+        )
+    )
+    # n_items is a per-row column here (broadcast scalar), so the Gini
+    # numerator is one plain integer aggregate
+    gini = gini_terms.agg(
+        F.sum((2 * F.col("rnk") - F.col("n_items") - 1) * F.col("cnt"))
+        .cast("long")
+        .alias("num")
+    )
+    return (
+        catalog.crossJoin(F.broadcast(reccd))
+        .crossJoin(F.broadcast(gini))
+        .select(
+            "n_items",
+            "n_recommended",
+            F.round(
+                F.col("n_recommended") / F.col("n_items").cast("double"), 5
+            ).alias("coverage"),
+            F.round(
+                F.col("num")
+                / (F.col("n_items") * F.col("total_recs")).cast("double"),
+                5,
+            ).alias("gini"),
+        )
+    )

@@ -442,3 +442,130 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "lag")
     )
+
+
+# --- W20/TM6: Kaplan-Meier time-to-conversion (survival) curve ---------------
+
+
+@query(
+    "q_survival_km",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, event_type FROM events),
+    bounds AS (SELECT max(d) AS endd FROM ev),
+    u AS (
+      SELECT user_id, min(d) AS origin,
+             min(CASE WHEN event_type = 'purchase' THEN d END) AS conv
+      FROM ev GROUP BY user_id),
+    subj AS (
+      SELECT CASE WHEN u.conv IS NOT NULL
+                  THEN datediff('day', u.origin, u.conv)
+                  ELSE datediff('day', u.origin, bounds.endd) END AS t,
+             CASE WHEN u.conv IS NOT NULL THEN 1 ELSE 0 END AS converted
+      FROM u, bounds),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM subj),
+    hist AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n_at_t,
+             CAST(sum(converted) AS BIGINT) AS d_at_t
+      FROM subj GROUP BY t),
+    risk AS (
+      SELECT t, d_at_t,
+             tot.n_users
+               - CAST(coalesce(sum(n_at_t) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) AS n_risk
+      FROM hist, tot),
+    km AS (
+      SELECT t, d_at_t, n_risk,
+             CASE WHEN min(n_risk - d_at_t) OVER w = 0 THEN 0.0
+                  ELSE exp(sum(CASE WHEN d_at_t = 0 OR n_risk = d_at_t
+                                    THEN 0.0
+                                    ELSE ln(1.0 - d_at_t
+                                            / CAST(n_risk AS DOUBLE)) END)
+                           OVER w) END AS s
+      FROM risk
+      WINDOW w AS (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT t AS t_days, n_risk AS n_at_risk, d_at_t AS n_converted,
+           round(s, 5) AS survival
+    FROM km WHERE d_at_t > 0 ORDER BY t_days
+    """,
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve (W20/TM6): the survival
+    estimator S(t) = Π_{t_i ≤ t} (1 − d_i/n_i) over each user's days
+    from first activity to FIRST PURCHASE, with never-converting users
+    RIGHT-CENSORED at the corpus end — the correction that separates
+    survival analysis from a naive conversion-lag histogram (dropping
+    or death-counting the unconverted both bias the curve; KM holds
+    them in the risk set exactly as long as they were observed).
+
+    The at-risk counts come from an observed-time histogram
+    suffix-sum, so the facts are touched by exactly one user-keyed
+    aggregate; everything after is ≤|distinct times| ≤ calendar-days
+    rows. The product is evaluated as exp of an ordered ln-sum over
+    that driver-scale frame (the PSI-class float exposure: ≤365 terms,
+    rounded to 5) with an exact zero short-circuit once the risk set
+    empties.
+
+    Plan shape at 100 TB: one user-keyed aggregate with map-side
+    partials + one 1-row bound broadcast; the KM windows never see
+    more rows than the calendar has days."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.to_date("ts").alias("d"), "event_type"
+    )
+    bounds = ev.agg(F.max("d").alias("endd"))
+    u = ev.groupBy("user_id").agg(
+        F.min("d").alias("origin"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("d"))).alias(
+            "conv"
+        ),
+    )
+    subj = u.crossJoin(F.broadcast(bounds)).select(
+        F.when(
+            F.col("conv").isNotNull(), F.datediff("conv", "origin")
+        )
+        .otherwise(F.datediff("endd", "origin"))
+        .alias("t"),
+        F.when(F.col("conv").isNotNull(), 1).otherwise(0).alias("converted"),
+    )
+    tot = subj.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    hist = subj.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_at_t"),
+        F.sum("converted").cast("long").alias("d_at_t"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = hist.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d_at_t",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum("n_at_t").over(w_prev), F.lit(0)).cast("long")
+        ).alias("n_risk"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    term = F.when(
+        (F.col("d_at_t") == 0) | (F.col("n_risk") == F.col("d_at_t")), 0.0
+    ).otherwise(F.log(1.0 - F.col("d_at_t") / F.col("n_risk").cast("double")))
+    km = risk.select(
+        "t",
+        "d_at_t",
+        "n_risk",
+        F.when(
+            F.min(F.col("n_risk") - F.col("d_at_t")).over(w_cum) == 0, 0.0
+        )
+        .otherwise(F.exp(F.sum(term).over(w_cum)))
+        .alias("s"),
+    )
+    return (
+        km.filter(F.col("d_at_t") > 0)
+        .select(
+            F.col("t").alias("t_days"),
+            F.col("n_risk").alias("n_at_risk"),
+            F.col("d_at_t").alias("n_converted"),
+            F.round("s", 5).alias("survival"),
+        )
+        .orderBy("t_days")
+    )

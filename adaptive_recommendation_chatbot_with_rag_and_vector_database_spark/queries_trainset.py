@@ -382,3 +382,70 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "decile")
     )
+
+
+# --- W20/L6: hashing-trick feature vectors -----------------------------------
+
+#: hashed feature dimensionality; sign comes from the next hash bit so
+#: collisions cancel in expectation (the Weinberger et al. trick)
+_FH_DIM = 64
+_FH_P = 2147483647
+
+
+@query(
+    "q_feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({SQL_TOKS}) AS tok FROM documents),
+    hashed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT % {_FH_P} AS h
+      FROM toks)
+    SELECT doc_id,
+           CAST(h % {_FH_DIM} AS BIGINT) AS bucket,
+           CAST(sum(1 - 2 * ((h // {_FH_DIM}) % 2)) AS BIGINT) AS val
+    FROM hashed GROUP BY doc_id, h % {_FH_DIM}
+    HAVING sum(1 - 2 * ((h // {_FH_DIM}) % 2)) <> 0
+    ORDER BY doc_id, bucket
+    """,
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick feature vectors (W20/L6): fixed-{_FH_DIM}-dim
+    signed token-count features per document — bucket = h(token) mod
+    {_FH_DIM}, sign from the next hash bit so colliding tokens cancel
+    in expectation rather than bias upward (Weinberger et al.'s signed
+    hashing) — the vocabulary-free featurizer that needs NO fitted
+    dictionary, no vocabulary shuffle, and no coordination between
+    training and serving: the hash IS the feature map. Zero-cancelled
+    cells are dropped (sparse output).
+
+    The hash is the engine-wide portable md5-prefix (functions/text.py
+    F6 contract), so both engines bucket identically byte-for-byte;
+    values are exact integer sums.
+
+    Plan shape: token explode → ONE (doc, bucket) aggregate with
+    map-side partials (per-doc partial state ≤ {_FH_DIM} cells);
+    output is linear in documents with a hard {_FH_DIM}-row per-doc
+    cap. At 100 TB this is a single amplified-then-combined scan —
+    the same shape as X13's entropy, with the hash as the group key."""
+    toks = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.explode(toks_col("text")).alias("tok")
+    )
+    hashed = toks.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+            % _FH_P
+        ).alias("h"),
+    )
+    sign = 1 - 2 * ((F.col("h") / _FH_DIM).cast("long") % 2)
+    return (
+        hashed.select(
+            "doc_id", (F.col("h") % _FH_DIM).cast("long").alias("bucket"),
+            sign.alias("sgn"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").cast("long").alias("val"))
+        .filter(F.col("val") != 0)
+        .orderBy("doc_id", "bucket")
+    )
