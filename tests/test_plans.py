@@ -643,3 +643,48 @@ def test_concurrency_sweep_two_phase_parallel_by_day(spark):
         "local running-sum window must be keyed on (event_type, day)"
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_decile_lift_rank_window_keyed_on_bucket(spark):
+    plan = _plan(spark, "q_decile_lift")
+    # the exact-global-rank trick: the fact-sized row_number window must
+    # partition on the score bucket (the two-phase idiom) — a global
+    # row_number would be a single-partition sort over every fact
+    assert "hashpartitioning(bkt" in plan
+    # the only single-partition windows are the ~|buckets|-row offset
+    # prefix-sum and the 10-row decile cum-capture
+    assert "row_number" in plan
+
+
+def test_fifo_join_is_keyed_not_cartesian(spark):
+    plan = _plan(spark, "q_fifo_inventory")
+    # the receipt×issue match must ride the l_partkey equi-key with the
+    # range predicates as post-filters — never a cartesian pair space
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # brand filter reaches the part dimension as a broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ranking_metrics_index_never_shuffled(spark):
+    plan = _plan(spark, "q_ranking_metrics")
+    # probe panel broadcast onto one index scan (J2 discipline) and the
+    # per-probe top-k cut pushed below the exchange
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_feature_hashing_combines_map_side(spark):
+    plan = _plan(spark, "q_feature_hashing")
+    # the exploded token stream must partial-aggregate before its
+    # exchange (per-doc partial state is capped at 64 buckets)
+    assert "partial_sum" in plan
+    assert "Python" not in plan  # hash is JVM-side md5, not a UDF
+
+
+def test_poisson_bootstrap_combines_before_exchange(spark):
+    plan = _plan(spark, "q_poisson_bootstrap")
+    # the ×64 explode must reduce to 64 partial rows per task before
+    # any exchange — the amplified stream itself never shuffles
+    assert "partial_sum" in plan
+    assert "Generate explode" in plan
