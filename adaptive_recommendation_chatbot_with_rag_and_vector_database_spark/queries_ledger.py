@@ -644,3 +644,126 @@ def q_fifo_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_partkey", "receipt_seq", "issue_seq")
     )
+
+
+# --- W21/LG7: unconsumed-inventory aging report ------------------------------
+
+_AGE_BUCKETS_SQL = """CASE WHEN age_days <= 30 THEN '000-030'
+                WHEN age_days <= 90 THEN '031-090'
+                WHEN age_days <= 180 THEN '091-180'
+                ELSE '181+' END"""
+
+
+@query(
+    "q_inventory_aging",
+    oracle=f"""
+    WITH base AS (
+      SELECT l.l_partkey, l.l_linestatus,
+             CAST(l.l_quantity AS BIGINT) AS qty,
+             l.l_shipdate, l.l_orderkey, l.l_linenumber
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_brand = '{_FIFO_BRAND}'),
+    bounds AS (SELECT max(CAST(l_shipdate AS DATE)) AS maxd FROM base),
+    receipts AS (
+      SELECT l_partkey, qty, l_shipdate AS rdate,
+             CAST(sum(qty) OVER (PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS rhi
+      FROM base WHERE l_linestatus = 'F'),
+    itot AS (
+      SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS consumed
+      FROM base WHERE l_linestatus = 'O' GROUP BY l_partkey),
+    lots AS (
+      SELECT r.l_partkey,
+             least(r.qty, greatest(CAST(0 AS BIGINT),
+                   r.rhi - coalesce(itot.consumed, 0))) AS leftover,
+             datediff('day', CAST(r.rdate AS DATE), bounds.maxd) AS age_days
+      FROM receipts r
+      LEFT JOIN itot ON r.l_partkey = itot.l_partkey
+      CROSS JOIN bounds)
+    SELECT {_AGE_BUCKETS_SQL} AS age_bucket,
+           CAST(count(*) AS BIGINT) AS n_lots,
+           CAST(sum(leftover) AS BIGINT) AS leftover_qty
+    FROM lots WHERE leftover > 0
+    GROUP BY age_bucket ORDER BY age_bucket
+    """,
+)
+def q_inventory_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unconsumed-inventory aging (W21/LG7): how much supply is still
+    sitting in each lot after FIFO consumption, bucketed by lot age —
+    the slow-moving-stock report that pairs with LG6's matching detail.
+    Under FIFO the leftover needs NO pair join at all: a receipt with
+    cumulative interval (rhi−qty, rhi] keeps
+    ``min(qty, max(0, rhi − total_consumed))`` units — consumption is a
+    single per-part total, because FIFO drains strictly from the front.
+    (The closed form's second win: LG6 needed intervals×intervals;
+    the residual needs intervals×scalar.)
+
+    All quantities are exact BIGINTs; ages are integer days vs the
+    data-driven max ship date (replicated tiers need no change).
+
+    Plan shape: one part-keyed window exchange for the receipt cumsum,
+    one part-keyed aggregate for consumption, joined on the part key
+    they already share; the aging rollup carries 4 buckets of partials
+    per mapper."""
+    part = (
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_brand") == _FIFO_BRAND)
+        .select("p_partkey")
+    )
+    base = (
+        load_table(spark, "lineitem", sf_dir)
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            "l_linestatus",
+            F.col("l_quantity").cast("long").alias("qty"),
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+    bounds = base.agg(F.max(F.to_date("l_shipdate")).alias("maxd"))
+    wo = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    receipts = base.filter(F.col("l_linestatus") == "F").select(
+        "l_partkey",
+        "qty",
+        F.col("l_shipdate").alias("rdate"),
+        F.sum("qty").over(wo).cast("long").alias("rhi"),
+    )
+    itot = (
+        base.filter(F.col("l_linestatus") == "O")
+        .groupBy(F.col("l_partkey").alias("i_partkey"))
+        .agg(F.sum("qty").cast("long").alias("consumed"))
+    )
+    lots = (
+        receipts.join(
+            itot, F.col("l_partkey") == F.col("i_partkey"), "left"
+        )
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.col("qty"),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.col("rhi") - F.coalesce("consumed", F.lit(0).cast("long")),
+                ),
+            ).alias("leftover"),
+            F.datediff(F.col("maxd"), F.to_date("rdate")).alias("age_days"),
+        )
+    )
+    return (
+        lots.filter(F.col("leftover") > 0)
+        .select(F.expr(_AGE_BUCKETS_SQL).alias("age_bucket"), "leftover")
+        .groupBy("age_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lots"),
+            F.sum("leftover").cast("long").alias("leftover_qty"),
+        )
+        .orderBy("age_bucket")
+    )

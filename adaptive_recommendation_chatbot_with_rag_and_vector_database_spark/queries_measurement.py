@@ -695,3 +695,130 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- W21/M8: grid-density spatial clustering (DBSCAN-lite) -------------------
+
+_DB_CELL_DEG = 1.0
+#: density quantile: a cell is dense when its count reaches the p90 of
+#: all cell counts — minPts as a data-driven quantile, so the density
+#: test self-calibrates to any corpus size (a fixed minPts is either
+#: vacuous or total depending on SF)
+_DB_DENSE_Q = 0.90
+
+
+@query(
+    "q_grid_dbscan",
+    oracle=f"""
+    WITH RECURSIVE cust AS (
+      SELECT c_custkey,
+             ((c_custkey * 2654435761) % 120000) / 12000.0 + 40 AS lat,
+             ((c_custkey * 40503 + 7919) % 240000) / 12000.0 AS lon
+      FROM customer),
+    cells AS (
+      SELECT CAST(floor(lat / {_DB_CELL_DEG}) AS BIGINT) AS cy,
+             CAST(floor(lon / {_DB_CELL_DEG}) AS BIGINT) AS cx,
+             CAST(count(*) AS BIGINT) AS n_pts
+      FROM cust GROUP BY 1, 2),
+    thr AS (
+      SELECT percentile_disc({_DB_DENSE_Q}) WITHIN GROUP (ORDER BY n_pts)
+        AS min_pts FROM cells),
+    dense AS (
+      SELECT cy * 100 + cx AS cell, cx, cy, n_pts
+      FROM cells, thr WHERE n_pts >= thr.min_pts),
+    edges AS (
+      SELECT a.cell AS s, b.cell AS t
+      FROM dense a JOIN dense b
+        ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+       AND a.cell <> b.cell),
+    reach AS (
+      SELECT cell AS a, cell AS b FROM dense
+      UNION
+      SELECT r.a, e.t
+      FROM reach r JOIN edges e ON r.b = e.s),
+    comp AS (SELECT a AS cell, min(b) AS component FROM reach GROUP BY a)
+    SELECT comp.component AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(dense.n_pts) AS BIGINT) AS n_points
+    FROM dense JOIN comp ON dense.cell = comp.cell
+    GROUP BY comp.component ORDER BY cluster_id
+    """,
+)
+def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density spatial clustering (W21/M8, DBSCAN-lite): histogram
+    the deterministic customer geography (W16i's seeded coordinates)
+    into {_DB_CELL_DEG}° cells, keep cells whose count reaches the p90
+    of all cell counts (minPts as a data-driven quantile — a fixed
+    threshold is either vacuous or total depending on corpus size),
+    and merge 8-adjacent dense cells into clusters
+    via connected components — the grid formulation that turns DBSCAN's
+    pairwise ε-neighborhood scan into ONE aggregate plus a components
+    pass over the (tiny, bounded-by-geography) dense-cell graph. This
+    is how density clustering actually runs at fleet scale: the points
+    are touched once; everything pairwise happens between CELLS.
+
+    Reuses operators/dedup.connected_components (min-label
+    propagation); the oracle's recursive CTE computes the identical
+    min-reachable-id labeling, so cluster ids are engine-portable by
+    construction. All arithmetic is integer.
+
+    Plan shape: one (cy, cx) aggregate with map-side partials over the
+    point scan; the adjacency join and CC rounds run over ≤|dense
+    cells| rows (bounded by the mapped area / cell², NOT by points).
+    At 100 TB the cell aggregate is the only data-sized stage."""
+    from .operators.dedup import connected_components
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey",
+        (((F.col("c_custkey") * 2654435761) % 120000) / 12000.0 + 40).alias(
+            "lat"
+        ),
+        (((F.col("c_custkey") * 40503 + 7919) % 240000) / 12000.0).alias("lon"),
+    )
+    cells = (
+        cust.select(
+            F.floor(F.col("lat") / _DB_CELL_DEG).cast("long").alias("cy"),
+            F.floor(F.col("lon") / _DB_CELL_DEG).cast("long").alias("cx"),
+        )
+        .groupBy("cy", "cx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pts"))
+    )
+    thr = cells.agg(
+        F.expr(
+            f"percentile_disc({_DB_DENSE_Q}) WITHIN GROUP (ORDER BY n_pts)"
+        ).alias("min_pts")
+    )
+    dense = (
+        cells.crossJoin(F.broadcast(thr))
+        .filter(F.col("n_pts") >= F.col("min_pts"))
+        .select(
+            (F.col("cy") * 100 + F.col("cx")).alias("cell"),
+            "cx",
+            "cy",
+            "n_pts",
+        )
+    )
+    a = dense.select(
+        F.col("cell").alias("cell_a"), F.col("cx").alias("ax"), F.col("cy").alias("ay")
+    )
+    b = dense.select(
+        F.col("cell").alias("cell_b"), F.col("cx").alias("bx"), F.col("cy").alias("by")
+    )
+    edges = a.join(
+        b,
+        (F.abs(F.col("ax") - F.col("bx")) <= 1)
+        & (F.abs(F.col("ay") - F.col("by")) <= 1)
+        & (F.col("cell_a") < F.col("cell_b")),
+    ).select("cell_a", "cell_b")
+    comp = connected_components(
+        edges, dense.select("cell"), id_col="cell", src="cell_a", dst="cell_b"
+    ).select("cell", "component")
+    return (
+        dense.join(comp, "cell")
+        .groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("n_pts").cast("long").alias("n_points"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -569,3 +569,176 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t_days")
     )
+
+
+# --- W21/TM7: daily p95 SLO breach & 7-day burn rate -------------------------
+
+_SLO_P95 = 465.0
+_SLO_WINDOW_D = 7
+
+
+@query(
+    "q_slo_burn",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             round(percentile_disc(0.95) WITHIN GROUP (ORDER BY value), 4)
+               AS p95
+      FROM events GROUP BY 1, 2),
+    flagged AS (
+      SELECT event_type, d, p95,
+             CASE WHEN p95 > {_SLO_P95} THEN 1 ELSE 0 END AS breach
+      FROM daily)
+    SELECT event_type, d, p95, breach,
+           CAST(sum(breach) OVER (PARTITION BY event_type ORDER BY d
+                  ROWS BETWEEN {_SLO_WINDOW_D - 1} PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS breaches_7d,
+           round(sum(breach) OVER (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN {_SLO_WINDOW_D - 1} PRECEDING AND CURRENT ROW)
+                 / {_SLO_WINDOW_D}.0, 5) AS burn_rate
+    FROM flagged ORDER BY event_type, d
+    """,
+)
+def q_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p95 SLO with burn rate (W21/TM7): per (type, day), the
+    exact 95th percentile of ``value`` (percentile_disc — an actual
+    observation, the LG3 discipline) against a fixed objective, plus
+    the trailing {_SLO_WINDOW_D}-day breach count and burn rate — the
+    error-budget arithmetic SRE alerting pages on (a single bad day is
+    noise; {_SLO_WINDOW_D} days of budget burned is an incident).
+
+    Plan shape: one (type, day) keyed aggregate computes every
+    percentile with map-side partial sort state; the burn windows run
+    over |types| KB-sized daily series reusing one exchange. At 100 TB
+    the percentile aggregate is the only data-sized stage — and it is
+    exactly the shape approx-percentile sketches slot into
+    (q_approx_sketch measures that swap's accuracy)."""
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            F.round(
+                F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)"),
+                4,
+            ).alias("p95")
+        )
+    )
+    flagged = daily.select(
+        "event_type",
+        "d",
+        "p95",
+        F.when(F.col("p95") > _SLO_P95, 1).otherwise(0).alias("breach"),
+    )
+    w7 = Window.partitionBy("event_type").orderBy("d").rowsBetween(
+        -(_SLO_WINDOW_D - 1), Window.currentRow
+    )
+    return (
+        flagged.select(
+            "event_type",
+            "d",
+            "p95",
+            "breach",
+            F.sum("breach").over(w7).cast("long").alias("breaches_7d"),
+            F.round(
+                F.sum("breach").over(w7) / float(_SLO_WINDOW_D), 5
+            ).alias("burn_rate"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+# --- W21/TM8: weekday seasonal profile (STL-lite, exact) ---------------------
+
+
+@query(
+    "q_weekday_seasonality",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    windowed AS (
+      SELECT event_type, d, n,
+             CAST(count(*) OVER w AS BIGINT) AS w_cnt,
+             CAST(sum(n) OVER w AS BIGINT) AS w_sum
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    detr AS (
+      SELECT event_type,
+             (d - DATE '1970-01-01') % 7 AS weekday,
+             7 * n - w_sum AS detr7
+      FROM windowed WHERE w_cnt = 7),
+    prof AS (
+      SELECT event_type, weekday,
+             CAST(count(*) AS BIGINT) AS n_days,
+             round(CAST(sum(detr7) AS BIGINT)
+                   / (7.0 * count(*)), 4) AS seasonal_effect
+      FROM detr GROUP BY 1, 2)
+    SELECT event_type, weekday, n_days, seasonal_effect,
+           CASE WHEN row_number() OVER (PARTITION BY event_type
+                  ORDER BY seasonal_effect DESC, weekday ASC) = 1
+                THEN 1 ELSE 0 END AS is_peak
+    FROM prof ORDER BY event_type, weekday
+    """,
+)
+def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonal profile (W21/TM8, STL-lite): detrend each
+    type's daily series with a centered 7-day moving average and
+    average the residual per weekday — the seasonal component of an
+    STL decomposition, exactly the statistic that justifies (or
+    refutes) TM4's lag-7 seasonal-naive choice, read alongside TM5's
+    ACF. ``weekday`` is the portable epoch-day mod 7 (0 = Thursday),
+    not an engine day-of-week function (Spark counts Sunday=1, DuckDB
+    Sunday=0 — the off-by-one that silently shifts every profile).
+
+    Exactness: the residual is kept as the INTEGER 7·n − Σ₇n (the
+    centered mean times 7), so the per-weekday effect is one exact
+    BIGINT sum divided once — no float accumulation anywhere, unlike
+    a naive avg-of-averages which would expose summation order. Peak
+    ties break by weekday after 4-decimal rounding.
+
+    Plan shape: one (type, day) aggregate over the facts; the centered
+    window and weekday rollup run over KB-sized daily series on the
+    type-keyed exchange."""
+    daily = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+    windowed = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.count(F.lit(1)).over(w).cast("long").alias("w_cnt"),
+        F.sum("n").over(w).cast("long").alias("w_sum"),
+    )
+    detr = windowed.filter(F.col("w_cnt") == 7).select(
+        "event_type",
+        (F.datediff("d", F.lit("1970-01-01").cast("date")) % 7).alias(
+            "weekday"
+        ),
+        (7 * F.col("n") - F.col("w_sum")).alias("detr7"),
+    )
+    prof = detr.groupBy("event_type", "weekday").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(
+            F.sum("detr7").cast("long") / (7.0 * F.count(F.lit(1))), 4
+        ).alias("seasonal_effect"),
+    )
+    w_peak = Window.partitionBy("event_type").orderBy(
+        F.desc("seasonal_effect"), F.asc("weekday")
+    )
+    return (
+        prof.select(
+            "event_type",
+            "weekday",
+            "n_days",
+            "seasonal_effect",
+            F.when(F.row_number().over(w_peak) == 1, 1).otherwise(0).alias(
+                "is_peak"
+            ),
+        )
+        .orderBy("event_type", "weekday")
+    )

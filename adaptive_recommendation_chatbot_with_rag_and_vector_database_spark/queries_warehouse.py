@@ -737,3 +737,113 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_q", "f_q", "m_q")
     )
+
+
+# --- W21/W17: top session navigation paths -----------------------------------
+
+_PATH_GAP_S = 1800
+_PATH_LEN = 4
+_PATH_TOPK = 10
+
+
+@query(
+    "q_session_path_topk",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, ts, substr(event_type, 1, 1) AS c,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                          > {_PATH_GAP_S} * 1000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, event_id, ts, c,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM ev),
+    paths AS (
+      SELECT substr(string_agg(c, '' ORDER BY ts, event_id), 1,
+                    {_PATH_LEN}) AS path
+      FROM sessions GROUP BY user_id, sid),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions FROM paths),
+    counted AS (
+      SELECT path, CAST(count(*) AS BIGINT) AS n FROM paths GROUP BY path)
+    SELECT path, n,
+           round(n / CAST(tot.n_sessions AS DOUBLE), 5) AS share,
+           CAST(row_number() OVER (ORDER BY n DESC, path ASC) AS BIGINT)
+             AS rank
+    FROM counted, tot
+    ORDER BY n DESC, path ASC LIMIT {_PATH_TOPK}
+    """,
+)
+def q_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session navigation paths (W21/W17): sessionize by the
+    {_PATH_GAP_S // 60}-minute gap rule (W12's lag-gap + running-sum
+    idiom), render each session as its first {_PATH_LEN} event-type
+    initials IN EVENT ORDER, and rank the {_PATH_TOPK} most common
+    paths with traffic share — the "how do users actually move"
+    report behind funnel design (Y9 checks ONE hypothesized order;
+    this discovers the orders that exist).
+
+    Ordering inside a session is pinned by (ts, event_id) on both
+    engines — Spark builds the path by sorting an array of
+    (ts, event_id, initial) structs (the LG4 discipline: array_sort's
+    lexicographic struct order IS the event order), DuckDB by an
+    ORDER BY inside string_agg. Path counts are exact integers.
+
+    Plan shape: one user-keyed exchange serves the gap window, the
+    running session-id sum, AND the per-session collect (subset
+    clustering); the path rollup carries ≤|paths| ≤ |types|^{_PATH_LEN}
+    partials per mapper, and the final top-k is a
+    TakeOrderedAndProject over that bounded set."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    is_new = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            > _PATH_GAP_S * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    sessions = ev.select(
+        "user_id",
+        F.struct(
+            F.col("ts").alias("t"),
+            F.col("event_id").alias("e"),
+            F.substring("event_type", 1, 1).alias("c"),
+        ).alias("step"),
+        F.sum(is_new).over(run).alias("sid"),
+    )
+    paths = (
+        sessions.groupBy("user_id", "sid")
+        .agg(F.array_sort(F.collect_list("step")).alias("steps"))
+        .select(
+            F.concat_ws(
+                "",
+                F.slice(
+                    F.transform(F.col("steps"), lambda s: s["c"]),
+                    1,
+                    _PATH_LEN,
+                ),
+            ).alias("path")
+        )
+    )
+    tot = paths.agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w_rank = Window.orderBy(F.desc("n"), F.asc("path"))
+    return (
+        counted.crossJoin(F.broadcast(tot))
+        .select(
+            "path",
+            "n",
+            F.round(F.col("n") / F.col("n_sessions").cast("double"), 5).alias(
+                "share"
+            ),
+            F.row_number().over(w_rank).cast("long").alias("rank"),
+        )
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(_PATH_TOPK)
+    )
