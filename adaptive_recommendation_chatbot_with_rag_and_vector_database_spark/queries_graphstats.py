@@ -247,3 +247,98 @@ def q_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .orderBy("window_start", "rank")
     )
+
+
+# --- W22/I4: common-neighbor link prediction ---------------------------------
+
+#: co-purchase decimation (the G2/q_pagerank slice) and the hub guard:
+#: parts connecting more than this many customers are dropped before
+#: pair enumeration — the max_df idiom that bounds the pair space
+_CN_ORDER_MOD = 20
+_CN_MAX_DEG = 25
+_CN_TOPK = 20
+
+
+@query(
+    "q_common_neighbors",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey % {_CN_ORDER_MOD} = 0),
+    pdeg AS (SELECT p, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY p),
+    kept AS (
+      SELECT e.c, e.p FROM e JOIN pdeg ON e.p = pdeg.p
+      WHERE pdeg.d <= {_CN_MAX_DEG}),
+    cdeg AS (SELECT c, CAST(count(*) AS BIGINT) AS d FROM kept GROUP BY c),
+    pairs AS (
+      SELECT a.c AS ca, b.c AS cb, CAST(count(*) AS BIGINT) AS common
+      FROM kept a JOIN kept b ON a.p = b.p AND a.c < b.c
+      GROUP BY a.c, b.c),
+    scored AS (
+      SELECT pairs.ca, pairs.cb, pairs.common,
+             round(pairs.common
+                   / CAST(da.d + db.d - pairs.common AS DOUBLE), 5)
+               AS jaccard
+      FROM pairs
+      JOIN cdeg da ON pairs.ca = da.c
+      JOIN cdeg db ON pairs.cb = db.c)
+    SELECT ca, cb, common, jaccard FROM scored
+    ORDER BY common DESC, ca ASC, cb ASC LIMIT {_CN_TOPK}
+    """,
+)
+def q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction (W22/I4): rank customer pairs by
+    how many parts they both purchase (plus neighborhood Jaccard) —
+    the simplest link predictor that actually works, and the
+    "customers like you" primitive behind collaborative filtering
+    (V6's ALS learns it latently; this computes it exactly). Hub parts
+    — those connecting more than {_CN_MAX_DEG} customers — are dropped
+    BEFORE pair enumeration (the max_df idiom every dedup operator
+    here uses): a part bought by everyone predicts nothing and alone
+    would contribute O(|C|²) pairs.
+
+    Plan shape: the bipartite edge list materializes once; the pair
+    space is a part-keyed self-join bounded by Σ_p deg(p)² with
+    deg ≤ {_CN_MAX_DEG}, so it is linear in parts — never |C|×|C|.
+    Degree tables join on the vocabulary-sized axes. The top-k is a
+    TakeOrderedAndProject over the pair aggregate."""
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderkey") % _CN_ORDER_MOD == 0
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    e = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    pdeg = e.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("pd"))
+    kept = (
+        e.join(pdeg, "p").filter(F.col("pd") <= _CN_MAX_DEG).select("c", "p")
+    )
+    cdeg = kept.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a = kept.select(F.col("c").alias("ca"), "p")
+    b = kept.select(F.col("c").alias("cb"), F.col("p").alias("pb"))
+    pairs = (
+        a.join(b, (F.col("p") == F.col("pb")) & (F.col("ca") < F.col("cb")))
+        .groupBy("ca", "cb")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    da = cdeg.select(F.col("c").alias("ca"), F.col("d").alias("da"))
+    db = cdeg.select(F.col("c").alias("cb"), F.col("d").alias("db"))
+    return (
+        pairs.join(da, "ca")
+        .join(db, "cb")
+        .select(
+            "ca",
+            "cb",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("da") + F.col("db") - F.col("common")).cast("double"),
+                5,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("common"), F.asc("ca"), F.asc("cb"))
+        .limit(_CN_TOPK)
+    )

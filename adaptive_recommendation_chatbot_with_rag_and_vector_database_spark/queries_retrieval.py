@@ -855,3 +855,69 @@ def q_rec_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini"),
         )
     )
+
+
+# --- W22/R10: exact phrase search (in-row positional scan) -------------------
+
+#: the phrase under test — a real trigram from the fixture vocabulary
+_PHRASE = ("part", "filter", "scan")
+
+
+@query(
+    "q_phrase_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    hits AS (
+      SELECT doc_id,
+             len([i for i in generate_series(1, len(t) - 2)
+                  if t[i] = '{_PHRASE[0]}' AND t[i+1] = '{_PHRASE[1]}'
+                     AND t[i+2] = '{_PHRASE[2]}']) AS n_matches,
+             coalesce([i for i in generate_series(1, len(t) - 2)
+                       if t[i] = '{_PHRASE[0]}' AND t[i+1] = '{_PHRASE[1]}'
+                          AND t[i+2] = '{_PHRASE[2]}'][1], 0) AS first_pos,
+             len(t) AS n_tokens
+      FROM toks)
+    SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches,
+           CAST(first_pos AS BIGINT) AS first_pos,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM hits WHERE n_matches > 0 ORDER BY doc_id
+    """,
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search (W22/R10): find every document containing
+    the 3-token phrase "{' '.join(_PHRASE)}" with match count and first
+    position — the positional-query primitive BM25 (R1) cannot express
+    (bag-of-words scoring finds the words, not the phrase), needed for
+    quoted queries, citation lookup, and contamination probes at the
+    phrase level (X8 checks shingle overlap; this checks exact
+    adjacency).
+
+    The whole match runs IN-ROW: a lambda over the token-position
+    sequence tests the three adjacent slots inside whole-stage codegen
+    — no posexplode, no position self-join, no shuffle of token
+    streams. At 100 TB this is a pure filter-shaped scan emitting only
+    matching documents (the classic alternative — explode to a
+    positional inverted index and 3-way self-join on pos+1 — shuffles
+    the entire token stream to find a handful of rows; the in-row form
+    is what you run for ad-hoc phrases, the index for repeated ones).
+    """
+    w1, w2, w3 = _PHRASE
+    toks = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    match_positions = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.size("t") - 2, F.lit(0))),
+        lambda i: (F.element_at("t", i) == w1)
+        & (F.element_at("t", i + 1) == w2)
+        & (F.element_at("t", i + 2) == w3),
+    )
+    hits = toks.select(
+        "doc_id",
+        F.size(match_positions).cast("long").alias("n_matches"),
+        F.coalesce(F.element_at(match_positions, 1), F.lit(0))
+        .cast("long")
+        .alias("first_pos"),
+        F.size("t").cast("long").alias("n_tokens"),
+    )
+    return hits.filter(F.col("n_matches") > 0).orderBy("doc_id")

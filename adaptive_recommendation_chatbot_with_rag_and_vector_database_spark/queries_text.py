@@ -967,3 +967,105 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= 5
     )
+
+
+# --- W22/Z8: PMI collocation mining ------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 20
+
+
+@query(
+    "q_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT unnest(t) AS w FROM toks) WHERE w <> '' GROUP BY w),
+    n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+    n2 AS (SELECT CAST(sum(greatest(len(t) - 1, 0)) AS BIGINT) AS n
+           FROM toks),
+    bgc AS (
+      SELECT bigram, CAST(count(*) AS BIGINT) AS cxy FROM (
+        SELECT unnest([t[i] || ' ' || t[i+1]
+                       for i in generate_series(1, len(t)-1)]) AS bigram
+        FROM toks)
+      GROUP BY bigram HAVING count(*) >= {_PMI_MIN_COUNT}),
+    scored AS (
+      SELECT bgc.bigram, bgc.cxy, ux.c AS cx, uy.c AS cy,
+             round(ln(bgc.cxy * 1.0) + 2 * ln(n1.n * 1.0)
+                   - ln(n2.n * 1.0) - ln(ux.c * 1.0) - ln(uy.c * 1.0), 4)
+               AS pmi
+      FROM bgc
+      JOIN uni ux ON split_part(bgc.bigram, ' ', 1) = ux.w
+      JOIN uni uy ON split_part(bgc.bigram, ' ', 2) = uy.w,
+      n1, n2)
+    SELECT bigram, cxy, cx, cy, pmi FROM scored
+    ORDER BY pmi DESC, bigram ASC LIMIT {_PMI_TOPK}
+    """,
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (W22/Z8): the adjacent word pairs that
+    co-occur far beyond chance — PMI = ln(p(x,y)/(p(x)p(y))) with a
+    min-count floor — the statistic behind multiword-expression
+    detection and phrase-vocabulary induction (Z3 counts the RAW
+    bigram frequency, which just returns stopword pairs; PMI divides
+    the marginals out). Computed as a fixed ln-sum of exact integer
+    counts (ln(cxy)+2ln(N₁)−ln(N₂)−ln(cx)−ln(cy)), so both engines
+    evaluate the identical five-term expression — no integer overflow
+    (cxy·N₁² would blow int64 at the 100× tier) and no float
+    accumulation.
+
+    Plan shape: ONE token scan feeds both the unigram aggregate and
+    the in-array bigram build (zip_with over shifted slices — Z3's
+    codegen form); the marginal joins are keyed on the vocabulary
+    axis (bounded by |vocab|, not corpus size), and the min-count
+    floor prunes the pair table before any join."""
+    toks = _docs(spark, sf_dir).select(F.split("text", " ").alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n1 = uni.agg(F.sum("c").cast("long").alias("n1"))
+    n2 = toks.agg(
+        F.sum(F.greatest(F.size("t") - 1, F.lit(0))).cast("long").alias("n2")
+    )
+    bgc = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                    F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cxy"))
+        .filter(F.col("cxy") >= _PMI_MIN_COUNT)
+    )
+    ux = uni.select(F.col("w").alias("wx"), F.col("c").alias("cx"))
+    uy = uni.select(F.col("w").alias("wy"), F.col("c").alias("cy"))
+    scored = (
+        bgc.join(ux, F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == F.col("wx"))
+        .join(uy, F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)) == F.col("wy"))
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "bigram",
+            "cxy",
+            "cx",
+            "cy",
+            F.round(
+                F.log(F.col("cxy") * 1.0)
+                + 2 * F.log(F.col("n1") * 1.0)
+                - F.log(F.col("n2") * 1.0)
+                - F.log(F.col("cx") * 1.0)
+                - F.log(F.col("cy") * 1.0),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(_PMI_TOPK)
