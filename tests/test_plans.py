@@ -688,3 +688,44 @@ def test_poisson_bootstrap_combines_before_exchange(spark):
     # any exchange — the amplified stream itself never shuffles
     assert "partial_sum" in plan
     assert "Generate explode" in plan
+
+
+def test_phrase_search_is_filter_shaped_scan(spark):
+    plan = _plan(spark, "q_phrase_search")
+    # the whole match runs in-row: no explode of the token stream, no
+    # positional self-join — one scan, one filter
+    assert "Generate" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_common_neighbors_pairs_ride_part_key(spark):
+    plan = _plan(spark, "q_common_neighbors")
+    # pair enumeration must be the part-keyed equi-join (hub-capped),
+    # never a cartesian, and the top-k a bounded TakeOrdered
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pmi_marginals_combine_map_side(spark):
+    plan = _plan(spark, "q_pmi_collocations")
+    # both the unigram and bigram rollups partial-aggregate before
+    # their exchanges; bigrams are built in the array domain
+    assert "partial_count" in plan
+    assert "zip_with" in plan.lower() or "zipwith" in plan.lower()
+
+
+def test_session_paths_single_user_exchange(spark):
+    plan = _plan(spark, "q_session_path_topk")
+    # gap window, running session-id sum, and per-session collect all
+    # cluster on user_id: exactly ONE fact-sized exchange
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_slo_percentile_aggregates_keyed(spark):
+    plan = _plan(spark, "q_slo_burn")
+    # the percentile aggregate is (type, day)-keyed with partial state;
+    # the burn windows must partition on event_type, not run global
+    assert "percentile_disc" in plan or "percentile" in plan
+    assert "SinglePartition" not in plan
