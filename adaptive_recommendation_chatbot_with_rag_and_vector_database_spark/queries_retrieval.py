@@ -650,39 +650,54 @@ def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     one double op; singleton-label probes define NDCG = 0.
 
     Plan shape: the index side is scanned once and never shuffled
-    amplified — the {_RM_PANEL}-row probe panel is broadcast, the
-    per-probe cut is a window over query_id (64 groups), and the label
-    ground-truth sizes come from a label-keyed aggregate joined to 64
-    rows. Evaluation cost is O(panel × index): linear in the corpus."""
-    emb = load_table(spark, "embeddings", sf_dir)
-    probes = F.broadcast(
-        emb.orderBy("vec_id")
-        .limit(_RM_PANEL)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qvec"),
-            F.col("label").alias("qlabel"),
-        )
-    )
-    lbl = emb.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    amplified — scoring runs through the ``brute_topk_partials`` Arrow
+    kernel (strict index-order float64 accumulation, bit-identical to
+    the Catalyst ``round(cosine_sim, 6)`` fold — the V14 machinery), so
+    the exchange carries k-row partials per (batch, probe), never the
+    |index|×|panel| pair space; the global cut is a window over 64
+    probe groups of partials, labels attach to the ≤panel×k hit rows
+    via one broadcast join, and the ground-truth sizes come from a
+    label-keyed aggregate joined to 64 rows. The first draft scored
+    through a Catalyst crossJoin+HOF projection: correct and linear,
+    but 210 s at the 2 M-vector tier where the kernel takes the one
+    numpy pass (see BASELINE)."""
+    from .operators.similarity import brute_topk_partials
     from .sources.loaders import scatter
 
+    emb = load_table(spark, "embeddings", sf_dir)
+    # bounded-by-construction driver collect: the fixed probe panel
+    panel_rows = (
+        emb.orderBy("vec_id")
+        .limit(_RM_PANEL)
+        .select("vec_id", "embedding", "label")
+        .collect()
+    )
+    panel = [(r.vec_id, r.embedding) for r in panel_rows]
+    qlabels = spark.createDataFrame(
+        [(r.vec_id, r.label) for r in panel_rows], "query_id long, qlabel int"
+    )
+    full_dim = len(panel[0][1])
+    lbl = emb.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    hits = (
+        brute_topk_partials(
+            scatter(emb), panel, k=_RM_K, dims=[full_dim], exclude_self=True
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _RM_K)
+        .select("query_id", "vec_id", "rnk")
+    )
     ranked = (
-        scatter(emb)
-        .crossJoin(probes)
-        .filter(F.col("vec_id") != F.col("query_id"))
+        emb.select("vec_id", "label")
+        .join(F.broadcast(hits), "vec_id")
+        .join(F.broadcast(qlabels), "query_id")
         .select(
             "query_id",
             "qlabel",
             "vec_id",
+            "rnk",
             F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0).alias("rel"),
-            F.round(cosine_sim(F.col("embedding"), F.col("qvec")), 6).alias(
-                "score"
-            ),
         )
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _RM_K)
     )
     disc = F.array(*[F.lit(d) for d in _RM_DISC])
     idcg = F.array(*[F.lit(i) for i in _RM_IDCG])
@@ -782,30 +797,31 @@ def q_rec_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves. The full catalog enters as ONE count. Every term is an
     exact BIGINT; one double division at the end.
 
-    Plan shape: the index scan and per-probe window are R8's (probe
-    panel broadcast, index never shuffled amplified); the exposure
-    rollup is a vec_id-keyed aggregate over panel×k rows; the Gini
-    window sorts ≤ panel×k rows. Linear in the corpus, constant past
-    the rollup."""
-    emb = load_table(spark, "embeddings", sf_dir)
-    probes = F.broadcast(
-        emb.orderBy("vec_id")
-        .limit(_RM_PANEL)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
-    )
+    Plan shape: scoring runs through R8's ``brute_topk_partials``
+    Arrow kernel (strict-fold, bit-identical to the Catalyst rounding;
+    exchange carries k-row partials per batch, never the pair space);
+    the exposure rollup is a vec_id-keyed aggregate over panel×k rows;
+    the Gini window sorts ≤ panel×k rows. Linear in the corpus,
+    constant past the rollup — the crossJoin+HOF first draft measured
+    220 s at the 2 M-vector tier where the kernel takes one numpy
+    pass."""
+    from .operators.similarity import brute_topk_partials
     from .sources.loaders import scatter
 
+    emb = load_table(spark, "embeddings", sf_dir)
+    # bounded-by-construction driver collect: the fixed probe panel
+    panel = [
+        (r.vec_id, r.embedding)
+        for r in emb.orderBy("vec_id")
+        .limit(_RM_PANEL)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    full_dim = len(panel[0][1])
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
     expo = (
-        scatter(emb)
-        .crossJoin(probes)
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(cosine_sim(F.col("embedding"), F.col("qvec")), 6).alias(
-                "score"
-            ),
+        brute_topk_partials(
+            scatter(emb), panel, k=_RM_K, dims=[full_dim], exclude_self=True
         )
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _RM_K)

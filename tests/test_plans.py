@@ -668,10 +668,12 @@ def test_fifo_join_is_keyed_not_cartesian(spark):
 
 def test_ranking_metrics_index_never_shuffled(spark):
     plan = _plan(spark, "q_ranking_metrics")
-    # probe panel broadcast onto one index scan (J2 discipline) and the
-    # per-probe top-k cut pushed below the exchange
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "WindowGroupLimit" in plan
+    # scoring runs in the Arrow kernel (panel rides the closure): the
+    # index crosses the wire once as k-row partials — the pair space
+    # never exists as rows, and no join touches the index side
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_feature_hashing_combines_map_side(spark):
