@@ -308,3 +308,53 @@ def test_ranking_metrics_matches_brute_rerank(spark):
             dcg / idcg if idcg else 0.0, abs=1e-4
         )
         assert got.n_rel_corpus == n_rel
+
+
+# --- property test: the FIFO closed form IS the loop -------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=50), max_size=12),
+    st.lists(st.integers(min_value=1, max_value=50), max_size=12),
+)
+def test_fifo_interval_identity_equals_two_pointer(receipts, issues):
+    """Pure-math property behind q_fifo_inventory: for ANY quantity
+    sequences, the cumulative-interval overlap formula produces exactly
+    the allocations of the textbook two-pointer FIFO loop."""
+    # closed form: match (r, i) iff intervals overlap; qty = overlap
+    rhi = [sum(receipts[: k + 1]) for k in range(len(receipts))]
+    ihi = [sum(issues[: k + 1]) for k in range(len(issues))]
+    closed = {}
+    for r, rh in enumerate(rhi):
+        rl = rh - receipts[r]
+        for i, ih in enumerate(ihi):
+            il = ih - issues[i]
+            if rl < ih and il < rh:
+                closed[(r, i)] = min(rh, ih) - max(rl, il)
+    # two-pointer replay
+    loop = {}
+    ri = ii = 0
+    rrem = receipts[0] if receipts else 0
+    irem = issues[0] if issues else 0
+    while ri < len(receipts) and ii < len(issues):
+        take = min(rrem, irem)
+        if take > 0:
+            loop[(ri, ii)] = take
+        rrem -= take
+        irem -= take
+        if rrem == 0:
+            ri += 1
+            rrem = receipts[ri] if ri < len(receipts) else 0
+        if irem == 0:
+            ii += 1
+            irem = issues[ii] if ii < len(issues) else 0
+    assert closed == loop
+    # conservation: total matched = min(total supply, total demand)
+    assert sum(closed.values()) == min(sum(receipts), sum(issues))
+    # linear output bound: matches <= receipts + issues - 1
+    if closed:
+        assert len(closed) <= len(receipts) + len(issues) - 1
