@@ -742,3 +742,79 @@ def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "weekday")
     )
+
+
+# --- W23/TM9: month-over-month revenue change ---------------------------------
+
+
+@query(
+    "q_mom_revenue",
+    oracle="""
+    WITH monthly AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS revenue_cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2)
+    SELECT segment, month, revenue_cents,
+           lag(revenue_cents) OVER w AS prev_cents,
+           round(CASE WHEN lag(revenue_cents) OVER w IS NULL
+                        OR lag(revenue_cents) OVER w = 0 THEN NULL
+                 ELSE (revenue_cents - lag(revenue_cents) OVER w)
+                      / CAST(lag(revenue_cents) OVER w AS DOUBLE) END, 5)
+             AS mom_pct
+    FROM monthly
+    WINDOW w AS (PARTITION BY segment ORDER BY month)
+    ORDER BY segment, month
+    """,
+)
+def q_mom_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue change per market segment (W23/TM9):
+    the period-over-period comparison every BI layer leads with —
+    monthly revenue (integer cents), the prior month via lag, and the
+    percentage delta — with the first month's delta NULL rather than a
+    fake zero (the honest cold-start convention). Complements TM8's
+    within-week seasonality with the across-month trend read.
+
+    Plan shape: one (segment, month) aggregate over the facts (customer
+    dimension broadcast, map-side partial sums), then a lag window over
+    |segments| KB-sized monthly series. Exact integer revenue; one
+    double division per row, rounded to 5."""
+    monthly = (
+        load_table(spark, "orders", sf_dir)
+        .join(
+            F.broadcast(
+                load_table(spark, "customer", sf_dir).select(
+                    "c_custkey", "c_mktsegment"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("revenue_cents")
+        )
+    )
+    w = Window.partitionBy("segment").orderBy("month")
+    prev = F.lag("revenue_cents").over(w)
+    return (
+        monthly.select(
+            "segment",
+            "month",
+            "revenue_cents",
+            prev.alias("prev_cents"),
+            F.round(
+                F.when(prev.isNull() | (prev == 0), F.lit(None)).otherwise(
+                    (F.col("revenue_cents") - prev) / prev.cast("double")
+                ),
+                5,
+            ).alias("mom_pct"),
+        )
+        .orderBy("segment", "month")
+    )

@@ -1069,3 +1069,61 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(_PMI_TOPK)
+
+
+# --- W23/Z9: typeahead prefix-completion index --------------------------------
+
+_PREFIX_LEN = 2
+_PREFIX_TOPK = 5
+_PREFIX_MIN_FREQ = 3
+
+
+@query(
+    "q_prefix_completions",
+    oracle=f"""
+    WITH words AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE len(word) >= {_PREFIX_LEN} GROUP BY word
+      HAVING count(*) >= {_PREFIX_MIN_FREQ}),
+    ranked AS (
+      SELECT substr(word, 1, {_PREFIX_LEN}) AS prefix, word, freq,
+             row_number() OVER (PARTITION BY substr(word, 1, {_PREFIX_LEN})
+                                ORDER BY freq DESC, word ASC) AS rnk
+      FROM words)
+    SELECT prefix, word, freq, rnk FROM ranked
+    WHERE rnk <= {_PREFIX_TOPK}
+    ORDER BY prefix, rnk
+    """,
+)
+def q_prefix_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typeahead prefix-completion index (W23/Z9): the top-{_PREFIX_TOPK}
+    corpus words per {_PREFIX_LEN}-char prefix by frequency, with a
+    min-frequency floor — the build job behind every search box's
+    autocomplete. This is the MATERIALIZED form: the index is tiny
+    (≤ alphabet²×{_PREFIX_TOPK} rows) and serving is a point lookup,
+    which is why it's built batch-side rather than queried ad hoc
+    (R10's in-row scan is the ad-hoc complement).
+
+    Plan shape: one token explode → word-keyed aggregate with map-side
+    partials (the frequency floor prunes the vocabulary BEFORE the
+    rank window), then a prefix-partitioned row_number whose partitions
+    are bounded by the per-prefix vocabulary — never corpus-sized. The
+    WindowGroupLimit rewrite pushes the top-k below the exchange."""
+    words = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") >= _PREFIX_LEN)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .filter(F.col("freq") >= _PREFIX_MIN_FREQ)
+    )
+    w = Window.partitionBy("prefix").orderBy(F.desc("freq"), F.asc("word"))
+    return (
+        words.select(
+            F.substring("word", 1, _PREFIX_LEN).alias("prefix"), "word", "freq"
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PREFIX_TOPK)
+        .orderBy("prefix", "rnk")
+    )

@@ -852,3 +852,78 @@ def q_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(_PATH_TOPK)
     )
+
+
+# --- W23/W18: order-to-ship cycle-time percentiles ----------------------------
+
+
+@query(
+    "q_order_cycle_time",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS last_ship
+      FROM lineitem GROUP BY l_orderkey),
+    cyc AS (
+      SELECT o.o_orderpriority AS priority,
+             datediff('day', CAST(o.o_orderdate AS DATE), s.last_ship)
+               AS cycle_days
+      FROM orders o JOIN shipped s ON o.o_orderkey = s.l_orderkey)
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY cycle_days) AS p50_days,
+           percentile_disc(0.9) WITHIN GROUP (ORDER BY cycle_days) AS p90_days,
+           round(CAST(sum(cycle_days) AS BIGINT)
+                 / CAST(count(*) AS DOUBLE), 4) AS mean_days
+    FROM cyc GROUP BY priority ORDER BY priority
+    """,
+)
+def q_order_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship cycle time (W23/W18): days from order placement to
+    the LAST line shipment, summarized per priority as p50/p90/mean —
+    the order-to-cash operational metric every fulfillment dashboard
+    leads with, and the warehouse twin of TM7's SLO percentiles
+    (there the subject was a metric stream; here it is a two-table
+    lifecycle join).
+
+    Determinism: cycle lengths are integer days; the percentiles are
+    discrete (actual observations, the LG3 rule); the mean is one exact
+    BIGINT sum with a single double division.
+
+    Plan shape: the lineitem side collapses to one row per order
+    (map-side-combined max) BEFORE the join, so the orderkey-keyed join
+    moves |orders|-sized sides only; the rollup exchange carries
+    |priorities| percentile states. At 100 TB both exchanges ride the
+    same orderkey partitioning."""
+    shipped = (
+        load_table(spark, "lineitem", sf_dir)
+        .groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("last_ship"))
+    )
+    cyc = (
+        load_table(spark, "orders", sf_dir)
+        .join(shipped, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff("last_ship", F.to_date("o_orderdate")).alias(
+                "cycle_days"
+            ),
+        )
+    )
+    return (
+        cyc.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cycle_days)")
+            .cast("long")
+            .alias("p50_days"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY cycle_days)")
+            .cast("long")
+            .alias("p90_days"),
+            F.round(
+                F.sum("cycle_days").cast("long")
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("mean_days"),
+        )
+        .orderBy("priority")
+    )
