@@ -731,3 +731,20 @@ def test_slo_percentile_aggregates_keyed(spark):
     # the burn windows must partition on event_type, not run global
     assert "percentile_disc" in plan or "percentile" in plan
     assert "SinglePartition" not in plan
+
+
+def test_cycle_time_collapses_lineitem_before_join(spark):
+    plan = _plan(spark, "q_order_cycle_time")
+    # the lineitem side must aggregate to one row per order (map-side
+    # partial max) BEFORE the orderkey join — joining raw lines first
+    # would move the 4x-larger fact through the join
+    assert "partial_max" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_prefix_completions_rank_after_floor(spark):
+    plan = _plan(spark, "q_prefix_completions")
+    # the frequency floor prunes the vocabulary before the rank window,
+    # and the per-prefix top-k pushes below the exchange
+    assert "WindowGroupLimit" in plan
+    assert "partial_count" in plan
