@@ -97,3 +97,67 @@ def test_gini_rank_identity_equals_mad_form(counts):
     zeros = n - len(nz)
     num2 = sum((2 * (zeros + j + 1) - n - 1) * x for j, x in enumerate(nz))
     assert num2 == num
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),  # observed time
+            st.booleans(),  # event (True) vs censored (False)
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_km_at_risk_suffix_sum_identity(subjects):
+    """q_survival_km's histogram suffix-sum at-risk counts equal the
+    direct per-time recount, and the KM product is monotone in [0, 1]."""
+    from collections import Counter
+
+    hist = Counter(t for t, _ in subjects)
+    total = len(subjects)
+    surv = 1.0
+    prev = 1.0
+    running_before = 0
+    for t in sorted(hist):
+        n_risk_suffix = total - running_before
+        n_risk_direct = sum(1 for ot, _ in subjects if ot >= t)
+        assert n_risk_suffix == n_risk_direct
+        d = sum(1 for ot, e in subjects if ot == t and e)
+        if d:
+            surv *= (1.0 - d / n_risk_suffix) if n_risk_suffix > d else 0.0
+            assert 0.0 <= surv <= prev
+            prev = surv
+        running_before += hist[t]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),  # score bucket
+            st.integers(min_value=0, max_value=10**6),  # id (unique-ified)
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_bucketed_global_rank_identity(rows):
+    """q_decile_lift's rank = bucket-offset + within-bucket row_number
+    equals the rank from one global sort by (score desc, id asc)."""
+    rows = list({(s, i) for s, i in rows})  # unique (score, id) pairs
+    global_order = sorted(rows, key=lambda r: (-r[0], r[1]))
+    global_rank = {r: i + 1 for i, r in enumerate(global_order)}
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for r in rows:
+        buckets[r[0]].append(r)
+    offset = 0
+    for b in sorted(buckets, reverse=True):
+        for j, r in enumerate(
+            sorted(buckets[b], key=lambda r: (-r[0], r[1])), 1
+        ):
+            assert offset + j == global_rank[r]
+        offset += len(buckets[b])
