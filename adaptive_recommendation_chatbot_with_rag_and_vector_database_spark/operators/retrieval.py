@@ -189,6 +189,7 @@ def knn_join(
     query_vec: str = "query_vec",
     index_id: str = "vec_id",
     index_vec: str = "embedding",
+    max_probe_rows: int = 65536,
 ) -> DataFrame:
     """Batch kNN join (J2/J8/O3): per query row, the k nearest index rows
     by cosine. Exact (brute-force), via ``similarity.brute_knn_block``:
@@ -199,15 +200,28 @@ def knn_join(
     broadcast-crossJoin duplicated both vectors onto every pair row:
     ~800 GB of traffic, 289 s, at the 200 k × 4 k tier; the kernel runs
     the same tier in ~14 s). Ranks on the ROUNDED score with an id
-    tie-break, like every oracle-backed top-k in the repo. The
-    approximate scale path lives in operators/similarity.py."""
+    tie-break, like every oracle-backed top-k in the repo.
+
+    DRIVER-MEMORY BOUND: the probe side is collected to the driver to
+    build the kernel closure, so this API is for panel-sized query
+    batches only — ``max_probe_rows`` (default 65 536 ≈ 34 MB of
+    64-float vectors) guards the collect and raises instead of OOMing
+    the driver. Oversized probe batches belong on ``knn_auto``, which
+    routes them to the cell-cogrouped ``ivf_knn_batch`` with no
+    probe-sized collect anywhere; the approximate scale paths live in
+    operators/similarity.py."""
     from ..sources.loaders import scatter
     from .similarity import brute_knn_block
 
-    panel = [
-        (r[0], r[1])
-        for r in queries.select(query_id, query_vec).collect()
-    ]
+    head = queries.select(query_id, query_vec).limit(max_probe_rows + 1).collect()
+    if len(head) > max_probe_rows:
+        raise ValueError(
+            f"knn_join collects the probe side to the driver; got more than "
+            f"max_probe_rows={max_probe_rows} query rows — use knn_auto "
+            f"(routes large probe batches to ivf_knn_batch) or raise the cap "
+            f"if driver memory genuinely allows it"
+        )
+    panel = [(r[0], r[1]) for r in head]
     # min-parallelism guard: a small single-split index scan would run
     # the whole blocked scoring in ONE task; no-op on well-partitioned
     # input (see loaders.scatter)

@@ -37,6 +37,10 @@ from pyspark.sql import types as T
 from ..functions.vector import cosine_sim
 
 SEED = 42
+# per-chunk dense-block budget for the cogrouped cell kernel (float64
+# elements; 2²⁶ ≈ 512 MB) — module-level so tests can shrink it to force
+# chunk boundaries on small fixtures
+_BLOCK_ELEMS = 1 << 26
 
 
 def _band_codes_udf(planes: np.ndarray, n_bands: int):
@@ -426,20 +430,42 @@ def ivf_knn_batch(
     an index row has exactly one cell, same as ``ivf_knn``.)
 
     ``n_cells`` defaults to the Faiss-style √N rule (nearest power of
-    two, clamped to [16, 1024]): candidate work per probe is
+    two, clamped to [16, 4096]): candidate work per probe is
     N·nprobe/n_cells, so a FIXED cell count makes the batch join
     quadratic in the corpus as probes grow with it — cells must grow
     with the index for the candidate space to stay ~√N per probe.
-    Pass ``index_rows`` (the router does) to skip the sizing count."""
+    The 4096 clamp is the KMeans-training ceiling, which bounds the
+    SUPPORTED index at ~n_cells² ≈ 1.7·10⁷ rows on the √N rule (past
+    that, per-cell scan cost grows linearly again — train an external
+    codebook and pass ``centroids``/``n_cells`` explicitly to go
+    bigger). Kernel memory no longer depends on the probe count: the
+    per-cell score block is chunked along the probe axis so one chunk
+    is ≤ ~512 MB regardless of how many probes land in a cell. Pass
+    ``index_rows`` (the router does) to skip the sizing count.
+
+    Id columns must be integral (cast to int64 inside the kernel); a
+    non-integer id raises up front rather than corrupting the packed
+    Arrow batches."""
     import math
 
     from ..sources.loaders import scatter
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    _integral = (ByteType, ShortType, IntegerType, LongType)
+    for df, col, side in ((probes, query_id, "probe"), (index, index_id, "index")):
+        dt = df.schema[col].dataType
+        if not isinstance(dt, _integral):
+            raise TypeError(
+                f"ivf_knn_batch requires an integral {side} id column; "
+                f"{col!r} is {dt.simpleString()} — remap ids to int64 first "
+                f"(ivf_knn/lsh_knn preserve arbitrary id types)"
+            )
 
     if n_cells is None:
         if index_rows is None:
             index_rows = index.count()
         n_cells = int(
-            min(1024.0, max(16.0, 2 ** round(math.log2(max(math.sqrt(index_rows), 16.0)))))
+            min(4096.0, max(16.0, 2 ** round(math.log2(max(math.sqrt(index_rows), 16.0)))))
         )
 
     if centroids is None:
@@ -476,27 +502,38 @@ def ivf_knn_batch(
         qids = rpdf[query_id].to_numpy().astype(np.int64)
         n, d = A.shape
         m = B.shape[0]
-        acc = np.zeros((n, m))
         an2 = np.zeros(n)
-        bn2 = np.zeros(m)
         for i in range(d):
-            acc += np.outer(A[:, i], B[:, i])
             an2 = an2 + A[:, i] * A[:, i]
-            bn2 = bn2 + B[:, i] * B[:, i]
-        denom = np.sqrt(an2)[:, None] * np.sqrt(bn2)[None, :]
-        s = _round6_duck(
-            np.where(denom > 0.0, acc / np.where(denom > 0.0, denom, 1.0), 0.0)
-        )
+        an = np.sqrt(an2)
+        # Chunk the probe axis: one dense (|cell index| × chunk) block at
+        # a time, ≤ _BLOCK_ELEMS float64 elements (~512 MB), so a hot cell
+        # with millions of probes streams through in bounded memory instead
+        # of materializing an n×m block sized by the probe count.
+        chunk = max(16, min(512, _BLOCK_ELEMS // max(n, 1)))
         out_q, out_i, out_s = [], [], []
-        for qi in range(m):
-            mask = ids != qids[qi]
-            cand_i, cand_s = ids[mask], s[mask, qi]
-            if cand_i.size == 0:
-                continue
-            order = np.lexsort((cand_i, -cand_s))[:k]
-            out_q.extend([qids[qi]] * len(order))
-            out_i.extend(cand_i[order])
-            out_s.extend(cand_s[order])
+        for c0 in range(0, m, chunk):
+            Bc = B[c0 : c0 + chunk]
+            qc = qids[c0 : c0 + chunk]
+            mc = Bc.shape[0]
+            acc = np.zeros((n, mc))
+            bn2 = np.zeros(mc)
+            for i in range(d):
+                acc += np.outer(A[:, i], Bc[:, i])
+                bn2 = bn2 + Bc[:, i] * Bc[:, i]
+            denom = an[:, None] * np.sqrt(bn2)[None, :]
+            s = _round6_duck(
+                np.where(denom > 0.0, acc / np.where(denom > 0.0, denom, 1.0), 0.0)
+            )
+            for qi in range(mc):
+                mask = ids != qc[qi]
+                cand_i, cand_s = ids[mask], s[mask, qi]
+                if cand_i.size == 0:
+                    continue
+                order = np.lexsort((cand_i, -cand_s))[:k]
+                out_q.extend([qc[qi]] * len(order))
+                out_i.extend(cand_i[order])
+                out_s.extend(cand_s[order])
         return pd.DataFrame(
             {
                 query_id: np.array(out_q, dtype=np.int64),
@@ -777,6 +814,7 @@ def brute_knn_block(
             A = np.stack(pdf[index_vec].to_numpy()).astype(np.float64)
             ids = pdf[index_id].to_numpy().astype(np.int64)
             assert ids.max(initial=0) < (1 << 40), "id exceeds key packing"
+            assert ids.min(initial=0) >= 0, "negative id corrupts packed key"
             n = A.shape[0]
             an = np.sqrt((A * A).sum(axis=1))
             kk = min(k, n)
@@ -789,10 +827,16 @@ def brute_knn_block(
                     np.where(denom > 0.0, S / np.where(denom > 0.0, denom, 1.0), 0.0)
                 )
                 key = np.rint(s * 1e6).astype(np.int64) * (1 << 40) - ids[:, None]
+                # Genuine keys are bounded by |round(s·1e6)|·2⁴⁰ + 2⁴⁰ < 2⁶¹,
+                # so −2⁶² is strictly below every genuine key AND survives the
+                # `-col` negation below (INT64_MIN would wrap back to itself,
+                # letting excluded self rows WIN the argpartition and evict a
+                # true neighbor from the kk-row partial).
+                SENT = -(1 << 62)
                 if exclude_self:
                     key = np.where(
                         ids[:, None] == qids[c0 : c0 + CHUNK][None, :],
-                        np.iinfo(np.int64).min,
+                        SENT,
                         key,
                     )
                 for j in range(Pc.shape[0]):
@@ -800,7 +844,7 @@ def brute_knn_block(
                     top = np.argpartition(-col, kk - 1)[:kk]
                     top = top[np.argsort(-col[top], kind="stable")]
                     if exclude_self:
-                        top = top[col[top] != np.iinfo(np.int64).min]
+                        top = top[col[top] != SENT]
                     out_q.extend([qids[c0 + j]] * len(top))
                     out_i.extend(ids[top])
                     out_s.extend(s[top, j])

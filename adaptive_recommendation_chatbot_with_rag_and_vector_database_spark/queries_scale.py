@@ -687,11 +687,13 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.bloom import bloom_build, bloom_probe, bloom_size_for
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
-    # the filtered build side is read THREE times (sizing count, bitmap
-    # build, exact join) — persist the narrow key column once so the
-    # sizing step doesn't pay an extra full scan per invocation; only
-    # o_orderkey survives the filter into any downstream operator, so
-    # the cached footprint is one long column of the ~20% slice
+    # the filtered build side feeds three consumers (sizing count, bitmap
+    # build, exact join): cache the narrow key column across the two
+    # PLANNING actions that run eagerly here, then unpersist before
+    # returning — the lazy exact join re-reads the pushdown-pruned scan
+    # once at the caller's action instead of pinning executor storage for
+    # the session lifetime (repeated bench/pytest invocations were
+    # accumulating one cached slice per call)
     build_keys = (
         _t(spark, sf_dir, "orders")
         .filter(
@@ -701,8 +703,11 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey")
         .persist()
     )
-    num_bits = bloom_size_for(build_keys.count())
-    bloom = bloom_build(build_keys, "o_orderkey", num_bits)
+    try:
+        num_bits = bloom_size_for(build_keys.count())
+        bloom = bloom_build(build_keys, "o_orderkey", num_bits)
+    finally:
+        build_keys.unpersist()
     pruned = bloom_probe(li, "l_orderkey", bloom, num_bits)
     return (
         pruned.join(build_keys, pruned.l_orderkey == build_keys.o_orderkey)

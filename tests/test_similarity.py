@@ -268,3 +268,83 @@ def test_brute_topk_partials_bit_identical_to_catalyst(emb, probes):
             .collect()
         )
     assert got == sorted(want)
+
+
+def test_brute_knn_block_exclude_self_keeps_true_topk(spark):
+    """Regression: the old INT64_MIN self-sentinel wrapped under the
+    `-col` negation inside argpartition, so the self row could WIN the
+    partial selection and evict a genuine neighbor. Build a fixture
+    where the self row would otherwise rank first and k == n-1, so a
+    dropped candidate is visible in the output, not just re-ranked."""
+    import numpy as np
+
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators.similarity import (
+        brute_knn_block,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(6, 8)).astype(float)
+    idx = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    ).repartition(1)
+    panel = [(0, list(vecs[0]))]  # self-match scores 1.0 — the top row
+    rows = brute_knn_block(idx, panel, k=5, exclude_self=True).collect()
+    got = {r.vec_id for r in rows}
+    assert got == {1, 2, 3, 4, 5}  # all non-self rows, none evicted
+    assert all(r.query_id == 0 for r in rows)
+
+
+def test_brute_knn_block_rejects_negative_ids(spark):
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators.similarity import (
+        brute_knn_block,
+    )
+
+    idx = spark.createDataFrame(
+        [(-1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="negative id"):
+        brute_knn_block(idx, [(0, [1.0, 0.0])], k=1).collect()
+
+
+def test_ivf_batch_rejects_non_integral_ids(emb, probes):
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators.similarity import (
+        ivf_knn_batch,
+    )
+
+    str_probes = probes.select(
+        F.col("query_id").cast("string").alias("query_id"), "qvec"
+    )
+    with pytest.raises(TypeError, match="integral"):
+        ivf_knn_batch(str_probes, emb, k=K, index_rows=1000)
+
+
+def test_ivf_batch_probe_chunking_hash_identical(emb, probes, monkeypatch):
+    """The probe-axis chunking inside score_cell must not change results:
+    shrinking the block budget forces a chunk boundary mid-cell (the
+    floor chunk of 16 < the ~120-probe fixture), exercising the
+    per-chunk block path against the unchunked broadcast reference."""
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators import (
+        similarity as sim,
+    )
+
+    monkeypatch.setattr(sim, "_BLOCK_ELEMS", 1)  # chunk floor: 16 probes
+    base = sorted(
+        (r.query_id, r.vec_id, r.score)
+        for r in sim.ivf_knn_batch(
+            probes, emb, k=K, n_cells=4, nprobe=4, cache_key="chunktest"
+        ).collect()
+    )
+    ref = sorted(
+        (r.query_id, r.vec_id, r.score)
+        for r in sim.ivf_knn(
+            probes, emb, k=K, n_cells=4, nprobe=4, cache_key="chunktest"
+        ).collect()
+    )
+    assert base == ref
+
+
+def test_knn_join_probe_cap_guard(emb, probes):
+    with pytest.raises(ValueError, match="max_probe_rows"):
+        knn_join(probes, emb, k=K, query_vec="qvec", max_probe_rows=3)
