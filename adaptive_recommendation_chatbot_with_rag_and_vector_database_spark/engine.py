@@ -123,13 +123,21 @@ class RagEngine:
     dim: int = EMBED_DIM
     rewrite: Callable[[str, list[dict]], str] = passthrough_rewrite
     answerer: Callable[[str, str], str] = extractive_answerer
+    # the reference's brute-force→ANN delegation split (Pinecone
+    # serverless past memory scale, AI.py:49-55) through the USER path:
+    # below this many index rows every retrieval is the exact scan;
+    # above it the single-question top-k routes through knn_auto's
+    # interactive ANN regime (banded LSH), same as the batch router
+    ann_threshold_rows: int = 1_000_000
     _sessions: dict[str, list[dict]] = field(default_factory=dict)
+    _index_rows: int | None = field(default=None, repr=False)
 
     # -- index build (S2-S5, F5, F6, F8) -----------------------------------
 
     def index_documents(self, docs: DataFrame) -> int:
         """Chunk+embed ``docs(doc_id, text, ...)`` into the index;
         returns newly embedded chunk count (0 ⇒ fully cached)."""
+        self._index_rows = None  # size changed: re-count lazily
         return write_index_incremental(
             docs, self.index_path, chunk_size=self.chunk_size, dim=self.dim
         )
@@ -175,18 +183,66 @@ class RagEngine:
         k = k or self.k
         if search_type == "similarity":
             qvec = embed_text(question, self.dim)
-            return topk_cosine(
-                self.index(),
-                qvec,
-                k=k,
-                id_cols=("doc_id", "chunk_id"),
-                payload_cols=("text",),
-            )
+            return self._topk_chunks(qvec, k, payload_cols=("text",))
         if search_type == "mmr":
             return self._retrieve_mmr(question, k, fetch_k or max(2 * k, 8))
         if search_type == "hybrid":
             return self._retrieve_hybrid(question, k)
         raise ValueError(f"unknown search_type: {search_type!r}")
+
+    def _count_index_rows(self) -> int:
+        # one parquet-metadata count per built index, then cached — the
+        # router must not pay a count per question
+        if self._index_rows is None:
+            self._index_rows = self.index().count()
+        return self._index_rows
+
+    def _topk_chunks(
+        self, qvec, k: int, payload_cols: tuple[str, ...]
+    ) -> DataFrame:
+        """Single-question top-k against the chunk index, routed on
+        index size like the batch ``knn_auto``: the exact
+        TakeOrderedAndProject scan below ``ann_threshold_rows``
+        (reference behavior, bit-stable for every correctness-tier
+        caller), banded-LSH ANN above it — a 10⁹-chunk index must not
+        pay a full scan per question. Chunk identity packs into one
+        int64 (doc_id · 2²⁰ + chunk_id; chunker bounds chunk ordinals
+        well under 2²⁰) because the ANN kernels key on a single
+        integral id; the probe id −1 cannot collide with any packed
+        chunk. Output schema matches the exact path:
+        (doc_id, chunk_id, *payload, score)."""
+        if self._count_index_rows() <= self.ann_threshold_rows:
+            return topk_cosine(
+                self.index(),
+                qvec,
+                k=k,
+                id_cols=("doc_id", "chunk_id"),
+                payload_cols=payload_cols,
+            )
+        from .operators.retrieval import knn_auto
+
+        idx = self.index().withColumn(
+            "cid", F.col("doc_id") * F.lit(1 << 20) + F.col("chunk_id")
+        )
+        probes = self.spark.createDataFrame(
+            [(-1, [float(x) for x in qvec])], "query_id long, qvec array<double>"
+        )
+        hits = knn_auto(
+            probes,
+            idx.select("cid", "embedding"),
+            k=k,
+            index_rows=self._index_rows,
+            probe_rows=1,
+            index_id="cid",
+            index_vec="embedding",
+            cache_key=self.index_path,
+        )
+        return (
+            F.broadcast(hits.select("cid", "score"))
+            .join(idx, "cid")
+            .select("doc_id", "chunk_id", *payload_cols, "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("chunk_id"))
+        )
 
     def _retrieve_mmr(self, question: str, k: int, fetch_k: int) -> DataFrame:
         # Delegates the λ-scoring to the SAME greedy core the
@@ -200,12 +256,8 @@ class RagEngine:
         qvec = embed_text(question, self.dim)
         cand = {
             (r.doc_id, r.chunk_id): r
-            for r in topk_cosine(
-                self.index(),
-                qvec,
-                k=fetch_k,
-                id_cols=("doc_id", "chunk_id"),
-                payload_cols=("text", "embedding"),
+            for r in self._topk_chunks(
+                qvec, fetch_k, payload_cols=("text", "embedding")
             ).collect()
         }
 
@@ -243,7 +295,12 @@ class RagEngine:
             idx.select(F.col("cid").alias("doc_id"), "text"), terms
         ).withColumnRenamed("doc_id", "cid")
         qvec = embed_text(question, self.dim)
-        vs = topk_cosine(idx, qvec, k=depth, id_cols=("cid",), payload_cols=())
+        # the vector leg routes on index size like every retrieval; the
+        # BM25 leg is lexical and scan-bound either way
+        vs = self._topk_chunks(qvec, depth, payload_cols=()).select(
+            F.concat_ws("#", F.col("doc_id"), F.col("chunk_id")).alias("cid"),
+            "score",
+        )
         top = rrf_fuse(bm, vs, "cid", "bm25", "score", k=k, depth=depth).select(
             "cid", F.col("rrf").alias("score")
         )

@@ -658,24 +658,31 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance fuzzy join (Z6): Levenshtein over a 40-char
     sorted-token signature (order-canonicalized so shuffled near-dups
-    compare close), blocked on the language key with probe-side
-    decimation — the same block+probe discipline as every pair
-    operator here. Spark's levenshtein(l, r, threshold) short-circuits
-    the DP once the bound is exceeded, so cost per candidate is
-    O(len·threshold), not O(len²).
+    compare close), with PassJoin segment blocking
+    (operators/dedup.passjoin_candidates) replacing the lang-block
+    nested loop: the corpus emits t+1 segment substrings per signature,
+    probes emit length-matched substrings, and only pairs sharing a
+    position-consistent segment verbatim ever materialize — pigeonhole
+    guarantees that is a superset of every pair within distance t, so
+    the final ``levenshtein(l, r, 8)`` verify (threshold form returns
+    -1 past the bound: O(len·t) per candidate, not O(len²)) makes the
+    result EXACTLY the blocked definition the oracle runs. The shuffle
+    key is the segment gram, so the candidate space tracks gram
+    co-occurrence (near-linear on low-dup corpora) instead of
+    O(|lang block|²); candidate ids dedup bare before the two payload
+    joins re-attach signatures.
 
-    Scale notes (round-5 sweep): on a replicated tier the OUTPUT is
-    quadratic in clique size by definition (101× rows for 10× data
-    measured) — the same pair-emitter property as the near-dup
-    queries, answered by the exact-collapse prepass, not this plan.
-    For low-duplication corpora where the CANDIDATE space (lang-block
-    × probes) is the cost, the sound tightening is PassJoin segment
-    blocking: split each probe signature into threshold+1 segments —
-    pigeonhole guarantees a pair within distance t shares one segment
-    verbatim — and inverted-index the corpus on segment substrings
-    (the inverted_index_jaccard discipline). Not applied here because
-    sorted-token signatures on this corpus share hot prefixes, making
-    segment buckets as dense as the lang block itself."""
+    Scale notes: on a replicated tier the OUTPUT is quadratic in clique
+    size by definition (101× rows for 10× data measured in the round-5
+    sweep) — the same pair-emitter property as the near-dup queries,
+    answered by the exact-collapse prepass, not this plan. Sorted-token
+    signatures do share hot prefixes (common words sort first), so
+    segment buckets are denser than random 4-grams — the position
+    window |Δp| ≤ t inside the join condition is what keeps hot-prefix
+    grams from reverting to the block join (a seg-0 gram only meets
+    probe substrings from the first t+len positions)."""
+    from .operators.dedup import passjoin_candidates
+
     docs = _docs(spark, sf_dir)
     keys = docs.select(
         "doc_id",
@@ -684,19 +691,21 @@ def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.sort_array(F.split("text", " ")), " "), 1, 40
         ).alias("sig"),
     )
-    a = keys.filter(F.col("doc_id") % 20 == 0).select(
-        F.col("doc_id").alias("id_a"), F.col("lang").alias("_la"), F.col("sig").alias("_sa")
+    cands = passjoin_candidates(
+        keys,
+        t=8,
+        probe_pred=lambda c: c % 20 == 0,
+        sig_col="sig",
+        max_sig_len=40,
     )
-    b = keys.select(
-        F.col("doc_id").alias("id_b"), F.col("lang").alias("_lb"), F.col("sig").alias("_sb")
-    )
+    sa = keys.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("_sa"))
+    sb = keys.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("_sb"))
     return (
-        a.join(b, (F.col("_la") == F.col("_lb")) & (F.col("id_a") < F.col("id_b")))
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
-            # threshold form returns -1 once the DP exceeds the bound,
-            # so each candidate costs O(len·8) instead of O(len²)
             F.levenshtein(F.col("_sa"), F.col("_sb"), 8).alias("dist"),
         )
         .filter(F.col("dist") >= 0)

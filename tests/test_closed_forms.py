@@ -161,3 +161,63 @@ def test_bucketed_global_rank_identity(rows):
         ):
             assert offset + j == global_rank[r]
         offset += len(buckets[b])
+
+
+# --- PassJoin pigeonhole coverage (operators/dedup.passjoin_candidates) ----
+
+
+def _edit_distance(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _passjoin_covered(q: str, s: str, t: int, max_sig_len: int) -> bool:
+    """Pure-python mirror of passjoin_candidates' emission rules: does
+    probe q generate a (position, gram) that meets partner s's segment
+    emission under the join's |Δp| <= t and |Δlen| <= t filters?"""
+    nseg = t + 1
+    M, L = len(q), len(s)
+    if abs(M - L) > t:
+        return False  # the operator's length filter would drop it anyway
+    if L < nseg:
+        return True  # short path: plain length-filtered block join
+    # partner segments (even partition)
+    segs = []
+    base, rem = divmod(L, nseg)
+    for i in range(nseg):
+        p_i = i * base + min(i, rem)
+        l_i = base + (1 if i < rem else 0)
+        segs.append((p_i, s[p_i : p_i + l_i]))
+    # probe substring lengths
+    glo = max(nseg, M - t)
+    ghi = min(M + t, max_sig_len)
+    lmin = glo // nseg
+    lmax = min((ghi + nseg - 1) // nseg, M)
+    if lmax < lmin:
+        return False
+    for p_i, seg in segs:
+        gl = len(seg)
+        if gl < lmin or gl > lmax:
+            continue
+        for p in range(0, M - gl + 1):
+            if abs(p - p_i) <= t and q[p : p + gl] == seg:
+                return True
+    return False
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.text(alphabet="ab ", max_size=24),
+    st.text(alphabet="ab ", max_size=24),
+    st.integers(min_value=1, max_value=6),
+)
+def test_passjoin_pigeonhole_covers_all_close_pairs(q, s, t):
+    """Soundness of the blocking: every pair within edit distance t must
+    be generated as a candidate (the verify step only REMOVES pairs)."""
+    if _edit_distance(q, s) <= t:
+        assert _passjoin_covered(q, s, t, max_sig_len=24)

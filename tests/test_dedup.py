@@ -168,3 +168,61 @@ def test_embedding_near_dup_all_pairs_needs_explicit_opt_in(spark):
         for r in embedding_near_dup(df, threshold=0.9, allow_all_pairs=True).collect()
     }
     assert got == {(0, 1)}
+
+
+def test_passjoin_candidates_match_naive_block_join(spark):
+    """End-to-end equivalence on an adversarial corpus: verified PassJoin
+    candidates must equal the naive block-nested-loop result exactly —
+    mixed lengths (incl. below t+1 chars, exercising the short path),
+    shared hot prefixes, and pairs straddling the ±t length window."""
+    import random
+
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators.dedup import (
+        passjoin_candidates,
+    )
+
+    rng = random.Random(11)
+    words = ["aa", "ab", "ba", "the", "of", "x"]
+    rows = []
+    for i in range(120):
+        base = " ".join(rng.choices(words, k=rng.randint(0, 8)))[:40]
+        rows.append((i, "en" if i % 3 else "fr", base))
+        if i % 4 == 0:  # planted near-dup: one substitution
+            mut = list(base)
+            if mut:
+                mut[rng.randrange(len(mut))] = "z"
+            rows.append((1000 + i, "en" if i % 3 else "fr", "".join(mut)))
+    keys = spark.createDataFrame(rows, "doc_id long, lang string, sig string")
+    t = 4
+    pred = lambda c: c % 2 == 0
+
+    cands = passjoin_candidates(
+        keys, t=t, probe_pred=pred, sig_col="sig", max_sig_len=40
+    )
+    sa = keys.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("_sa"))
+    sb = keys.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("_sb"))
+    got = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b", F.levenshtein("_sa", "_sb", t).alias("dist")
+        )
+        .filter(F.col("dist") >= 0)
+        .collect()
+    )
+
+    a = keys.select(
+        F.col("doc_id").alias("id_a"), F.col("lang").alias("_la"), F.col("sig").alias("_sa")
+    ).filter(pred(F.col("id_a")))
+    b = keys.select(
+        F.col("doc_id").alias("id_b"), F.col("lang").alias("_lb"), F.col("sig").alias("_sb")
+    )
+    want = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in a.join(b, (F.col("_la") == F.col("_lb")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", F.levenshtein("_sa", "_sb", t).alias("dist"))
+        .filter(F.col("dist") >= 0)
+        .collect()
+    )
+    assert got == want and len(want) > 20

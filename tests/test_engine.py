@@ -199,3 +199,39 @@ def test_recursive_cte_equals_iterative_dataframe_loop(spark):
         .collect()
     }
     assert got == want and got
+
+
+def test_retrieve_routes_through_ann_above_threshold(spark, tmp_path):
+    """The facade's brute-force→ANN handoff: shrink ann_threshold_rows
+    so the tiny fixture index exceeds it, and every search_type must
+    still return k well-formed rows via the LSH route (approximate, so
+    assert shape + score sanity + that the top hit is the on-topic
+    chunk, not exact equality)."""
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.sources.loaders import (
+        load_table,
+    )
+
+    eng = RagEngine(
+        spark, index_path=str(tmp_path / "index"), ann_threshold_rows=10
+    )
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    assert eng.index_documents(docs) > 0
+    assert eng._count_index_rows() > 10  # the route is actually ANN
+
+    exact = RagEngine(spark, index_path=str(tmp_path / "index"))
+    q = "priority freight shipments delayed by clerk errors"
+    for st in ("similarity", "mmr", "hybrid"):
+        rows = eng.retrieve(q, search_type=st).collect()
+        assert len(rows) == eng.k, st
+        assert all(r.text and r.score is not None for r in rows), st
+    # ANN recall on the head: the top similarity hit matches the exact scan
+    top_ann = eng.retrieve(q).collect()[0]
+    top_exact = exact.retrieve(q).collect()[0]
+    assert (top_ann.doc_id, top_ann.chunk_id) == (
+        top_exact.doc_id,
+        top_exact.chunk_id,
+    )
+    # ask + recommend drive the same routed path end-to-end
+    res = eng.ask(q, session_id="ann")
+    assert res["answer"]
+    assert len(eng.recommend("ann").collect()) == eng.k
