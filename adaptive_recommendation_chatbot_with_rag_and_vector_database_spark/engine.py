@@ -126,9 +126,12 @@ class RagEngine:
     # the reference's brute-force→ANN delegation split (Pinecone
     # serverless past memory scale, AI.py:49-55) through the USER path:
     # below this many index rows every retrieval is the exact scan;
-    # above it the single-question top-k routes through knn_auto's
-    # interactive ANN regime (banded LSH), same as the batch router
+    # above it retrieval probes the persisted cell-partitioned IVF
+    # layout (partition-pruned scan, built at index time)
     ann_threshold_rows: int = 1_000_000
+    # cells probed per question on the IVF route: 8 of √N cells keeps
+    # recall high while scanning <1% of a 2M-row index's partitions
+    ann_nprobe: int = 8
     _sessions: dict[str, list[dict]] = field(default_factory=dict)
     _index_rows: int | None = field(default=None, repr=False)
 
@@ -136,10 +139,72 @@ class RagEngine:
 
     def index_documents(self, docs: DataFrame) -> int:
         """Chunk+embed ``docs(doc_id, text, ...)`` into the index;
-        returns newly embedded chunk count (0 ⇒ fully cached)."""
+        returns newly embedded chunk count (0 ⇒ fully cached). Past the
+        ANN threshold the cell-partitioned IVF twin of the index is
+        (re)built here too — codebook training and the partitioned
+        rewrite are index-BUILD-time costs, paid once per corpus change,
+        exactly where a vector store pays them (the reference's Pinecone
+        upsert builds its ANN structures on write, AI.py:89-96)."""
         self._index_rows = None  # size changed: re-count lazily
-        return write_index_incremental(
+        n_new = write_index_incremental(
             docs, self.index_path, chunk_size=self.chunk_size, dim=self.dim
+        )
+        self._ensure_ann_index(rebuild=n_new > 0)
+        return n_new
+
+    @staticmethod
+    def _cid():
+        # one packed int64 per chunk (doc_id · 2²⁰ + chunk_id; the
+        # chunker bounds chunk ordinals far below 2²⁰) — the ANN
+        # kernels key on a single integral id
+        return (F.col("doc_id") * (1 << 20) + F.col("chunk_id")).alias("cid")
+
+    def _ann_paths(self) -> tuple[str, str]:
+        return f"{self.index_path}_ivf", f"{self.index_path}_ivf_codebook"
+
+    def _ensure_ann_index(self, rebuild: bool) -> None:
+        from .operators.similarity import train_centroids_sample, write_ivf_index
+
+        rows = self._count_index_rows()
+        if rows <= self.ann_threshold_rows:
+            return
+        ivf_path, cb_path = self._ann_paths()
+        if not rebuild:
+            try:  # already built for this corpus state?
+                self.spark.read.parquet(cb_path).first()
+                return
+            except Exception:
+                pass
+        import math
+
+        n_cells = int(
+            min(4096, max(16, 2 ** round(math.log2(max(math.sqrt(rows), 16.0)))))
+        )
+        centroids = train_centroids_sample(
+            self.index(),
+            n_cells,
+            "embedding",
+            sample_rows=max(4096, 8 * n_cells),
+            cache_key=self.index_path,
+        )
+        write_ivf_index(
+            self.index().select(self._cid(), "embedding"),
+            ivf_path,
+            centroids,
+            index_id="cid",
+        )
+        self.spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cell int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(cb_path)
+
+    def _load_codebook(self):
+        import numpy as np
+
+        rows = self.spark.read.parquet(self._ann_paths()[1]).collect()
+        return np.array(
+            [r.centroid for r in sorted(rows, key=lambda r: r.cell)],
+            dtype=np.float64,
         )
 
     def index_files(
@@ -201,16 +266,20 @@ class RagEngine:
         self, qvec, k: int, payload_cols: tuple[str, ...]
     ) -> DataFrame:
         """Single-question top-k against the chunk index, routed on
-        index size like the batch ``knn_auto``: the exact
-        TakeOrderedAndProject scan below ``ann_threshold_rows``
-        (reference behavior, bit-stable for every correctness-tier
-        caller), banded-LSH ANN above it — a 10⁹-chunk index must not
-        pay a full scan per question. Chunk identity packs into one
-        int64 (doc_id · 2²⁰ + chunk_id; chunker bounds chunk ordinals
-        well under 2²⁰) because the ANN kernels key on a single
-        integral id; the probe id −1 cannot collide with any packed
-        chunk. Output schema matches the exact path:
-        (doc_id, chunk_id, *payload, score)."""
+        index size: the exact TakeOrderedAndProject scan below
+        ``ann_threshold_rows`` (reference behavior, bit-stable for
+        every correctness-tier caller); above it, an IVF probe over the
+        cell-partitioned layout ``index_documents`` persisted — the
+        probe's ``nprobe`` cells resolve driver-side into a PARTITION
+        FILTER, so the scan opens ~nprobe/n_cells of the index's files
+        instead of all of them. That layout is the part a per-question
+        ANN route actually needs at scale: any scheme that re-hashes or
+        re-scans the full index per question (inline LSH banding
+        included — measured 17.9 s vs the exact scan's 3.4 s at the
+        2 M-chunk tier) just races the exact scan and loses; only
+        index-time structure beats it. The probe id −1 cannot collide
+        with any packed chunk id. Output schema matches the exact
+        path: (doc_id, chunk_id, *payload, score)."""
         if self._count_index_rows() <= self.ann_threshold_rows:
             return topk_cosine(
                 self.index(),
@@ -219,24 +288,22 @@ class RagEngine:
                 id_cols=("doc_id", "chunk_id"),
                 payload_cols=payload_cols,
             )
-        from .operators.retrieval import knn_auto
+        from .operators.similarity import ivf_knn_pruned
 
-        idx = self.index().withColumn(
-            "cid", F.col("doc_id") * F.lit(1 << 20) + F.col("chunk_id")
-        )
+        self._ensure_ann_index(rebuild=False)
         probes = self.spark.createDataFrame(
             [(-1, [float(x) for x in qvec])], "query_id long, qvec array<double>"
         )
-        hits = knn_auto(
+        hits = ivf_knn_pruned(
+            self.spark,
+            self._ann_paths()[0],
             probes,
-            idx.select("cid", "embedding"),
+            self._load_codebook(),
             k=k,
-            index_rows=self._index_rows,
-            probe_rows=1,
+            nprobe=self.ann_nprobe,
             index_id="cid",
-            index_vec="embedding",
-            cache_key=self.index_path,
         )
+        idx = self.index().select(self._cid(), "doc_id", "chunk_id", *payload_cols)
         return (
             F.broadcast(hits.select("cid", "score"))
             .join(idx, "cid")

@@ -822,3 +822,361 @@ def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# --- M9: Mann-Whitney U rank-sum test ---------------------------------------
+
+
+@query(
+    "q_mann_whitney",
+    oracle=f"""
+    WITH s AS (
+      SELECT CASE WHEN (user_id * {_LCG_A} + {_LCG_C}) % {_LCG_M}
+                       < {_LCG_M // 2} THEN 0 ELSE 1 END AS variant,
+             value
+      FROM events WHERE event_type = 'purchase'),
+    pv AS (
+      SELECT value,
+             CAST(count(*) FILTER (variant = 0) AS BIGINT) AS ca,
+             CAST(count(*) FILTER (variant = 1) AS BIGINT) AS cb,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM s GROUP BY value),
+    r AS (
+      SELECT *,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY value
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS cum
+      FROM pv),
+    agg AS (
+      SELECT CAST(sum(ca * (2 * cum + cnt + 1)) AS BIGINT) AS r1x2,
+             CAST(sum(ca) AS BIGINT) AS n1,
+             CAST(sum(cb) AS BIGINT) AS n2,
+             CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie
+      FROM r),
+    st AS (
+      SELECT n1, n2,
+             r1x2 / 2.0 - n1 * (n1 + 1) / 2.0 AS u_a,
+             (r1x2 / 2.0 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+               / sqrt((CAST(n1 AS DOUBLE) * n2 / 12.0)
+                      * ((n1 + n2 + 1)
+                         - tie / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))
+               AS z
+      FROM agg)
+    SELECT n1 AS n_a, n2 AS n_b, round(u_a, 1) AS u_a,
+           round(z, 4) AS z_score,
+           CASE WHEN abs(z) > 1.96 THEN 1 ELSE 0 END AS significant
+    FROM st
+    """,
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (M9): the nonparametric twin of
+    q_ab_test — does purchase ``value`` stochastically dominate in one
+    LCG arm? Tie-corrected normal approximation.
+
+    The rank sum is computed WITHOUT ranking rows: group by distinct
+    value (the tie classes the statistic is defined on), then each
+    class's average rank is its preceding-count plus (cnt+1)/2 — a
+    cumulative count over the distinct-value axis, built with the
+    bucketed two-phase prefix sum (q_decile_lift's idiom: floor-bucket
+    offsets broadcast, within-bucket windows carry the parallelism), so
+    no stage sorts more than one bucket on one task and the fact table
+    itself is touched only by the per-value hash aggregate. Doubled
+    rank sums (2·cum + cnt + 1) keep every intermediate an exact int64;
+    floats appear only in the final one-row z projection."""
+    from pyspark.sql import Window
+
+    s = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                (F.col("user_id") * _LCG_A + _LCG_C) % _LCG_M < _LCG_M // 2, 0
+            )
+            .otherwise(1)
+            .alias("variant"),
+            "value",
+        )
+    )
+    pv = s.groupBy("value").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    b = pv.withColumn("bkt", F.floor("value").cast("long"))
+    bc = b.groupBy("bkt").agg(F.sum("cnt").cast("long").alias("bn"))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bc.select(
+        "bkt",
+        F.coalesce(F.sum("bn").over(w_off), F.lit(0)).cast("long").alias("off"),
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = b.join(F.broadcast(boff), "bkt").select(
+        "ca",
+        "cb",
+        "cnt",
+        (
+            F.col("off") + F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
+        ).alias("cum"),
+    )
+    agg = r.agg(
+        F.sum(F.col("ca") * (2 * F.col("cum") + F.col("cnt") + 1))
+        .cast("long")
+        .alias("r1x2"),
+        F.sum("ca").cast("long").alias("n1"),
+        F.sum("cb").cast("long").alias("n2"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("tie"),
+    )
+    u_a = F.col("r1x2") / 2.0 - F.col("n1") * (F.col("n1") + 1) / 2.0
+    n1d = F.col("n1").cast("double")
+    nn = F.col("n1") + F.col("n2")
+    var = (n1d * F.col("n2") / 12.0) * (
+        (nn + 1) - F.col("tie") / (nn.cast("double") * (nn - 1))
+    )
+    z = (u_a - F.col("n1") * F.col("n2") / 2.0) / F.sqrt(var)
+    return agg.select(
+        F.col("n1").alias("n_a"),
+        F.col("n2").alias("n_b"),
+        F.round(u_a, 1).alias("u_a"),
+        F.round(z, 4).alias("z_score"),
+        F.when(F.abs(z) > 1.96, 1).otherwise(0).alias("significant"),
+    )
+
+
+# --- M10: chi-square independence test --------------------------------------
+
+
+@query(
+    "q_chi_square",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type,
+             CASE WHEN (user_id * {_LCG_A} + {_LCG_C}) % {_LCG_M}
+                       < {_LCG_M // 2} THEN 0 ELSE 1 END AS variant,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2),
+    rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+    ct AS (SELECT variant, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                   count(DISTINCT event_type) AS nr,
+                   count(DISTINCT variant) AS nc
+            FROM cells),
+    x AS (
+      SELECT sum((o - CAST(r AS DOUBLE) * c / n)
+                 * (o - CAST(r AS DOUBLE) * c / n)
+                 / (CAST(r AS DOUBLE) * c / n)) AS chi2,
+             max(n) AS n, max(nr) AS nr, max(nc) AS nc
+      FROM cells JOIN rt USING (event_type) JOIN ct USING (variant), tot)
+    SELECT round(chi2, 4) AS chi2,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+           round(sqrt(chi2 / (n * least(nr - 1, nc - 1))), 5) AS cramers_v
+    FROM x
+    """,
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test (M10): is event mix independent of
+    the LCG experiment arm? The contingency table materializes as ONE
+    hash aggregate over the facts (event_type × variant cells, partial
+    counts map-side); margins and the grand total derive from the
+    cell table itself — driver-scale — and broadcast back, so the
+    statistic costs one fact-table exchange regardless of corpus size.
+    Cramér's V normalizes effect size for the table shape."""
+    cells = (
+        load_table(spark, "events", sf_dir)
+        .select(
+            "event_type",
+            F.when(
+                (F.col("user_id") * _LCG_A + _LCG_C) % _LCG_M < _LCG_M // 2, 0
+            )
+            .otherwise(1)
+            .alias("variant"),
+        )
+        .groupBy("event_type", "variant")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    rt = cells.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
+    ct = cells.groupBy("variant").agg(F.sum("o").cast("long").alias("c"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("event_type").alias("nr"),
+        F.countDistinct("variant").alias("nc"),
+    )
+    e = F.col("r").cast("double") * F.col("c") / F.col("n")
+    x = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "variant")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum((F.col("o") - e) * (F.col("o") - e) / e).alias("chi2"),
+            F.max("n").alias("n"),
+            F.max("nr").alias("nr"),
+            F.max("nc").alias("nc"),
+        )
+    )
+    return x.select(
+        F.round(F.col("chi2"), 4).alias("chi2"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+            ),
+            5,
+        ).alias("cramers_v"),
+    )
+
+
+# --- M11: Benjamini-Hochberg FDR over a test family -------------------------
+
+# Abramowitz & Stegun 7.1.26 erfc coefficients: the two-sided normal
+# p-value is erfc(|z|/sqrt(2)); the rational approximation is plain
+# arithmetic + exp, so both engines evaluate the same formula (max
+# abs error 1.5e-7 — far inside the 1e-6 output rounding).
+_AS_P = 0.3275911
+_AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def _sql_p_two(z: str) -> str:
+    a1, a2, a3, a4, a5 = _AS_A
+    x = f"(abs({z}) / sqrt(2.0))"
+    t = f"(1.0 / (1.0 + {_AS_P} * {x}))"
+    return (
+        f"(({a1} * {t} + {a2} * {t} * {t} + {a3} * {t} * {t} * {t} "
+        f"+ {a4} * {t} * {t} * {t} * {t} "
+        f"+ {a5} * {t} * {t} * {t} * {t} * {t}) * exp(-({x} * {x})))"
+    )
+
+
+def _col_p_two(z):
+    a1, a2, a3, a4, a5 = _AS_A
+    x = F.abs(z) / F.sqrt(F.lit(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + _AS_P * x)
+    poly = (
+        a1 * t
+        + a2 * t * t
+        + a3 * t * t * t
+        + a4 * t * t * t * t
+        + a5 * t * t * t * t * t
+    )
+    return poly * F.exp(-(x * x))
+
+
+_BH_Q = 0.10
+
+
+@query(
+    "q_bh_fdr",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type,
+             CASE WHEN (user_id * {_LCG_A} + {_LCG_C}) % {_LCG_M}
+                       < {_LCG_M // 2} THEN 0 ELSE 1 END AS variant,
+             value
+      FROM events),
+    arms AS (
+      SELECT event_type,
+             CAST(count(*) FILTER (variant = 0) AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (variant = 1) AS BIGINT) AS n_b,
+             avg(value) FILTER (variant = 0) AS m_a,
+             avg(value) FILTER (variant = 1) AS m_b,
+             var_samp(value) FILTER (variant = 0) AS v_a,
+             var_samp(value) FILTER (variant = 1) AS v_b
+      FROM s GROUP BY 1),
+    zs AS (
+      SELECT event_type, n_a, n_b,
+             (m_b - m_a) / sqrt(v_a / n_a + v_b / n_b) AS z
+      FROM arms),
+    ps AS (
+      SELECT event_type, n_a, n_b, z, {_sql_p_two('z')} AS p FROM zs),
+    rk AS (
+      SELECT *, row_number() OVER (ORDER BY p, event_type) AS rnk,
+             count(*) OVER () AS m
+      FROM ps),
+    adj AS (
+      SELECT *,
+             least(1.0, min(p * m / rnk) OVER (ORDER BY rnk DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               AS adj_p
+      FROM rk)
+    SELECT event_type, n_a, n_b, round(z, 4) AS z_score,
+           round(p, 6) AS p_value, CAST(rnk AS BIGINT) AS p_rank,
+           round(adj_p, 6) AS adj_p,
+           CASE WHEN adj_p <= {_BH_Q} THEN 1 ELSE 0 END AS discovery
+    FROM adj ORDER BY p_rank
+    """,
+)
+def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction (M11) over a family of Welch
+    z-tests — one per event_type, comparing mean ``value`` between the
+    LCG arms. Running many A/B readouts without multiplicity control
+    is the classic experimentation footgun; BH is the standard fix.
+
+    The family's per-test moments are ONE fact-table hash aggregate
+    (count/avg/var_samp partials combine map-side); everything after —
+    the z's, the A&S-7.1.26 two-sided p-values, the p-ranking, and the
+    step-up running minimum that defines adjusted p — runs on a
+    |tests|-row frame, so the single-partition windows are bounded by
+    the test-family size (5 here; thousands at worst in production),
+    never by the data. The normal-CDF rational approximation is shared
+    with the oracle term-for-term, so parity holds bit-for-bit after
+    1e-6 rounding."""
+    from pyspark.sql import Window
+
+    s = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.when(
+            (F.col("user_id") * _LCG_A + _LCG_C) % _LCG_M < _LCG_M // 2, 0
+        )
+        .otherwise(1)
+        .alias("variant"),
+        "value",
+    )
+    arms = s.groupBy("event_type").agg(
+        F.count(F.when(F.col("variant") == 0, 1)).cast("long").alias("n_a"),
+        F.count(F.when(F.col("variant") == 1, 1)).cast("long").alias("n_b"),
+        F.avg(F.when(F.col("variant") == 0, F.col("value"))).alias("m_a"),
+        F.avg(F.when(F.col("variant") == 1, F.col("value"))).alias("m_b"),
+        F.var_samp(F.when(F.col("variant") == 0, F.col("value"))).alias("v_a"),
+        F.var_samp(F.when(F.col("variant") == 1, F.col("value"))).alias("v_b"),
+    )
+    z = (F.col("m_b") - F.col("m_a")) / F.sqrt(
+        F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    )
+    ps = arms.select(
+        "event_type", "n_a", "n_b", z.alias("z"), _col_p_two(z).alias("p")
+    )
+    w_rank = Window.orderBy("p", "event_type")
+    rk = ps.select(
+        "*",
+        F.row_number().over(w_rank).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    w_adj = Window.orderBy(F.desc("rnk")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    adj = rk.select(
+        "*",
+        F.least(
+            F.lit(1.0),
+            F.min(F.col("p") * F.col("m") / F.col("rnk")).over(w_adj),
+        ).alias("adj_p"),
+    )
+    return adj.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round("z", 4).alias("z_score"),
+        F.round("p", 6).alias("p_value"),
+        F.col("rnk").cast("long").alias("p_rank"),
+        F.round("adj_p", 6).alias("adj_p"),
+        F.when(F.col("adj_p") <= _BH_Q, 1).otherwise(0).alias("discovery"),
+    ).orderBy("p_rank")

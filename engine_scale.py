@@ -81,13 +81,22 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--mult", type=int, default=100)
+    ap.add_argument(
+        "--only",
+        default="",
+        help="comma-separated table subset to replicate (e.g. 'documents' "
+        "for the ANN-regime facade tier, where only the chunk index must "
+        "cross the router threshold and replicating the fact tables "
+        "would be pure tier-build cost)",
+    )
     args = ap.parse_args()
 
     from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.session import (
         get_spark,
     )
 
-    tier = build_tier(args.base, args.mult)
+    only = tuple(t for t in args.only.split(",") if t)
+    tier = build_tier(args.base, args.mult, only=only)
     spark = get_spark("engine_scale")
     out: dict = {"mult": args.mult}
     # discarded warm-up drive at the smoke SF: the FIRST drive of a
