@@ -443,3 +443,83 @@ def q_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_correct"
         ),
     )
+
+
+# --- C7: corpus bigram LM scoring -------------------------------------------
+
+
+@query(
+    "q_bigram_lm",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    big AS (
+      SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+               ELSE [toks[i] || ' ' || toks[i+1]
+                     for i in generate_series(1, len(toks) - 1)] END) AS big
+      FROM t),
+    bg AS (SELECT doc_id, split_part(big, ' ', 1) AS w1, big FROM big),
+    bc AS (SELECT doc_id, w1, big, count(*) AS c FROM bg GROUP BY ALL),
+    corpus AS (SELECT big, CAST(sum(c) AS BIGINT) AS cb FROM bc GROUP BY big),
+    hist AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw FROM bc GROUP BY w1),
+    voc AS (SELECT count(DISTINCT w) AS v FROM (
+              SELECT unnest(toks) AS w FROM t))
+    SELECT bc.doc_id,
+           CAST(sum(bc.c) AS BIGINT) AS n_bigrams,
+           round(sum(bc.c * log10((corpus.cb + 1.0) / (hist.cw + voc.v)))
+                 / sum(bc.c), 4) AS avg_logp
+    FROM bc JOIN corpus USING (big) JOIN hist USING (w1) CROSS JOIN voc
+    GROUP BY bc.doc_id
+    """,
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram LM scoring (C7): q_unigram_lm's second-order
+    sibling — train add-one-smoothed bigram probabilities
+    P(w2 | w1) = (c(w1 w2)+1) / (c(w1 ·)+V) over the corpus, score each
+    document by mean log10 conditional probability. The order-2 LM is
+    what actually separates shuffled word salad from fluent text (the
+    unigram model scores both identically), which is why perplexity
+    filters run at least bigram order.
+
+    Same 100 TB shape as C2: the (doc, bigram) counts are two hash
+    aggregates with map-side partials; the bigram table and the
+    first-word histogram are vocabulary-sized and BROADCAST onto the
+    per-doc counts; V is one scalar. Bigrams build inside the array
+    domain (zip_with over the token array and its shift — codegen, no
+    Python), so the fact-side cost is one exchange keyed on doc_id."""
+    from .functions.tokenize import toks_col
+
+    t = load_table(spark, "documents", sf_dir).select(
+        "doc_id", toks_col().alias("toks")
+    )
+    n1 = F.greatest(F.size("toks") - 1, F.lit(0))
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, n1),
+                F.slice("toks", 2, n1),
+                lambda a, b: F.struct(
+                    a.alias("w1"), F.concat_ws(" ", a, b).alias("big")
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.w1").alias("w1"), F.col("s.big").alias("big"))
+    bc = bg.groupBy("doc_id", "w1", "big").agg(F.count(F.lit(1)).alias("c"))
+    corpus = bc.groupBy("big").agg(F.sum("c").cast("long").alias("cb"))
+    hist = bc.groupBy("w1").agg(F.sum("c").cast("long").alias("cw"))
+    voc = (
+        t.select(F.explode("toks").alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    scored = (
+        bc.join(F.broadcast(corpus), "big")
+        .join(F.broadcast(hist), "w1")
+        .crossJoin(F.broadcast(voc))
+    )
+    logp = F.col("c") * F.log10(
+        (F.col("cb") + 1.0) / (F.col("cw") + F.col("v"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.round(F.sum(logp) / F.sum("c"), 4).alias("avg_logp"),
+    )

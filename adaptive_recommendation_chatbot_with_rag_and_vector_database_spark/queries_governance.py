@@ -682,3 +682,63 @@ def q_expectation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("expectation")
     )
+
+
+# --- G8: data-freshness SLA audit -------------------------------------------
+
+_FRESH_SLA_MIN = 24 * 60  # stale when a source lags the feed by a day
+
+
+@query(
+    "q_freshness_audit",
+    oracle=f"""
+    WITH g AS (SELECT max(ts) AS gmax FROM events),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             max(ts) AS last_ts
+      FROM events GROUP BY event_type)
+    SELECT event_type, n_events, CAST(last_ts AS VARCHAR) AS last_ts,
+           (CAST(floor(epoch(gmax)) AS BIGINT)
+            - CAST(floor(epoch(last_ts)) AS BIGINT)) // 60 AS lag_minutes,
+           CASE WHEN (CAST(floor(epoch(gmax)) AS BIGINT)
+                      - CAST(floor(epoch(last_ts)) AS BIGINT)) // 60
+                     > {_FRESH_SLA_MIN}
+                THEN 'stale' ELSE 'fresh' END AS status
+    FROM s, g ORDER BY event_type
+    """,
+)
+def q_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLA audit (G8): per event source, when did data
+    last arrive and how far does it lag the newest event in the feed —
+    the first dashboard any ingestion pipeline gets, and the check that
+    catches a silently-dead producer before its absence skews every
+    downstream aggregate. One hash aggregate over the facts (max/count
+    partials combine map-side); the global watermark derives from the
+    per-source maxima (|sources| rows) and broadcasts back. Lag is
+    integer epoch-minute arithmetic — exact on both engines.
+
+    Timestamps surface as strings because the driver compare hashes
+    values lexically; epoch math stays on the typed column."""
+    ev = load_table(spark, "events", sf_dir)
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max("ts").alias("last_ts"),
+    )
+    g = s.agg(F.max("last_ts").alias("gmax"))
+    lag = F.floor(
+        (F.col("gmax").cast("long") - F.col("last_ts").cast("long")) / 60
+    ).cast("long")
+    return (
+        s.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "n_events",
+            F.col("last_ts").cast("string").alias("last_ts"),
+            lag.alias("lag_minutes"),
+            F.when(lag > _FRESH_SLA_MIN, "stale")
+            .otherwise("fresh")
+            .alias("status"),
+        )
+        .orderBy("event_type")
+    )

@@ -342,3 +342,72 @@ def q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("common"), F.asc("ca"), F.asc("cb"))
         .limit(_CN_TOPK)
     )
+
+
+# --- I5: Adamic-Adar link prediction ----------------------------------------
+
+
+@query(
+    "q_adamic_adar",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey % {_CN_ORDER_MOD} = 0),
+    pdeg AS (SELECT p, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY p),
+    kept AS (
+      SELECT e.c, e.p, pdeg.d FROM e JOIN pdeg ON e.p = pdeg.p
+      WHERE pdeg.d BETWEEN 2 AND {_CN_MAX_DEG}),
+    pairs AS (
+      SELECT a.c AS ca, b.c AS cb,
+             CAST(count(*) AS BIGINT) AS common,
+             round(sum(1.0 / ln(a.d)), 5) AS aa_score
+      FROM kept a JOIN kept b ON a.p = b.p AND a.c < b.c
+      GROUP BY a.c, b.c)
+    SELECT ca, cb, common, aa_score FROM pairs
+    ORDER BY aa_score DESC, ca ASC, cb ASC LIMIT {_CN_TOPK}
+    """,
+)
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (I5): q_common_neighbors' weighted
+    sibling — each shared part contributes 1/ln(degree) instead of 1,
+    so rare co-purchases carry more predictive evidence than popular
+    ones (the classic fix for raw common-neighbor counts being
+    dominated by near-hub items). Same hub discipline: parts above
+    {_CN_MAX_DEG} customers are dropped BEFORE pair enumeration, and
+    degree-1 parts are dropped too (they produce no pairs; excluding
+    them up front also keeps 1/ln(d) away from the d=1 pole).
+
+    Plan shape mirrors q_common_neighbors — the pair space is the
+    part-keyed self-join bounded by Σ deg², linear in parts — but the
+    per-pair weight is carried ON the edge rows (each kept edge
+    already knows its part's degree), so the score needs NO extra join
+    after the pair aggregate: one groupBy computes count and weighted
+    sum together."""
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderkey") % _CN_ORDER_MOD == 0
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    e = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    pdeg = e.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    kept = (
+        e.join(pdeg, "p")
+        .filter((F.col("d") >= 2) & (F.col("d") <= _CN_MAX_DEG))
+        .select("c", "p", "d")
+    )
+    a = kept.select(F.col("c").alias("ca"), "p", "d")
+    b = kept.select(F.col("c").alias("cb"), F.col("p").alias("pb"))
+    return (
+        a.join(b, (F.col("p") == F.col("pb")) & (F.col("ca") < F.col("cb")))
+        .groupBy("ca", "cb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common"),
+            F.round(F.sum(F.lit(1.0) / F.log(F.col("d"))), 5).alias("aa_score"),
+        )
+        .orderBy(F.desc("aa_score"), F.asc("ca"), F.asc("cb"))
+        .limit(_CN_TOPK)
+    )

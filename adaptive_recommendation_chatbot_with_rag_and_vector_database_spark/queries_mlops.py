@@ -632,3 +632,68 @@ def q_ucb_bandit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+# --- MO7: classifier calibration / reliability bins --------------------------
+
+
+from .functions.text import STOPWORDS as _STOPWORDS  # noqa: E402
+from .functions.tokenize import SQL_TOKS as _SQL_TOKS  # noqa: E402
+
+_EN_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS["en"]) + "]"
+_SQL_EN_SHARE = (
+    f"(len(list_filter({_SQL_TOKS}, x -> list_contains({_EN_STOP_SQL}, x)))"
+    f" / greatest(len({_SQL_TOKS}), 1)::DOUBLE)"
+)
+
+
+@query(
+    "q_reliability_bins",
+    oracle=f"""
+    WITH scored AS (
+      SELECT least(CAST(floor({_SQL_EN_SHARE} * 10) AS BIGINT), 9) AS bin,
+             {_SQL_EN_SHARE} AS score,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS label
+      FROM documents)
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(score), 5) AS mean_score,
+           round(avg(label), 5) AS obs_rate,
+           round(abs(avg(score) - avg(label)), 5) AS gap
+    FROM scored GROUP BY bin ORDER BY bin
+    """,
+)
+def q_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram / calibration bins (MO7): treat the
+    English-stopword token share as a classifier score for "document is
+    English", bucket into ten score bins, and compare each bin's mean
+    score against its observed positive rate — the table a reliability
+    diagram plots, and the per-bin terms of expected calibration error
+    (ECE). Miscalibrated quality/language classifiers silently skew
+    corpus filtering, which is why calibration is audited beside the
+    classifier itself (q_lang_id).
+
+    The score is a per-row expression over the token array (no UDF,
+    no shuffle); the bins are one 10-group hash aggregate. Per-doc
+    scores are exact integer ratios, so bin membership is
+    engine-portable without an epsilon."""
+    from .functions.tokenize import toks_col
+
+    en = _STOPWORDS["en"]
+    toks = toks_col()
+    hits = F.size(F.filter(toks, lambda x: x.isin(*en)))
+    score = hits / F.greatest(F.size(toks), F.lit(1)).cast("double")
+    docs = load_table(spark, "documents", sf_dir).select(
+        F.least(F.floor(score * 10), F.lit(9)).cast("long").alias("bin"),
+        score.alias("score"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("label"),
+    )
+    return (
+        docs.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("score"), 5).alias("mean_score"),
+            F.round(F.avg("label"), 5).alias("obs_rate"),
+            F.round(F.abs(F.avg("score") - F.avg("label")), 5).alias("gap"),
+        )
+        .orderBy("bin")
+    )

@@ -927,3 +927,87 @@ def q_order_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# --- W19: funnel step-transition timing --------------------------------------
+
+
+@query(
+    "q_funnel_timing",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'view')     AS t_view,
+             min(ts) FILTER (WHERE event_type = 'click')    AS t_click,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id),
+    gaps AS (
+      SELECT 'view->click' AS step,
+             CAST(floor(epoch(t_click)) AS BIGINT)
+               - CAST(floor(epoch(t_view)) AS BIGINT) AS gap_s
+      FROM u WHERE t_click > t_view
+      UNION ALL
+      SELECT 'click->purchase' AS step,
+             CAST(floor(epoch(t_purchase)) AS BIGINT)
+               - CAST(floor(epoch(t_click)) AS BIGINT) AS gap_s
+      FROM u WHERE t_click > t_view AND t_purchase > t_click)
+    SELECT step,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(quantile_cont(gap_s, 0.50), 1) AS p50_s,
+           round(quantile_cont(gap_s, 0.90), 1) AS p90_s,
+           round(avg(gap_s), 1) AS mean_s
+    FROM gaps GROUP BY step ORDER BY step
+    """,
+)
+def q_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel step-transition timing (W19): q_funnel counts who
+    converts; this measures HOW LONG each conversion step takes —
+    median/p90/mean seconds from first view to first click and from
+    first click to first purchase, the numbers a growth team reads to
+    find where users stall. Same 100 TB shape as the funnel itself: one
+    user-keyed hash aggregate collapses the event volume to three
+    timestamps per user, the step gaps are row-local arithmetic, and
+    the exact interpolated percentiles aggregate a |converting-users|
+    frame per step (switch to approx_percentile's mergeable t-digest
+    when even that frame outgrows a task, per Y4's note)."""
+    ev = _t(spark, sf_dir, "events")
+
+    def first_ts(etype: str):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    u = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    clicked = F.col("t_click") > F.col("t_view")
+    g1 = u.filter(clicked).select(
+        F.lit("view->click").alias("step"),
+        (F.col("t_click").cast("long") - F.col("t_view").cast("long")).alias(
+            "gap_s"
+        ),
+    )
+    g2 = u.filter(clicked & (F.col("t_purchase") > F.col("t_click"))).select(
+        F.lit("click->purchase").alias("step"),
+        (
+            F.col("t_purchase").cast("long") - F.col("t_click").cast("long")
+        ).alias("gap_s"),
+    )
+    pct = F.percentile("gap_s", F.array(F.lit(0.5), F.lit(0.9)))
+    return (
+        g1.unionByName(g2)
+        .groupBy("step")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            pct.alias("_p"),
+            F.round(F.avg("gap_s"), 1).alias("mean_s"),
+        )
+        .select(
+            "step",
+            "n_users",
+            F.round(F.col("_p")[0], 1).alias("p50_s"),
+            F.round(F.col("_p")[1], 1).alias("p90_s"),
+            "mean_s",
+        )
+        .orderBy("step")
+    )
