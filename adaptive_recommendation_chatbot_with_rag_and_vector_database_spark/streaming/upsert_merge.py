@@ -49,6 +49,7 @@ def upsert_merge_stream(
     checkpoint_path: str,
     key: str = "user_id",
     batch_counter: list | None = None,
+    crash_before_flip: int | None = None,
 ) -> StreamingQuery:
     """Start (availableNow) the upsert materialization over a streaming
     DataFrame of events. State lives under ``state_root/state_v{n}`` —
@@ -57,7 +58,15 @@ def upsert_merge_stream(
     never sees a half-written state and a crash mid-batch leaves the
     previous version intact (the stream checkpoint replays the batch;
     the fold is idempotent under replay). Returns the running query;
-    caller awaits termination and reads ``current_state_path``."""
+    caller awaits termination and reads ``current_state_path``.
+
+    ``crash_before_flip`` is FAULT INJECTION for the recovery test
+    (tests/test_streaming.py): the sink raises after writing that
+    batch's ``state_v{n}`` directory but BEFORE flipping ``LATEST`` —
+    the worst crash point, since state data exists on disk but is not
+    committed. The recovery contract under test: a reader still sees
+    the previous version, and a restart on the same checkpoint replays
+    exactly that batch (overwriting the orphan directory) and flips."""
     spark = events_stream.sparkSession
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -82,6 +91,10 @@ def upsert_merge_stream(
             merged = new
         out = os.path.join(state_root, f"state_v{batch_id}")
         merged.write.mode("overwrite").parquet(out)
+        if crash_before_flip == batch_id:
+            raise RuntimeError(
+                f"injected crash: state_v{batch_id} written, LATEST not flipped"
+            )
         tmp = os.path.join(state_root, f".LATEST.{batch_id}")
         with open(tmp, "w") as fh:
             fh.write(f"state_v{batch_id}")

@@ -466,3 +466,68 @@ def test_sliding_watermark_append_counts_match_batch(spark, stream_dir):
     for r in emitted:
         assert batch[(r.w_start, r.event_type)] == r.n_events
     assert len(emitted) < len(batch)
+
+
+def test_upsert_merge_crash_before_flip_recovers(spark, tmp_path):
+    """Kill the versioned-state upsert stream at the WORST point — after
+    batch 1's state_v1 directory is written but before LATEST flips —
+    then restart on the same checkpoint. Contract under test: (a) a
+    reader at crash time still sees the batch-0 state (the atomic-flip
+    claim), (b) the restart replays exactly the uncommitted batch and
+    continues (no duplicate batch 0, no lost batch), (c) the final
+    state equals the batch-global argmax, micro-batching and the crash
+    notwithstanding."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.streaming.upsert_merge import (
+        current_state_path,
+        upsert_merge_stream,
+    )
+
+    ev = (
+        load_table(spark, "events", "/root/testdata/sf0.001")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+    )
+    staged = str(tmp_path / "staged")
+    ev.repartition(4).write.parquet(staged)
+    state_root = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def stream():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+        )
+
+    batches: list = []
+    q = upsert_merge_stream(
+        stream(), state_root, ckpt, batch_counter=batches, crash_before_flip=1
+    )
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        q.awaitTermination()
+    assert batches == [0, 1]
+    # (a) the orphan state_v1 exists on disk but LATEST still points at v0
+    assert os.path.isdir(f"{state_root}/state_v1")
+    assert current_state_path(state_root) == f"{state_root}/state_v0"
+
+    batches2: list = []
+    q2 = upsert_merge_stream(stream(), state_root, ckpt, batch_counter=batches2)
+    q2.awaitTermination()
+    # (b) replay starts at the uncommitted batch, not at 0
+    assert batches2[0] == 1 and len(batches2) >= 2
+    assert current_state_path(state_root) == (
+        f"{state_root}/state_v{batches2[-1]}"
+    )
+
+    # (c) final state == batch-global argmax
+    final = sorted(
+        (r.user_id, r.last_ts, r.last_event_id)
+        for r in spark.read.parquet(current_state_path(state_root)).collect()
+    )
+    want = {}
+    for r in ev.collect():
+        k = (r.ts, r.event_id)
+        if r.user_id not in want or k > want[r.user_id]:
+            want[r.user_id] = k
+    assert final == sorted((u, ts, eid) for u, (ts, eid) in want.items())
