@@ -748,3 +748,51 @@ def test_prefix_completions_rank_after_floor(spark):
     # and the per-prefix top-k pushes below the exchange
     assert "WindowGroupLimit" in plan
     assert "partial_count" in plan
+
+
+def test_mann_whitney_ranks_without_fact_sort(spark):
+    plan = _plan(spark, "q_mann_whitney")
+    # rank sums come from tie-class aggregation + bucketed prefix sums:
+    # the within-bucket window must partition on the bucket (no global
+    # fact sort), the tie-class rollup partial-aggregates map-side
+    assert "partial_count" in plan
+    assert "hashpartitioning(bkt" in plan
+
+
+def test_chi_square_margins_broadcast_back(spark):
+    plan = _plan(spark, "q_chi_square")
+    # the contingency cells are one hash aggregate; the row/column
+    # margins are cell-table-sized and must come back as broadcasts
+    assert "BroadcastExchange" in plan
+    assert "partial_count" in plan
+
+
+def test_bh_fdr_single_fact_aggregate(spark):
+    plan = _plan(spark, "q_bh_fdr")
+    # all per-test moments (count/avg/var per arm) fold into ONE
+    # event_type-keyed aggregate; the BH windows run on the tests frame
+    assert plan.count("Exchange hashpartitioning(event_type") <= 1
+    assert "partial_avg" in plan or "partial_count" in plan
+
+
+def test_adamic_adar_weight_rides_edge_rows(spark):
+    plan = _plan(spark, "q_adamic_adar")
+    # weighted evidence needs no post-pair join: degree joins precede
+    # pair enumeration, the top-k is a bounded TakeOrdered
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bigram_lm_model_broadcasts_onto_counts(spark):
+    plan = _plan(spark, "q_bigram_lm")
+    # the bigram table and first-word histogram are vocabulary-sized
+    # broadcast sides; bigrams build in the array domain (no Python)
+    assert "BroadcastExchange" in plan
+    assert "PythonUDF" not in plan
+
+
+def test_freshness_audit_one_aggregate(spark):
+    plan = _plan(spark, "q_freshness_audit")
+    # one source-keyed aggregate; the watermark side is |sources| rows
+    assert "partial_max" in plan
+    assert "BroadcastExchange" in plan
