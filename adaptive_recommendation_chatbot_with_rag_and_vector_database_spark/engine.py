@@ -188,10 +188,13 @@ class RagEngine:
             cache_key=self.index_path,
         )
         write_ivf_index(
-            self.index().select(self._cid(), "embedding"),
+            self.index().select(
+                self._cid(), "embedding", "doc_id", "chunk_id", "text"
+            ),
             ivf_path,
             centroids,
             index_id="cid",
+            payload_cols=("doc_id", "chunk_id", "text"),
         )
         self.spark.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
@@ -302,14 +305,16 @@ class RagEngine:
             k=k,
             nprobe=self.ann_nprobe,
             index_id="cid",
+            # payload is co-located in the layout, so hits come back
+            # fully materialized from the probed partitions — a lookup
+            # join against the full chunk index would re-scan 2 M rows
+            # to serve 4 of them (measured: that join alone cost more
+            # than the brute-force scan it was meant to avoid)
+            payload_cols=("doc_id", "chunk_id", *payload_cols),
         )
-        idx = self.index().select(self._cid(), "doc_id", "chunk_id", *payload_cols)
-        return (
-            F.broadcast(hits.select("cid", "score"))
-            .join(idx, "cid")
-            .select("doc_id", "chunk_id", *payload_cols, "score")
-            .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("chunk_id"))
-        )
+        return hits.select(
+            "doc_id", "chunk_id", *payload_cols, "score"
+        ).orderBy(F.desc("score"), F.asc("doc_id"), F.asc("chunk_id"))
 
     def _retrieve_mmr(self, question: str, k: int, fetch_k: int) -> DataFrame:
         # Delegates the λ-scoring to the SAME greedy core the

@@ -338,3 +338,53 @@ def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fk")
     )
+
+
+# --- H5: time-decayed popularity ---------------------------------------------
+
+_DECAY_REF = "2001-11-04"  # the fixture's last ship date
+_DECAY_HALF_LIFE_DAYS = 365.0
+
+
+@query(
+    "q_decay_popularity",
+    oracle=f"""
+    WITH scored AS (
+      SELECT l_partkey,
+             l_quantity * power(0.5,
+               date_diff('day', l_shipdate, DATE '{_DECAY_REF}')
+                 / {_DECAY_HALF_LIFE_DAYS}) AS w
+      FROM lineitem)
+    SELECT l_partkey,
+           CAST(count(*) AS BIGINT) AS n_ships,
+           round(sum(w), 4) AS decayed_qty
+    FROM scored GROUP BY l_partkey
+    ORDER BY decayed_qty DESC, l_partkey LIMIT 20
+    """,
+)
+def q_decay_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decayed popularity (H5): each shipment's
+    quantity is discounted by 2^(−age/half-life) against a fixed
+    reference date, summed per part — the recency-weighted popularity
+    prior every recommender front-end keeps warm (raw counts freeze
+    yesterday's catalog at the top forever; q_trending_topk's windowed
+    counts are the streaming cousin). The decay weight is a row-local
+    expression, so the whole operator is one map-side-combined hash
+    aggregate plus a TakeOrderedAndProject — scan-bound at 100 TB. The
+    top-k orders by the ROUNDED score with an id tie-break, per the
+    engine-wide determinism rule."""
+    li = load_table(spark, "lineitem", sf_dir)
+    age = F.datediff(F.lit(_DECAY_REF).cast("date"), F.col("l_shipdate"))
+    w = F.col("l_quantity") * F.pow(
+        F.lit(0.5), age / F.lit(_DECAY_HALF_LIFE_DAYS)
+    )
+    return (
+        li.select("l_partkey", w.alias("w"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ships"),
+            F.round(F.sum("w"), 4).alias("decayed_qty"),
+        )
+        .orderBy(F.desc("decayed_qty"), F.asc("l_partkey"))
+        .limit(20)
+    )

@@ -230,3 +230,61 @@ def q_activity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour")
     )
+
+
+# --- K5: per-source language-mix divergence ----------------------------------
+
+
+@query(
+    "q_source_kl",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, lang),
+    st AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM c GROUP BY source),
+    lt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl FROM c GROUP BY lang),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+    SELECT c.source, max(st.ns) AS n_docs,
+           round(sum((c.n / CAST(st.ns AS DOUBLE))
+                     * ln((c.n / CAST(st.ns AS DOUBLE))
+                          / (lt.nl / CAST(tot.total AS DOUBLE)))), 6) AS kl
+    FROM c JOIN st USING (source) JOIN lt USING (lang), tot
+    GROUP BY c.source
+    ORDER BY c.source
+    """,
+)
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-mix divergence (K5): KL(source ‖ corpus)
+    over the language distribution — which ingestion sources deviate
+    most from the corpus-wide mix, the hygiene alarm that catches a
+    crawler stuck on one language (q_corpus_mixture sets target
+    weights; this audits what each source actually delivers). Terms
+    with zero source-count contribute nothing (the p·ln p convention),
+    and corpus marginals are never zero where a source term exists, so
+    the sum is well-defined without smoothing.
+
+    One (source, lang) hash aggregate touches the corpus; both
+    marginals derive from that cell table (driver-scale) and broadcast
+    back — same contingency shape as q_chi_square with an
+    information-theoretic readout."""
+    c = (
+        load_table(spark, "documents", sf_dir)
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    st = c.groupBy("source").agg(F.sum("n").cast("long").alias("ns"))
+    lt = c.groupBy("lang").agg(F.sum("n").cast("long").alias("nl"))
+    tot = c.agg(F.sum("n").cast("long").alias("total"))
+    ps = F.col("n") / F.col("ns").cast("double")
+    pc = F.col("nl") / F.col("total").cast("double")
+    return (
+        c.join(F.broadcast(st), "source")
+        .join(F.broadcast(lt), "lang")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.max("ns").alias("n_docs"),
+            F.round(F.sum(ps * F.log(ps / pc)), 6).alias("kl"),
+        )
+        .orderBy("source")
+    )

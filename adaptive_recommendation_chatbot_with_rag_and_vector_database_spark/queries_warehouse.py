@@ -1011,3 +1011,181 @@ def q_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("step")
     )
+
+
+# --- W20: cohort LTV curve ----------------------------------------------------
+
+
+@query(
+    "q_cohort_ltv",
+    oracle="""
+    WITH first_year AS (
+      SELECT o_custkey AS c, CAST(min(year(o_orderdate)) AS BIGINT) AS cohort
+      FROM orders GROUP BY o_custkey),
+    yearly AS (
+      SELECT o_custkey AS c, CAST(year(o_orderdate) AS BIGINT) AS y,
+             sum(o_totalprice) AS rev
+      FROM orders GROUP BY 1, 2),
+    size AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_customers
+             FROM first_year GROUP BY cohort),
+    cohort_rev AS (
+      SELECT f.cohort, y.y - f.cohort AS age, sum(y.rev) AS rev
+      FROM yearly y JOIN first_year f ON y.c = f.c
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT cohort, age,
+             sum(rev) OVER (PARTITION BY cohort ORDER BY age
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+      FROM cohort_rev)
+    SELECT cum.cohort, CAST(cum.age AS BIGINT) AS age, size.n_customers,
+           round(cum.cum_rev / size.n_customers, 2) AS cum_rev_per_customer
+    FROM cum JOIN size USING (cohort)
+    ORDER BY cohort, age
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve (W20): customers cohorted by first-
+    order year, cumulative revenue per cohort member by account age —
+    the LTV table that prices acquisition spend (q_cohort_retention
+    counts who RETURNS; this measures what they are WORTH). Shape: one
+    custkey-keyed aggregate each for first-year and yearly revenue,
+    joined on the customer key (co-partitioned — AQE plans one
+    exchange pair), then a (cohort, age) rollup that is |years|² rows;
+    the running sum windows over ≤|years| rows per cohort. At 100 TB
+    only the two customer-keyed aggregates touch fact data."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"),
+        F.year("o_orderdate").cast("long").alias("y"),
+        "o_totalprice",
+    )
+    first_year = o.groupBy("c").agg(F.min("y").alias("cohort"))
+    yearly = o.groupBy("c", "y").agg(F.sum("o_totalprice").alias("rev"))
+    size = first_year.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    cohort_rev = (
+        yearly.join(first_year, "c")
+        .groupBy("cohort", (F.col("y") - F.col("cohort")).alias("age"))
+        .agg(F.sum("rev").alias("rev"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cohort_rev.select(
+        "cohort", F.col("age").cast("long").alias("age"), F.sum("rev").over(w).alias("cum_rev")
+    )
+    return (
+        cum.join(F.broadcast(size), "cohort")
+        .select(
+            "cohort",
+            "age",
+            "n_customers",
+            F.round(F.col("cum_rev") / F.col("n_customers"), 2).alias(
+                "cum_rev_per_customer"
+            ),
+        )
+        .orderBy("cohort", "age")
+    )
+
+
+# --- W21: Pareto revenue concentration ---------------------------------------
+
+
+@query(
+    "q_pareto_concentration",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey, sum(o_totalprice) AS rev
+      FROM orders GROUP BY o_custkey),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(rev) AS total FROM cust),
+    b AS (SELECT *, CAST(floor(rev / 1000) AS BIGINT) AS bkt FROM cust),
+    bc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS bn FROM b GROUP BY 1),
+    boff AS (
+      SELECT bkt,
+             CAST(coalesce(sum(bn) OVER (ORDER BY bkt DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS off
+      FROM bc),
+    ranked AS (
+      SELECT b.rev,
+             boff.off + row_number() OVER (
+               PARTITION BY b.bkt ORDER BY b.rev DESC, b.o_custkey) AS rnk,
+             tot.n, tot.total
+      FROM b JOIN boff ON b.bkt = boff.bkt, tot),
+    agg AS (
+      SELECT ((rnk - 1) * 10) // n AS decile,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             sum(rev) AS rev, max(total) AS total
+      FROM ranked GROUP BY 1)
+    SELECT decile, n_customers,
+           round(rev / total, 5) AS rev_share,
+           round(sum(rev) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / total, 5) AS cum_share
+    FROM agg ORDER BY decile
+    """,
+)
+def q_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC revenue-concentration curve (W21): rank customers
+    by lifetime revenue, cut into deciles, report each decile's revenue
+    share and the cumulative (Lorenz) share — "do 20% of customers
+    drive 80% of revenue". q_decile_lift ranks by a MODEL score against
+    a label; this ranks by the metric itself to audit concentration.
+    Same single-partition-free rank machinery: floor-bucket offsets
+    broadcast (1000-dollar buckets keep the offset table driver-scale),
+    within-bucket windows carry the parallelism, exact decile cut on
+    the integer rank."""
+    cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    tot = cust.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("rev").alias("total")
+    )
+    b = cust.withColumn("bkt", F.floor(F.col("rev") / 1000).cast("long"))
+    bc = b.groupBy("bkt").agg(F.count(F.lit(1)).cast("long").alias("bn"))
+    w_off = Window.orderBy(F.desc("bkt")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    boff = bc.select(
+        "bkt",
+        F.coalesce(F.sum("bn").over(w_off), F.lit(0)).cast("long").alias("off"),
+    )
+    w_in = Window.partitionBy("bkt").orderBy(
+        F.desc("rev"), F.asc("o_custkey")
+    )
+    ranked = (
+        b.join(F.broadcast(boff), "bkt")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rev",
+            (F.col("off") + F.row_number().over(w_in)).alias("rnk"),
+            "n",
+            "total",
+        )
+    )
+    agg = (
+        ranked.select(
+            F.expr("(rnk - 1) * 10 DIV n").alias("decile"), "rev", "total"
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("rev").alias("rev"),
+            F.max("total").alias("total"),
+        )
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return agg.select(
+        "decile",
+        "n_customers",
+        F.round(F.col("rev") / F.col("total"), 5).alias("rev_share"),
+        F.round(F.sum("rev").over(w_cum) / F.col("total"), 5).alias(
+            "cum_share"
+        ),
+    ).orderBy("decile")
