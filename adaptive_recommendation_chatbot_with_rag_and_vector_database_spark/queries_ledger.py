@@ -767,3 +767,82 @@ def q_inventory_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("age_bucket")
     )
+
+
+# --- LG8: position-based multi-touch attribution -----------------------------
+
+
+@query(
+    "q_multi_touch_attribution",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id, min(ts) AS t_conv FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id),
+    touches AS (
+      SELECT e.user_id, e.event_type, e.ts, e.event_id
+      FROM events e JOIN conv ON e.user_id = conv.user_id
+      WHERE e.event_type IN ('view', 'click') AND e.ts < conv.t_conv),
+    seq AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pos,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM touches),
+    credit AS (
+      SELECT event_type,
+             CASE WHEN n = 1 THEN 1.0
+                  WHEN n = 2 THEN 0.5
+                  WHEN pos = 1 OR pos = n THEN 0.4
+                  ELSE 0.2 / (n - 2) END AS w
+      FROM seq)
+    SELECT event_type AS channel,
+           round(sum(w), 4) AS credit,
+           CAST(count(*) AS BIGINT) AS n_touches
+    FROM credit GROUP BY event_type ORDER BY channel
+    """,
+)
+def q_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution (LG8):
+    q_attribution gives the last touch everything; the U-shaped model
+    splits each conversion's credit 40/20/40 across first, middle, and
+    last pre-conversion touches (degenerating to 100% or 50/50 for 1-
+    or 2-touch paths), the standard middle ground between first- and
+    last-touch bias. Total credit conserves: Σ credit = conversions
+    with ≥1 touch, which the unit test pins.
+
+    Shape: the conversion times are one user-keyed aggregate joined
+    back user-keyed (co-partitioned); position and path length come
+    from one window over the same user key — a single fact-sized
+    exchange lineage — and the payout is a row-local CASE folded by a
+    |channels|-row aggregate."""
+    ev = load_table(spark, "events", sf_dir)
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_conv"))
+    )
+    touches = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .join(conv, "user_id")
+        .filter(F.col("ts") < F.col("t_conv"))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_n = Window.partitionBy("user_id")
+    seq = touches.select(
+        "event_type",
+        F.row_number().over(w_seq).alias("pos"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    credit = F.when(F.col("n") == 1, 1.0).when(F.col("n") == 2, 0.5).when(
+        (F.col("pos") == 1) | (F.col("pos") == F.col("n")), 0.4
+    ).otherwise(F.lit(0.2) / (F.col("n") - 2))
+    return (
+        seq.select(F.col("event_type").alias("channel"), credit.alias("w"))
+        .groupBy("channel")
+        .agg(
+            F.round(F.sum("w"), 4).alias("credit"),
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+        )
+        .orderBy("channel")
+    )

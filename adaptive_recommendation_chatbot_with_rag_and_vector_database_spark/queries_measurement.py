@@ -1307,3 +1307,170 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "var_reduction_pct"
         ),
     )
+
+
+# --- M13: delta-method ratio-metric test -------------------------------------
+
+
+@query(
+    "q_delta_method_ratio",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN (user_id * {_LCG_A} + {_LCG_C}) % {_LCG_M}
+                       < {_LCG_M // 2} THEN 0 ELSE 1 END AS variant,
+             CAST(count(*) FILTER (event_type = 'click') AS DOUBLE) AS x,
+             CAST(count(*) FILTER (event_type = 'view') AS DOUBLE) AS y
+      FROM events GROUP BY user_id),
+    arms AS (
+      SELECT variant,
+             CAST(count(*) AS BIGINT) AS n,
+             avg(x) AS mx, avg(y) AS my,
+             var_samp(x) AS vx, var_samp(y) AS vy,
+             covar_samp(x, y) AS cxy
+      FROM per_user WHERE y > 0 GROUP BY variant),
+    d AS (
+      SELECT variant, n, mx / my AS r,
+             (vx + (mx / my) * (mx / my) * vy
+              - 2 * (mx / my) * cxy) / (my * my * n) AS vr
+      FROM arms),
+    wide AS (
+      SELECT max(CASE WHEN variant = 0 THEN n END) AS n_a,
+             max(CASE WHEN variant = 1 THEN n END) AS n_b,
+             max(CASE WHEN variant = 0 THEN r END) AS r_a,
+             max(CASE WHEN variant = 1 THEN r END) AS r_b,
+             max(CASE WHEN variant = 0 THEN vr END) AS vr_a,
+             max(CASE WHEN variant = 1 THEN vr END) AS vr_b
+      FROM d)
+    SELECT n_a, n_b, round(r_a, 6) AS r_a, round(r_b, 6) AS r_b,
+           round(r_b - r_a, 6) AS lift,
+           round((r_b - r_a) / sqrt(vr_a + vr_b), 4) AS z_score,
+           CASE WHEN abs((r_b - r_a) / sqrt(vr_a + vr_b)) > 1.96
+                THEN 1 ELSE 0 END AS significant
+    FROM wide
+    """,
+)
+def q_delta_method_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method ratio-metric test (M13): clicks-per-view is a RATIO
+    of two user-level sums, so its variance is NOT the binomial one —
+    user-level clustering inflates it, and naive per-event z-tests
+    over-reject (the most common A/B false-positive source). The
+    delta-method linearization var(x̄/ȳ) ≈ (vx + r²·vy − 2r·cxy)/(ȳ²n)
+    is the standard fix. Everything is user-keyed moments: one fact
+    aggregate, one |arms|-row readout."""
+    per_user = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1))
+            .cast("double")
+            .alias("x"),
+            F.count(F.when(F.col("event_type") == "view", 1))
+            .cast("double")
+            .alias("y"),
+        )
+        .select(
+            F.when(
+                (F.col("user_id") * _LCG_A + _LCG_C) % _LCG_M < _LCG_M // 2, 0
+            )
+            .otherwise(1)
+            .alias("variant"),
+            "x",
+            "y",
+        )
+        .filter(F.col("y") > 0)
+    )
+    arms = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.var_samp("x").alias("vx"),
+        F.var_samp("y").alias("vy"),
+        F.covar_samp("x", "y").alias("cxy"),
+    )
+    r = F.col("mx") / F.col("my")
+    vr = (
+        F.col("vx") + r * r * F.col("vy") - 2 * r * F.col("cxy")
+    ) / (F.col("my") * F.col("my") * F.col("n"))
+    d = arms.select("variant", "n", r.alias("r"), vr.alias("vr"))
+    wide = d.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 0, F.col("r"))).alias("r_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("r"))).alias("r_b"),
+        F.max(F.when(F.col("variant") == 0, F.col("vr"))).alias("vr_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("vr"))).alias("vr_b"),
+    )
+    z = (F.col("r_b") - F.col("r_a")) / F.sqrt(F.col("vr_a") + F.col("vr_b"))
+    return wide.select(
+        "n_a",
+        "n_b",
+        F.round("r_a", 6).alias("r_a"),
+        F.round("r_b", 6).alias("r_b"),
+        F.round(F.col("r_b") - F.col("r_a"), 6).alias("lift"),
+        F.round(z, 4).alias("z_score"),
+        F.when(F.abs(z) > 1.96, 1).otherwise(0).alias("significant"),
+    )
+
+
+# --- M14: sample-ratio-mismatch check ----------------------------------------
+
+
+@query(
+    "q_srm_check",
+    oracle=f"""
+    WITH u AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN (user_id * {_LCG_A} + {_LCG_C}) % {_LCG_M}
+                       < {_LCG_M // 2} THEN 0 ELSE 1 END AS variant
+      FROM events),
+    c AS (
+      SELECT CAST(count(*) FILTER (variant = 0) AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (variant = 1) AS BIGINT) AS n_b
+      FROM u)
+    SELECT n_a, n_b,
+           round((n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0)
+                   / ((n_a + n_b) / 2.0)
+                 + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0)
+                   / ((n_a + n_b) / 2.0), 4) AS chi2,
+           CASE WHEN (n_a - (n_a + n_b) / 2.0) * (n_a - (n_a + n_b) / 2.0)
+                       / ((n_a + n_b) / 2.0)
+                     + (n_b - (n_a + n_b) / 2.0) * (n_b - (n_a + n_b) / 2.0)
+                       / ((n_a + n_b) / 2.0) > 3.841 THEN 1 ELSE 0 END AS srm
+    FROM c
+    """,
+)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check (M14): the experiment health gate
+    every platform runs BEFORE reading any metric — a goodness-of-fit
+    chi-square of the realized arm sizes against the designed 50/50
+    allocation. An SRM means the bucketing itself is broken (bot
+    filtering, redirect loss, logging skew) and every downstream
+    readout is invalid; platforms block the scorecard on it. One
+    distinct-user rollup, then scalar arithmetic on two counts."""
+    u = (
+        load_table(spark, "events", sf_dir)
+        .select("user_id")
+        .distinct()
+        .select(
+            F.when(
+                (F.col("user_id") * _LCG_A + _LCG_C) % _LCG_M < _LCG_M // 2, 0
+            )
+            .otherwise(1)
+            .alias("variant")
+        )
+    )
+    c = u.agg(
+        F.count(F.when(F.col("variant") == 0, 1)).cast("long").alias("n_a"),
+        F.count(F.when(F.col("variant") == 1, 1)).cast("long").alias("n_b"),
+    )
+    e = (F.col("n_a") + F.col("n_b")) / 2.0
+    chi2 = (F.col("n_a") - e) * (F.col("n_a") - e) / e + (
+        F.col("n_b") - e
+    ) * (F.col("n_b") - e) / e
+    return c.select(
+        "n_a",
+        "n_b",
+        F.round(chi2, 4).alias("chi2"),
+        F.when(chi2 > 3.841, 1).otherwise(0).alias("srm"),
+    )

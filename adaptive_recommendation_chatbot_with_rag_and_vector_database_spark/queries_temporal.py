@@ -818,3 +818,69 @@ def q_mom_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment", "month")
     )
+
+
+# --- TM10: DAU/WAU stickiness -------------------------------------------------
+
+
+@query(
+    "q_stickiness",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    days AS (SELECT DISTINCT day FROM pairs),
+    dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM pairs GROUP BY day),
+    spans AS (
+      SELECT p.user_id, d.day AS win_end
+      FROM pairs p JOIN days d
+        ON d.day BETWEEN p.day AND p.day + INTERVAL 6 DAY),
+    wau AS (
+      SELECT win_end AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      FROM spans GROUP BY win_end)
+    SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, wau.wau,
+           round(dau.dau / CAST(wau.wau AS DOUBLE), 5) AS stickiness
+    FROM dau JOIN wau USING (day) ORDER BY day
+    """,
+)
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness (TM10): for every active day, the share of
+    the trailing week's users who showed up that day — the engagement
+    ratio product teams watch daily. The hard part at scale is the
+    TRAILING-WINDOW DISTINCT: a naive per-day re-scan distinct is
+    7 passes over the facts. Here each (user, active-day) pair —
+    already deduplicated, so fact volume collapses to user×day — emits
+    the ≤7 window-ends it can count toward (a bounded explode in the
+    array domain), and one (window-end)-keyed distinct aggregate
+    yields every day's WAU in a single pass. Window-ends that aren't
+    themselves active days are pruned by the semi-join against the
+    day dimension (driver-scale, broadcast)."""
+    pairs = (
+        load_table(spark, "events", sf_dir)
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    days = pairs.select("day").distinct()
+    dau = pairs.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    spans = pairs.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("win_end"),
+    ).join(F.broadcast(days.withColumnRenamed("day", "win_end")), "win_end")
+    wau = spans.groupBy(F.col("win_end").alias("day")).agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau").cast("double"), 5).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
