@@ -796,3 +796,47 @@ def test_freshness_audit_one_aggregate(spark):
     # one source-keyed aggregate; the watermark side is |sources| rows
     assert "partial_max" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_cuped_theta_broadcasts_back(spark):
+    plan = _plan(spark, "q_cuped")
+    # θ and the pre-mean are a 1-row global aggregate that must come
+    # back as a broadcast onto the per-user frame, not a shuffle join.
+    # The per-user rollup appears twice in the STATIC plan (once under
+    # θ, once under the adjusted-metric arm readout) — byte-identical
+    # subtrees that AQE collapses via ReusedExchange at runtime — so
+    # the pin allows two, and forbids a third.
+    assert "BroadcastExchange" in plan
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2
+
+
+def test_pareto_rank_is_bucketed(spark):
+    plan = _plan(spark, "q_pareto_concentration")
+    # the global revenue rank must ride floor-bucket windows — no
+    # single-partition sort of the customer frame before the decile cut
+    assert "hashpartitioning(bkt" in plan
+    assert "partial_sum" in plan
+
+
+def test_decay_popularity_is_one_aggregate(spark):
+    plan = _plan(spark, "q_decay_popularity")
+    # row-local decay weight → map-side combined aggregate → TakeOrdered
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+
+
+def test_stickiness_single_distinct_pass(spark):
+    plan = _plan(spark, "q_stickiness")
+    # the trailing-window WAU comes from ONE window-end-keyed distinct
+    # aggregate over the bounded explode, never a per-day re-scan
+    assert "Generate explode" in plan or "explode" in plan.lower()
+    assert "SinglePartition" not in plan
+
+
+def test_multi_touch_single_user_lineage(spark):
+    plan = _plan(spark, "q_multi_touch_attribution")
+    # conversion join, position window, and path length all cluster on
+    # user_id; the payout fold is a channels-sized aggregate
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan
