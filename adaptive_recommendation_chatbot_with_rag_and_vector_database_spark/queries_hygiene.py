@@ -288,3 +288,53 @@ def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- K6: embedding-norm drift audit ------------------------------------------
+
+
+@query(
+    "q_embedding_norm_drift",
+    oracle="""
+    WITH n AS (
+      SELECT label,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings)
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(nrm), 5) AS mean_norm,
+           round(stddev_samp(nrm), 5) AS std_norm,
+           round(quantile_cont(nrm, 0.95), 4) AS p95_norm
+    FROM n GROUP BY label ORDER BY label
+    """,
+)
+def q_embedding_norm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm drift audit (K6): per-label L2-norm distribution
+    of the vector column — the cheapest vector-hygiene alarm there is
+    (a re-embedding with a different model or a normalization bug shows
+    up as a norm shift long before recall metrics move; unit-norm
+    contracts make this a constant-1 assertion). The norm is a
+    row-local array fold (codegen, no UDF); the rest is one
+    label-keyed aggregate with an exact interpolated p95."""
+    from pyspark.sql import functions as F
+
+    nrm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    n = load_table(spark, "embeddings", sf_dir).select(
+        "label", nrm.alias("nrm")
+    )
+    return (
+        n.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.round(F.avg("nrm"), 5).alias("mean_norm"),
+            F.round(F.stddev_samp("nrm"), 5).alias("std_norm"),
+            F.round(F.percentile("nrm", F.lit(0.95)), 4).alias("p95_norm"),
+        )
+        .orderBy("label")
+    )

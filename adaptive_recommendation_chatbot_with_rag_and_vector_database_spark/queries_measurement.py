@@ -1474,3 +1474,101 @@ def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 4).alias("chi2"),
         F.when(chi2 > 3.841, 1).otherwise(0).alias("srm"),
     )
+
+
+# --- M15: A/B power analysis / MDE -------------------------------------------
+
+# two-sided alpha=0.05 and power=0.80 critical values (fixed constants,
+# shared verbatim with the oracle). The conversion threshold is LOWER
+# than q_ab_test's: power math needs a nonzero base rate at every
+# fixture tier (at 3500 nobody converts at sf<=0.01 and the required-n
+# closed form divides by the zero effect size).
+_Z_ALPHA = 1.959964
+_Z_BETA = 0.841621
+_TARGET_REL_LIFT = 0.05
+_POWER_SPEND = 800.0
+
+
+@query(
+    "q_power_analysis",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN (user_id * {_LCG_A} + {_LCG_C}) % {_LCG_M}
+                       < {_LCG_M // 2} THEN 0 ELSE 1 END AS variant,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                THEN value ELSE 0 END) > {_POWER_SPEND}
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id),
+    arms AS (
+      SELECT CAST(count(*) FILTER (variant = 0) AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (variant = 1) AS BIGINT) AS n_b,
+             (sum(converted) FILTER (variant = 0)
+              + sum(converted) FILTER (variant = 1))
+               / CAST(count(*) AS DOUBLE) AS pooled
+      FROM per_user)
+    SELECT n_a, n_b, round(pooled, 5) AS base_rate,
+           round(({_Z_ALPHA} + {_Z_BETA})
+                 * sqrt(pooled * (1 - pooled) * (1.0/n_a + 1.0/n_b)), 5)
+             AS mde_abs,
+           CAST(ceil(({_Z_ALPHA} + {_Z_BETA}) * ({_Z_ALPHA} + {_Z_BETA})
+                 * 2 * pooled * (1 - pooled)
+                 / ((pooled * {_TARGET_REL_LIFT})
+                    * (pooled * {_TARGET_REL_LIFT}))) AS BIGINT)
+             AS n_per_arm_for_5pct
+    FROM arms
+    """,
+)
+def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B power analysis (M15): given the experiment's realized arm
+    sizes and pooled conversion rate, the minimum detectable absolute
+    effect at α=0.05/power=0.80, and the per-arm sample size a 5%
+    RELATIVE lift would require — the two numbers that decide whether
+    an experiment is worth launching (q_ab_test reads a result; this
+    sizes the next one). One user rollup, then scalar closed forms."""
+    per_user = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.when(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    ).otherwise(F.lit(0.0))
+                )
+                > _POWER_SPEND,
+                1,
+            )
+            .otherwise(0)
+            .alias("converted")
+        )
+        .select(
+            F.when(
+                (F.col("user_id") * _LCG_A + _LCG_C) % _LCG_M < _LCG_M // 2, 0
+            )
+            .otherwise(1)
+            .alias("variant"),
+            "converted",
+        )
+    )
+    arms = per_user.agg(
+        F.count(F.when(F.col("variant") == 0, 1)).cast("long").alias("n_a"),
+        F.count(F.when(F.col("variant") == 1, 1)).cast("long").alias("n_b"),
+        (F.sum("converted") / F.count(F.lit(1))).alias("pooled"),
+    )
+    zsum = _Z_ALPHA + _Z_BETA
+    p = F.col("pooled")
+    mde = zsum * F.sqrt(
+        p * (1 - p) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    delta = p * _TARGET_REL_LIFT
+    n_req = F.ceil(zsum * zsum * 2 * p * (1 - p) / (delta * delta)).cast(
+        "long"
+    )
+    return arms.select(
+        "n_a",
+        "n_b",
+        F.round(p, 5).alias("base_rate"),
+        F.round(mde, 5).alias("mde_abs"),
+        n_req.alias("n_per_arm_for_5pct"),
+    )

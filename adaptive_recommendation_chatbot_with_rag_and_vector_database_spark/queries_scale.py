@@ -803,3 +803,71 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(norm), 6).alias("p"),
     )
+
+
+# --- V15: equi-depth histogram (optimizer statistics) ------------------------
+
+
+@query(
+    "q_equi_depth_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT round(quantile_cont(l_extendedprice, 0.125), 4) AS b1,
+             round(quantile_cont(l_extendedprice, 0.250), 4) AS b2,
+             round(quantile_cont(l_extendedprice, 0.375), 4) AS b3,
+             round(quantile_cont(l_extendedprice, 0.500), 4) AS b4,
+             round(quantile_cont(l_extendedprice, 0.625), 4) AS b5,
+             round(quantile_cont(l_extendedprice, 0.750), 4) AS b6,
+             round(quantile_cont(l_extendedprice, 0.875), 4) AS b7
+      FROM lineitem),
+    assigned AS (
+      SELECT CAST((l_extendedprice > b1) AS INT)
+             + CAST((l_extendedprice > b2) AS INT)
+             + CAST((l_extendedprice > b3) AS INT)
+             + CAST((l_extendedprice > b4) AS INT)
+             + CAST((l_extendedprice > b5) AS INT)
+             + CAST((l_extendedprice > b6) AS INT)
+             + CAST((l_extendedprice > b7) AS INT) AS bucket,
+             l_extendedprice AS v
+      FROM lineitem, b)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT v) AS BIGINT) AS ndv,
+           round(min(v), 2) AS lo, round(max(v), 2) AS hi
+    FROM assigned GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram construction (V15): the statistics object a
+    cost-based optimizer keeps per column — 8 quantile-bounded buckets
+    with row count, NDV, and value bounds each (Spark's own ANALYZE
+    TABLE ... FOR COLUMNS builds exactly this shape). Two passes over
+    the column: one array-argument percentile aggregate produces all 7
+    cut points (single buffer, not 7), the 7-double bound row
+    broadcasts back, and bucket assignment is a row-local sum of
+    comparisons feeding one 8-group aggregate. Cut points are rounded
+    to 4 decimals BEFORE assignment (the module-wide rule), so a 1-ulp
+    interpolation difference can't flip a row's bucket."""
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    ps = [i / 8.0 for i in range(1, 8)]
+    bounds = li.agg(
+        F.percentile("l_extendedprice", F.array(*[F.lit(p) for p in ps])).alias(
+            "_b"
+        )
+    ).select(*[F.round(F.col("_b")[i], 4).alias(f"b{i+1}") for i in range(7)])
+    v = F.col("l_extendedprice")
+    bucket = sum(
+        (v > F.col(f"b{i}")).cast("int") for i in range(1, 8)
+    )
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .select(bucket.cast("long").alias("bucket"), v.alias("v"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("v").cast("long").alias("ndv"),
+            F.round(F.min("v"), 2).alias("lo"),
+            F.round(F.max("v"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

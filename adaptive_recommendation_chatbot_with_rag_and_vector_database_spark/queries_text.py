@@ -1136,3 +1136,74 @@ def q_prefix_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _PREFIX_TOPK)
         .orderBy("prefix", "rnk")
     )
+
+
+# --- Z10: Zipf law fit over the corpus vocabulary ----------------------------
+
+_ZIPF_MIN_FREQ = 5
+
+
+@query(
+    "q_zipf_fit",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest({_SQL_TOKS}) AS w FROM documents),
+    wc AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM words GROUP BY w),
+    ranked AS (
+      SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, w) AS rnk
+      FROM wc WHERE freq >= {_ZIPF_MIN_FREQ}),
+    xy AS (SELECT ln(rnk) AS x, ln(freq) AS y FROM ranked),
+    fit AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_words,
+             covar_pop(x, y) / var_pop(x) AS slope,
+             covar_pop(x, y) * covar_pop(x, y)
+               / (var_pop(x) * var_pop(y)) AS r2
+      FROM xy)
+    SELECT n_words, round(-slope, 4) AS zipf_exponent, round(r2, 4) AS r2
+    FROM fit
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit (Z10): log-log OLS of word frequency against rank —
+    the one-number summary of a corpus's frequency shape. Natural text
+    sits near exponent 1; a corpus that drifts far from its baseline
+    exponent after a pipeline change (dedup too aggressive, boilerplate
+    flood, template spam) fails this audit before any model does.
+    Closed-form slope/R² from covariance moments (the q_grouped_
+    regression algebra on the whole-vocabulary group).
+
+    Shape: the word count is the standard two-phase explode+aggregate;
+    the rank window runs over the ≥{_ZIPF_MIN_FREQ}-frequency
+    VOCABULARY (bounded by language, not corpus size — the reason the
+    single-order window is acceptable where fact-sized ones are not),
+    and the fit is one scalar aggregate."""
+    from .functions.tokenize import toks_col
+
+    words = (
+        load_table(spark, "documents", sf_dir)
+        .select(F.explode(toks_col()).alias("w"))
+    )
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    w_rank = Window.orderBy(F.desc("freq"), F.asc("w"))
+    ranked = wc.filter(F.col("freq") >= _ZIPF_MIN_FREQ).select(
+        "freq", F.row_number().over(w_rank).alias("rnk")
+    )
+    xy = ranked.select(
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    fit = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        (F.covar_pop("x", "y") / F.var_pop("x")).alias("slope"),
+        (
+            F.covar_pop("x", "y")
+            * F.covar_pop("x", "y")
+            / (F.var_pop("x") * F.var_pop("y"))
+        ).alias("r2"),
+    )
+    return fit.select(
+        "n_words",
+        F.round(-F.col("slope"), 4).alias("zipf_exponent"),
+        F.round("r2", 4).alias("r2"),
+    )

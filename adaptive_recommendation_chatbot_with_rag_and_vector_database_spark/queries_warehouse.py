@@ -1189,3 +1189,144 @@ def q_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_share"
         ),
     ).orderBy("decile")
+
+
+# --- W22: open-order backlog aging --------------------------------------------
+
+
+@query(
+    "q_backlog_aging",
+    oracle="""
+    WITH snap AS (SELECT max(o_orderdate) AS asof FROM orders),
+    open_o AS (
+      SELECT o_orderkey, o_totalprice,
+             date_diff('day', o_orderdate, snap.asof) AS age_d
+      FROM orders, snap WHERE o_orderstatus = 'O'),
+    b AS (
+      SELECT CASE WHEN age_d <= 90 THEN '0-90d'
+                  WHEN age_d <= 365 THEN '91-365d'
+                  WHEN age_d <= 730 THEN '1-2y'
+                  ELSE '>2y' END AS bucket,
+             o_totalprice
+      FROM open_o)
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS open_value
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging (W22): orders still open ('O') bucketed
+    by age at the data's own snapshot date, with value at risk per
+    bucket — the operations dashboard that turns "how behind are we"
+    into a number (q_inventory_aging ages unconsumed LOTS; this ages
+    unfulfilled DEMAND). The snapshot derives from the data (max order
+    date: reproducible, no wall clock), broadcasts as one row, and the
+    rest is a pushdown-filtered scan plus a 4-group aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    snap = o.agg(F.max("o_orderdate").alias("asof"))
+    open_o = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(snap))
+        .select(
+            "o_totalprice",
+            F.datediff(F.col("asof"), F.col("o_orderdate")).alias("age_d"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_d") <= 90, "0-90d")
+        .when(F.col("age_d") <= 365, "91-365d")
+        .when(F.col("age_d") <= 730, "1-2y")
+        .otherwise(">2y")
+    )
+    return (
+        open_o.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("open_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --- W23: revenue waterfall ----------------------------------------------------
+
+
+@query(
+    "q_revenue_waterfall",
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS BIGINT) AS year,
+           round(sum(l_extendedprice), 2) AS gross,
+           round(sum(l_extendedprice * l_discount), 2) AS discount_given,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS net,
+           round(sum(l_extendedprice * (1 - l_discount) * l_tax), 2) AS tax_collected,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS billed
+    FROM lineitem GROUP BY year(l_shipdate) ORDER BY year
+    """,
+)
+def q_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue waterfall (W23): the gross → discount → net → tax →
+    billed decomposition per ship year — the finance bridge that
+    explains WHERE the delta between list price and cash came from
+    (TPC-H Q1 summarizes one slice; this is the full-ledger
+    decomposition over time). Pure map-side arithmetic folded by one
+    year-keyed aggregate: five running sums in a single pass, scan-
+    bound at 100 TB with every expression in whole-stage codegen."""
+    li = _t(spark, sf_dir, "lineitem")
+    ext, disc, tax = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+    return (
+        li.groupBy(F.year("l_shipdate").cast("long").alias("year"))
+        .agg(
+            F.round(F.sum(ext), 2).alias("gross"),
+            F.round(F.sum(ext * disc), 2).alias("discount_given"),
+            F.round(F.sum(ext * (1 - disc)), 2).alias("net"),
+            F.round(F.sum(ext * (1 - disc) * tax), 2).alias("tax_collected"),
+            F.round(F.sum(ext * (1 - disc) * (1 + tax)), 2).alias("billed"),
+        )
+        .orderBy("year")
+    )
+
+
+# --- W24: supplier scorecard ----------------------------------------------------
+
+
+@query(
+    "q_supplier_scorecard",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(avg(l_discount), 5) AS avg_discount,
+           round(avg(CASE WHEN l_returnflag = 'R'
+                          THEN 1.0 ELSE 0.0 END), 5) AS return_rate
+    FROM lineitem GROUP BY l_suppkey
+    ORDER BY revenue DESC, l_suppkey LIMIT 20
+    """,
+)
+def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier scorecard (W24): the multi-metric vendor review —
+    revenue, volume, average discount conceded, and return rate per
+    supplier, top 20 by revenue. TPC-H Q21 finds the WORST
+    suppliers by one signal; a procurement review reads all of them
+    at once. One supplier-keyed aggregate (all four metrics are
+    partial-aggregable conditional sums), TakeOrdered on the rounded
+    revenue with a key tie-break."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(F.avg("l_discount"), 5).alias("avg_discount"),
+            F.round(
+                F.avg(
+                    F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)
+                ),
+                5,
+            ).alias("return_rate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_suppkey"))
+        .limit(20)
+    )
