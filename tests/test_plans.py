@@ -840,3 +840,26 @@ def test_multi_touch_single_user_lineage(spark):
     # user_id; the payout fold is a channels-sized aggregate
     assert "CartesianProduct" not in plan
     assert "partial_min" in plan
+
+
+def test_equi_depth_bounds_broadcast_once(spark):
+    plan = _plan(spark, "q_equi_depth_histogram")
+    # one percentile buffer produces all 7 cut points; the 7-double row
+    # must come back as a broadcast, and assignment is expression-only
+    assert "BroadcastExchange" in plan
+    assert "PythonUDF" not in plan
+
+
+def test_revenue_waterfall_single_pass(spark):
+    plan = _plan(spark, "q_revenue_waterfall")
+    # five sums in one year-keyed aggregate: no join, map-side partials
+    assert "Join" not in plan
+    assert "partial_sum" in plan
+
+
+def test_zipf_rank_window_is_vocabulary_sized(spark):
+    plan = _plan(spark, "q_zipf_fit")
+    # the explode+count prunes to the >=min-freq vocabulary BEFORE the
+    # rank window; the fit itself is one scalar aggregate
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" not in plan  # full fit, not a top-k
