@@ -808,6 +808,96 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- V15: equi-depth histogram (optimizer statistics) ------------------------
 
 
+def exact_quantiles_grouped(
+    df: DataFrame,
+    col: str,
+    fracs: list[float],
+    bucket_width: float = 1000.0,
+) -> DataFrame:
+    """Distributed EXACT interpolated quantiles (quantile_cont /
+    percentile semantics) without a single aggregation buffer: Spark's
+    built-in exact ``percentile`` collects every value of the column
+    into ONE aggregate buffer — the same single-task order-statistic
+    wall the bucketed-rank idiom (q_decile_lift) exists to avoid.
+
+    Here the column collapses to (value, count) tie classes first (hash
+    aggregate, map-side partials), each class gets its exact order-
+    statistic range [cum+1, cum+cnt] via the floor-bucket two-phase
+    prefix sum, and each requested fraction q resolves to the classic
+    interpolation ``pos = 1 + (n-1)·q``: the two covering classes are
+    found by a 7-row broadcast theta-join against the class table and
+    combined as ``v_lo + (pos - ⌊pos⌋)·(v_hi - v_lo)``. No stage holds
+    more than one floor-bucket's classes; the only single-partition
+    window runs over the ~|range/width| bucket counts.
+
+    Returns one row per fraction: (frac, quantile) — exact, matching
+    DuckDB's ``quantile_cont`` and Spark's ``percentile`` definition."""
+    from pyspark.sql import Window
+
+    vc = df.groupBy(F.col(col).alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    b = vc.withColumn("bkt", F.floor(F.col("v") / bucket_width).cast("long"))
+    bc = b.groupBy("bkt").agg(F.sum("cnt").cast("long").alias("bn"))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bc.select(
+        "bkt",
+        F.coalesce(F.sum("bn").over(w_off), F.lit(0)).cast("long").alias("off"),
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = b.join(F.broadcast(boff), "bkt").select(
+        "v",
+        "cnt",
+        (
+            F.col("off") + F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
+        ).alias("cum"),
+    )
+    n = df.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    targets = n.select(
+        F.explode(
+            F.array(*[F.lit(float(q)) for q in fracs])
+        ).alias("frac"),
+        "n",
+    ).select(
+        "frac",
+        (F.lit(1.0) + (F.col("n") - 1) * F.col("frac")).alias("pos"),
+    )
+    targets = targets.select(
+        "frac",
+        "pos",
+        F.floor("pos").cast("long").alias("ilo"),
+        F.least(
+            F.ceil("pos").cast("long"), F.floor("pos").cast("long") + 1
+        ).alias("ihi"),
+    )
+    # each order-statistic index i lives in the unique class with
+    # cum < i <= cum + cnt; the |fracs|-row target side broadcasts and
+    # the class table is scanned once per lookup
+    vlo = F.broadcast(targets).join(
+        ranked,
+        (F.col("ilo") > F.col("cum"))
+        & (F.col("ilo") <= F.col("cum") + F.col("cnt")),
+    ).select("frac", "pos", "ihi", F.col("v").alias("v_lo"))
+    vhi = F.broadcast(
+        targets.select("frac", F.col("ihi").alias("i2"))
+    ).join(
+        ranked,
+        (F.col("i2") > F.col("cum"))
+        & (F.col("i2") <= F.col("cum") + F.col("cnt")),
+    ).select(F.col("frac").alias("frac2"), F.col("v").alias("v_hi"))
+    return vlo.join(vhi, F.col("frac") == F.col("frac2")).select(
+        "frac",
+        (
+            F.col("v_lo")
+            + (F.col("pos") - F.floor("pos")) * (F.col("v_hi") - F.col("v_lo"))
+        ).alias("quantile"),
+    )
+
+
 @query(
     "q_equi_depth_histogram",
     oracle="""
@@ -841,31 +931,46 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth histogram construction (V15): the statistics object a
     cost-based optimizer keeps per column — 8 quantile-bounded buckets
     with row count, NDV, and value bounds each (Spark's own ANALYZE
-    TABLE ... FOR COLUMNS builds exactly this shape). Two passes over
-    the column: one array-argument percentile aggregate produces all 7
-    cut points (single buffer, not 7), the 7-double bound row
-    broadcasts back, and bucket assignment is a row-local sum of
-    comparisons feeding one 8-group aggregate. Cut points are rounded
-    to 4 decimals BEFORE assignment (the module-wide rule), so a 1-ulp
-    interpolation difference can't flip a row's bucket."""
+    TABLE ... FOR COLUMNS builds exactly this shape). The 7 cut points
+    come from ``exact_quantiles_grouped`` — the DISTRIBUTED exact
+    quantile (tie-class ranks + bucketed prefix sums + a 7-row
+    broadcast order-statistic lookup), not the built-in ``percentile``
+    whose single aggregation buffer collects the whole column into one
+    task (the very wall an optimizer-stats job at 100 TB cannot hit).
+    The 7-double bound row broadcasts back, bucket assignment is a
+    row-local sum of comparisons, and NDV comes from two-phase
+    (bucket, value) grouping. Cut points are rounded to 4 decimals
+    BEFORE assignment (the module-wide rule), so a 1-ulp interpolation
+    difference can't flip a row's bucket."""
     li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
     ps = [i / 8.0 for i in range(1, 8)]
-    bounds = li.agg(
-        F.percentile("l_extendedprice", F.array(*[F.lit(p) for p in ps])).alias(
-            "_b"
-        )
-    ).select(*[F.round(F.col("_b")[i], 4).alias(f"b{i+1}") for i in range(7)])
+    q7 = exact_quantiles_grouped(li, "l_extendedprice", ps)
+    bounds = q7.groupBy().pivot("frac", ps).agg(
+        F.round(F.first("quantile"), 4)
+    )
+    bounds = bounds.select(
+        *[F.col(f"`{p}`").alias(f"b{i+1}") for i, p in enumerate(ps)]
+    )
     v = F.col("l_extendedprice")
     bucket = sum(
         (v > F.col(f"b{i}")).cast("int") for i in range(1, 8)
     )
-    return (
+    # NDV via two-phase grouping instead of count(DISTINCT): the
+    # distinct lane of a mixed count/count-distinct aggregate plans an
+    # Expand that doubles every shuffled row; grouping on (bucket,
+    # value) first collapses duplicates map-side, and the second
+    # aggregate reads |distinct| rows
+    per_val = (
         li.crossJoin(F.broadcast(bounds))
         .select(bucket.cast("long").alias("bucket"), v.alias("v"))
-        .groupBy("bucket")
+        .groupBy("bucket", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        per_val.groupBy("bucket")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.countDistinct("v").cast("long").alias("ndv"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("ndv"),
             F.round(F.min("v"), 2).alias("lo"),
             F.round(F.max("v"), 2).alias("hi"),
         )

@@ -154,3 +154,36 @@ def test_skyline_matches_bruteforce_on_random_points(spark):
         )
     }
     assert got == want
+
+
+def test_exact_quantiles_grouped_matches_builtin_percentile(spark):
+    """The distributed order-statistic quantile must agree with Spark's
+    single-buffer exact percentile (same interpolation definition) on
+    adversarial data: heavy ties, negatives straddling bucket
+    boundaries, and n not divisible by the fraction denominators."""
+    import random
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_scale import (
+        exact_quantiles_grouped,
+    )
+
+    rng = random.Random(5)
+    vals = (
+        [float(rng.randint(-3, 3)) for _ in range(501)]  # dense ties
+        + [rng.uniform(-2000, 2000) for _ in range(351)]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(8)
+    fracs = [0.01, 0.125, 0.5, 0.875, 0.99]
+    got = {
+        r.frac: r.quantile
+        for r in exact_quantiles_grouped(df, "x", fracs, bucket_width=7.0).collect()
+    }
+    want = df.agg(
+        F.percentile("x", F.array(*[F.lit(p) for p in fracs])).alias("p")
+    ).collect()[0].p
+    assert len(got) == len(fracs)
+    for q, w in zip(fracs, want):
+        assert got[q] == pytest.approx(w, abs=1e-9), q
