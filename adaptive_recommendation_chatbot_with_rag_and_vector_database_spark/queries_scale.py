@@ -976,3 +976,36 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- V16: distributed exact quantiles as a first-class query ------------------
+
+_QUANTILE_FRACS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+@query(
+    "q_exact_quantiles",
+    oracle=f"""
+    SELECT unnest([{', '.join(str(q) for q in _QUANTILE_FRACS)}]::DOUBLE[]) AS frac,
+           unnest([{', '.join(f'round(quantile_cont(l_extendedprice, {q}), 4)'
+                              for q in _QUANTILE_FRACS)}]) AS quantile
+    FROM lineitem
+    """,
+)
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact interpolated quantiles (V16), driver-verified
+    against DuckDB's ``quantile_cont``: the ``exact_quantiles_grouped``
+    machinery (tie-class ranks + floor-bucket two-phase prefix sums +
+    a |fracs|-row broadcast order-statistic lookup) as a first-class
+    operator. Spark's built-in exact ``percentile`` funnels the whole
+    column into ONE aggregation buffer — fine at fixture scale, fatal
+    for a 100 TB column — while this plan's largest single-task state
+    is one floor-bucket's tie classes. The interpolation definition
+    (pos = 1 + (n−1)·q, linear between covering order statistics) is
+    identical on both engines, so parity is exact after 1e-4 rounding."""
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    return (
+        exact_quantiles_grouped(li, "l_extendedprice", _QUANTILE_FRACS)
+        .select("frac", F.round("quantile", 4).alias("quantile"))
+        .orderBy("frac")
+    )

@@ -1207,3 +1207,50 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.col("slope"), 4).alias("zipf_exponent"),
         F.round("r2", 4).alias("r2"),
     )
+
+
+# --- X15: tokenizer fertility by language ------------------------------------
+
+
+@query(
+    "q_token_fertility",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           CAST(sum(len(regexp_extract_all(text, '{TOKEN_REGEX}'))) AS BIGINT)
+             AS n_bpe_tokens,
+           round(sum(length(text))
+                 / CAST(sum(len(regexp_extract_all(text, '{TOKEN_REGEX}')))
+                        AS DOUBLE), 4) AS chars_per_token,
+           round(sum(len(regexp_extract_all(text, '{TOKEN_REGEX}')))
+                 / CAST(sum(len({_SQL_TOKS})) AS DOUBLE), 4)
+             AS tokens_per_word
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language (X15): characters per token and
+    tokens per whitespace word, per language — the number that decides
+    how many MODEL tokens a corpus actually buys and which languages a
+    tokenizer penalizes (high fertility = more tokens per word = more
+    compute per sentence; the standard multilingual-tokenizer audit).
+    Pure row-local counting expressions folded by one lang-keyed
+    aggregate — scan-bound, zero joins, zero UDFs."""
+    docs = _docs(spark, sf_dir)
+    bpe = token_count_bpe("text")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+            F.sum(bpe).cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum(F.length("text")) / F.sum(bpe).cast("double"), 4
+            ).alias("chars_per_token"),
+            F.round(
+                F.sum(bpe) / F.sum(token_count_ws("text")).cast("double"), 4
+            ).alias("tokens_per_word"),
+        )
+        .orderBy("lang")
+    )

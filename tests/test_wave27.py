@@ -193,3 +193,55 @@ def test_zipf_fit_matches_numpy_ols(spark):
     assert got.zipf_exponent == pytest.approx(-slope, abs=1e-3)
     assert got.r2 == pytest.approx(r2, abs=1e-3)
     assert 0 <= got.r2 <= 1
+
+
+# --- wave-28 additions (round 6 close) --------------------------------------
+
+
+def test_exact_quantiles_query_is_ordered_and_monotone(spark):
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_scale import (
+        _QUANTILE_FRACS,
+        q_exact_quantiles,
+    )
+
+    rows = q_exact_quantiles(spark, SF_DIR).collect()
+    assert [r.frac for r in rows] == sorted(_QUANTILE_FRACS)
+    qs = [r.quantile for r in rows]
+    assert qs == sorted(qs)  # quantiles are monotone in the fraction
+    vals = sorted(
+        r.l_extendedprice
+        for r in load_table(spark, "lineitem", SF_DIR).collect()
+    )
+    for r in rows:  # exact definition: pos = 1 + (n-1)q, linear interp
+        pos = 1 + (len(vals) - 1) * r.frac
+        lo = int(math.floor(pos))
+        frac = pos - lo
+        want = vals[lo - 1] + frac * (vals[min(lo, len(vals) - 1)] - vals[lo - 1])
+        assert r.quantile == pytest.approx(want, abs=1e-3)
+
+
+def test_token_fertility_matches_replay(spark):
+    import re
+
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.functions.text import (
+        TOKEN_REGEX,
+    )
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_text import (
+        q_token_fertility,
+    )
+
+    rx = re.compile(TOKEN_REGEX)
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for r in load_table(spark, "documents", SF_DIR).collect():
+        a = agg[r.lang]
+        a[0] += 1
+        a[1] += len(r.text)
+        a[2] += len(rx.findall(r.text))
+        a[3] += len(py_toks(r.text))
+    got = {r.lang: r for r in q_token_fertility(spark, SF_DIR).collect()}
+    assert set(got) == set(agg)
+    for lang, (n, ch, bpe, ws) in agg.items():
+        g = got[lang]
+        assert (g.n_docs, g.n_chars, g.n_bpe_tokens) == (n, ch, bpe)
+        assert g.chars_per_token == pytest.approx(ch / bpe, abs=1e-3)
+        assert g.tokens_per_word == pytest.approx(bpe / ws, abs=1e-3)
