@@ -825,10 +825,17 @@ def exact_quantiles_grouped(
     statistic range [cum+1, cum+cnt] via the floor-bucket two-phase
     prefix sum, and each requested fraction q resolves to the classic
     interpolation ``pos = 1 + (n-1)·q``: the two covering classes are
-    found by a 7-row broadcast theta-join against the class table and
-    combined as ``v_lo + (pos - ⌊pos⌋)·(v_hi - v_lo)``. No stage holds
-    more than one floor-bucket's classes; the only single-partition
-    window runs over the ~|range/width| bucket counts.
+    found by ONE 2·|fracs|-row broadcast theta-join against the class
+    table and combined as ``v_lo + (pos - ⌊pos⌋)·(v_hi - v_lo)``. No
+    stage holds more than one floor-bucket's classes; the only
+    single-partition window runs over the ~|range/width| bucket counts.
+
+    The class table is eagerly ``localCheckpoint``-ed: three consumers
+    (n, and the lo/hi lookups) would otherwise each re-execute the
+    scan+rank lineage — measured 3× the wall. Checkpoint blocks are
+    released by the ContextCleaner once the returned plan is garbage-
+    collected (unlike an unpaired ``persist``, which pins executor
+    storage for the session — the q_bloom_prune_join lesson).
 
     Returns one row per fraction: (frac, quantile) — exact, matching
     DuckDB's ``quantile_cont`` and Spark's ``percentile`` definition."""
@@ -849,47 +856,64 @@ def exact_quantiles_grouped(
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    ranked = b.join(F.broadcast(boff), "bkt").select(
-        "v",
-        "cnt",
-        (
-            F.col("off") + F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
-        ).alias("cum"),
+    ranked = (
+        b.join(F.broadcast(boff), "bkt")
+        .select(
+            "v",
+            "cnt",
+            (
+                F.col("off") + F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
+            ).alias("cum"),
+        )
+        .localCheckpoint(eager=True)
     )
-    n = df.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    targets = n.select(
-        F.explode(
-            F.array(*[F.lit(float(q)) for q in fracs])
-        ).alias("frac"),
-        "n",
-    ).select(
-        "frac",
-        (F.lit(1.0) + (F.col("n") - 1) * F.col("frac")).alias("pos"),
+    # n derives from the checkpointed classes (max covered index) — no
+    # separate pass over the raw column
+    n = ranked.agg(F.max(F.col("cum") + F.col("cnt")).alias("n"))
+    pos = F.lit(1.0) + (F.col("n") - 1) * F.col("frac")
+    targets = (
+        n.select(
+            F.explode(
+                F.array(*[F.lit(float(q)) for q in fracs])
+            ).alias("frac"),
+            "n",
+        )
+        .select("frac", pos.alias("pos"))
+        .select(
+            "frac",
+            "pos",
+            # both covering order statistics in one lookup frame
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("lo").alias("side"),
+                        F.floor("pos").cast("long").alias("idx"),
+                    ),
+                    F.struct(
+                        F.lit("hi").alias("side"),
+                        F.least(
+                            F.ceil("pos").cast("long"),
+                            F.floor("pos").cast("long") + 1,
+                        ).alias("idx"),
+                    ),
+                )
+            ).alias("t"),
+        )
+        .select("frac", "pos", F.col("t.side").alias("side"), F.col("t.idx").alias("idx"))
     )
-    targets = targets.select(
-        "frac",
-        "pos",
-        F.floor("pos").cast("long").alias("ilo"),
-        F.least(
-            F.ceil("pos").cast("long"), F.floor("pos").cast("long") + 1
-        ).alias("ihi"),
-    )
-    # each order-statistic index i lives in the unique class with
-    # cum < i <= cum + cnt; the |fracs|-row target side broadcasts and
-    # the class table is scanned once per lookup
-    vlo = F.broadcast(targets).join(
+    # each order-statistic index lives in the unique class with
+    # cum < idx <= cum + cnt; the 2·|fracs|-row side broadcasts and the
+    # checkpointed class table is scanned exactly once
+    hits = F.broadcast(targets).join(
         ranked,
-        (F.col("ilo") > F.col("cum"))
-        & (F.col("ilo") <= F.col("cum") + F.col("cnt")),
-    ).select("frac", "pos", "ihi", F.col("v").alias("v_lo"))
-    vhi = F.broadcast(
-        targets.select("frac", F.col("ihi").alias("i2"))
-    ).join(
-        ranked,
-        (F.col("i2") > F.col("cum"))
-        & (F.col("i2") <= F.col("cum") + F.col("cnt")),
-    ).select(F.col("frac").alias("frac2"), F.col("v").alias("v_hi"))
-    return vlo.join(vhi, F.col("frac") == F.col("frac2")).select(
+        (F.col("idx") > F.col("cum"))
+        & (F.col("idx") <= F.col("cum") + F.col("cnt")),
+    )
+    wide = hits.groupBy("frac", "pos").agg(
+        F.max(F.when(F.col("side") == "lo", F.col("v"))).alias("v_lo"),
+        F.max(F.when(F.col("side") == "hi", F.col("v"))).alias("v_hi"),
+    )
+    return wide.select(
         "frac",
         (
             F.col("v_lo")

@@ -863,3 +863,15 @@ def test_zipf_rank_window_is_vocabulary_sized(spark):
     # rank window; the fit itself is one scalar aggregate
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" not in plan  # full fit, not a top-k
+
+
+def test_exact_quantiles_no_single_buffer_percentile(spark):
+    plan = _plan(spark, "q_exact_quantiles")
+    # the whole point: no built-in exact percentile aggregate (its
+    # buffer collects the entire column into one task). The rank
+    # lineage ran eagerly at the localCheckpoint boundary, so the
+    # final plan reads the checkpointed class table (ExistingRDD) and
+    # the 2·|fracs|-row lookup side broadcasts into a BNL join
+    assert "percentile" not in plan.lower()
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastNestedLoopJoin" in plan
