@@ -57,6 +57,14 @@ def drive(spark, sf_dir: str, mult_tag: str, out: dict) -> None:
         out[f"reindex_cached_{mult_tag}"] = round(time.perf_counter() - t0, 3)
         assert n_again == 0, f"cached reindex embedded {n_again} chunks"
 
+        # the ANN structure build is deferred to first retrieval (a
+        # sub-threshold corpus never pays it); time it as its own stage
+        # so per-question latencies below aren't charged the one-time
+        # codebook train + cell-partitioned rewrite
+        t0 = time.perf_counter()
+        eng._ensure_ann_index()
+        out[f"ann_build_{mult_tag}"] = round(time.perf_counter() - t0, 3)
+
         for st in ("similarity", "mmr", "hybrid"):
             t0 = time.perf_counter()
             rows = eng.retrieve(QUESTION, search_type=st).collect()
