@@ -338,3 +338,43 @@ def q_embedding_norm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- K7: embedding dead-dimension audit ---------------------------------------
+
+
+@query(
+    "q_embedding_dims_audit",
+    oracle="""
+    WITH d AS (
+      SELECT unnest(generate_series(1, len(embedding))) AS dim,
+             unnest(embedding)::DOUBLE AS x
+      FROM embeddings)
+    SELECT CAST(dim AS BIGINT) AS dim,
+           round(avg(x), 5) AS mean_x,
+           round(stddev_samp(x), 5) AS std_x,
+           CASE WHEN stddev_samp(x) < 0.001 THEN 1 ELSE 0 END AS is_dead
+    FROM d GROUP BY dim ORDER BY dim
+    """,
+)
+def q_embedding_dims_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding dead-dimension audit (K7): per-coordinate mean and
+    spread across the corpus — a dimension whose variance collapses is
+    wasted index width (and a tell-tale of a truncation or projection
+    bug upstream), the per-axis complement of q_embedding_norm_drift's
+    per-vector norms. posexplode fans each vector into (dim, value)
+    rows that partial-aggregate map-side, so the exchange carries
+    |dims| partials per task regardless of corpus size."""
+    e = load_table(spark, "embeddings", sf_dir).select(
+        F.posexplode("embedding").alias("pos", "x")
+    )
+    agg = e.groupBy((F.col("pos") + 1).cast("long").alias("dim")).agg(
+        F.round(F.avg(F.col("x").cast("double")), 5).alias("mean_x"),
+        F.stddev_samp(F.col("x").cast("double")).alias("_std"),
+    )
+    return agg.select(
+        "dim",
+        "mean_x",
+        F.round("_std", 5).alias("std_x"),
+        F.when(F.col("_std") < 0.001, 1).otherwise(0).alias("is_dead"),
+    ).orderBy("dim")

@@ -1254,3 +1254,117 @@ def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- X16: n-gram novelty scoring ----------------------------------------------
+
+
+@query(
+    "q_ngram_novelty",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                    ELSE [toks[i] || ' ' || toks[i+1]
+                          for i in generate_series(1, len(toks) - 1)] END))
+               AS big
+      FROM t),
+    firsts AS (SELECT big, CAST(min(doc_id) AS BIGINT) AS first_doc
+               FROM grams GROUP BY big)
+    SELECT grams.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(CASE WHEN firsts.first_doc = grams.doc_id
+                          THEN 1.0 ELSE 0.0 END), 5) AS novel_share
+    FROM grams JOIN firsts USING (big)
+    GROUP BY grams.doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scoring (X16): for each document, the share of
+    its distinct bigrams whose FIRST corpus occurrence (min doc_id —
+    ingestion order) is this document — the dedup-aware sampling signal
+    that separates documents adding new phrasing from documents
+    recombining what the corpus already says (near-dup detection asks
+    "is this a copy?"; novelty asks "does this add anything?").
+
+    Shape: distinct bigrams per doc in the array domain, one gram-keyed
+    aggregate for first-occurrence, one gram-keyed join back (both
+    sides partition on the gram — a single co-keyed exchange pair), and
+    a doc-keyed rollup. At 100 TB the gram table is the big axis and
+    every shuffle is keyed on it; no pair space exists anywhere."""
+    from .functions.tokenize import toks_col
+
+    t = _docs(spark, sf_dir).select("doc_id", toks_col().alias("toks"))
+    n1 = F.greatest(F.size("toks") - 1, F.lit(0))
+    grams = t.select(
+        "doc_id",
+        F.explode_outer(
+            F.array_distinct(
+                F.zip_with(
+                    F.slice("toks", 1, n1),
+                    F.slice("toks", 2, n1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            )
+        ).alias("big"),
+    ).filter(F.col("big").isNotNull())
+    firsts = grams.groupBy("big").agg(
+        F.min("doc_id").cast("long").alias("first_doc")
+    )
+    return (
+        grams.join(firsts, "big")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1.0).otherwise(
+                        0.0
+                    )
+                ),
+                5,
+            ).alias("novel_share"),
+        )
+    )
+
+
+# --- X17: language-ID confusion matrix ----------------------------------------
+
+
+@query(
+    "q_lang_confusion",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, {_SQL_DTOKS} AS dtoks FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+             {', '.join(f'{_sql_lang_score(l)} AS s_{l}' for l in LANG_PRIORITY)}
+      FROM tok),
+    pred AS (
+      SELECT lang AS labeled_lang, {_sql_lang_pred()} AS pred_lang
+      FROM scored)
+    SELECT labeled_lang, pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY labeled_lang, pred_lang
+    ORDER BY labeled_lang, pred_lang
+    """,
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix (X17): label × prediction counts
+    for the q_lang_id heuristic — the evaluation artifact that turns a
+    classifier into a decision (which languages leak into which, and
+    whether 'unknown' absorbs a real language). One map-side scoring
+    pass (the same shared stopword-overlap expressions as q_lang_id,
+    so classifier and evaluation cannot drift) and one small-keyed
+    aggregate."""
+    docs = _docs(spark, sf_dir)
+    dt = distinct_tokens("text")
+    return (
+        docs.select(
+            F.col("lang").alias("labeled_lang"),
+            lang_pred(dt).alias("pred_lang"),
+        )
+        .groupBy("labeled_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("labeled_lang", "pred_lang")
+    )
