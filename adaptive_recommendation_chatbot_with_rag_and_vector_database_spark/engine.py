@@ -135,6 +135,7 @@ class RagEngine:
     _sessions: dict[str, list[dict]] = field(default_factory=dict)
     _index_rows: int | None = field(default=None, repr=False)
     _ann_stale: bool = field(default=True, repr=False)
+    _codebook: object = field(default=None, repr=False)
 
     # -- index build (S2-S5, F5, F6, F8) -----------------------------------
 
@@ -157,6 +158,7 @@ class RagEngine:
         # flag makes the first post-change retrieval rebuild instead
         if n_new > 0:
             self._ann_stale = True
+            self._codebook = None
         return n_new
 
     @staticmethod
@@ -207,16 +209,22 @@ class RagEngine:
             [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
             "cell int, centroid array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(cb_path)
+        self._codebook = centroids
         self._ann_stale = False
 
     def _load_codebook(self):
-        import numpy as np
+        # cached in-engine: the codebook is a static index artifact and
+        # re-reading its parquet per question was one of the fixed jobs
+        # dominating IVF latency at the 5 M-chunk tier
+        if self._codebook is None:
+            import numpy as np
 
-        rows = self.spark.read.parquet(self._ann_paths()[1]).collect()
-        return np.array(
-            [r.centroid for r in sorted(rows, key=lambda r: r.cell)],
-            dtype=np.float64,
-        )
+            rows = self.spark.read.parquet(self._ann_paths()[1]).collect()
+            self._codebook = np.array(
+                [r.centroid for r in sorted(rows, key=lambda r: r.cell)],
+                dtype=np.float64,
+            )
+        return self._codebook
 
     def index_files(
         self,
@@ -322,19 +330,23 @@ class RagEngine:
                 id_cols=("doc_id", "chunk_id"),
                 payload_cols=payload_cols,
             )
-        from .operators.similarity import ivf_knn_pruned
+        from .operators.similarity import ivf_knn_pruned, nearest_cells
 
         self._ensure_ann_index()
         probes = self.spark.createDataFrame(
             [(-1, [float(x) for x in qvec])], "query_id long, qvec array<double>"
         )
+        codebook = self._load_codebook()
         hits = ivf_knn_pruned(
             self.spark,
             self._ann_paths()[0],
             probes,
-            self._load_codebook(),
+            codebook,
             k=k,
             nprobe=self.ann_nprobe,
+            # the question vector is already driver-side: its cells come
+            # from a numpy matmul, not an Arrow UDF + collect round-trip
+            probe_cells=nearest_cells(qvec, codebook, self.ann_nprobe),
             index_id="cid",
             # payload is co-located in the layout, so hits come back
             # fully materialized from the probed partitions — a lookup

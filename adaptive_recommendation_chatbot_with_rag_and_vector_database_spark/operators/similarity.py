@@ -65,6 +65,18 @@ def _band_codes_udf(planes: np.ndarray, n_bands: int):
     return codes
 
 
+def nearest_cells(vec, centroids: np.ndarray, n: int) -> list[int]:
+    """Driver-side twin of ``_nearest_cells_udf`` for a SINGLE probe
+    vector the caller already holds in memory: same cosine-by-matmul
+    scoring, same stable argsort tie order, no Spark job. An
+    interactive question's cell assignment is a 64-float × codebook
+    product — spinning up an Arrow UDF plus a distinct+collect job for
+    it was measured as two of the five fixed jobs dominating the IVF
+    route's latency at the 5 M-chunk tier."""
+    sims = np.asarray(vec, dtype=np.float64) @ centroids.T
+    return [int(c) for c in np.argsort(-sims, kind="stable")[:n]]
+
+
 def _nearest_cells_udf(centroids: np.ndarray, n: int):
     """Arrow-batched IVF cell assignment: cosine scores against the
     broadcast codebook in one matrix multiply, stable argsort (ties →
@@ -370,6 +382,7 @@ def ivf_knn_pruned(
     index_id: str = "vec_id",
     index_vec: str = "embedding",
     payload_cols: tuple[str, ...] = (),
+    probe_cells: list[int] | None = None,
 ) -> DataFrame:
     """IVF probe over a cell-partitioned index with STATIC partition
     pruning: the probe set is small by definition, so its ``nprobe``
@@ -378,16 +391,34 @@ def ivf_knn_pruned(
     semantics as ``ivf_knn``. ``payload_cols`` (columns co-located in
     the layout by ``write_ivf_index``) ride the candidate rows through
     scoring, so a hit's payload comes out of the SAME pruned partitions
-    — no post-hoc full-index lookup join."""
-    assignp = _nearest_cells_udf(centroids, nprobe)
-    prb_c = probes.select(
-        F.col(query_id),
-        F.col(query_vec),
-        F.explode(assignp(F.col(query_vec))).alias("cell"),
-    )
-    probed_cells = sorted(
-        {r.cell for r in prb_c.select("cell").distinct().collect()}
-    )
+    — no post-hoc full-index lookup join.
+
+    ``probe_cells`` (e.g. from ``nearest_cells`` when the caller holds
+    the probe vectors driver-side) skips the Arrow assignment UDF AND
+    the distinct+collect sizing job — for a single interactive question
+    that removes two of the route's Spark jobs outright. With multiple
+    probes the listed cells apply to EVERY probe (a candidate superset
+    of per-probe assignment — fine for one probe, the intended caller;
+    pass None to keep per-probe nprobe semantics)."""
+    if probe_cells is not None:
+        probed_cells = sorted(set(probe_cells))
+        prb_c = probes.select(
+            F.col(query_id),
+            F.col(query_vec),
+            F.explode(
+                F.array(*[F.lit(int(c)) for c in probed_cells])
+            ).alias("cell"),
+        )
+    else:
+        assignp = _nearest_cells_udf(centroids, nprobe)
+        prb_c = probes.select(
+            F.col(query_id),
+            F.col(query_vec),
+            F.explode(assignp(F.col(query_vec))).alias("cell"),
+        )
+        probed_cells = sorted(
+            {r.cell for r in prb_c.select("cell").distinct().collect()}
+        )
     idx = spark.read.parquet(path).filter(F.col("cell").isin(probed_cells))
     cand = (
         idx.join(F.broadcast(prb_c), "cell")
