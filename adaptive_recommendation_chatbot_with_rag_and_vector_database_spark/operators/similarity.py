@@ -419,7 +419,25 @@ def ivf_knn_pruned(
         probed_cells = sorted(
             {r.cell for r in prb_c.select("cell").distinct().collect()}
         )
-    idx = spark.read.parquet(path).filter(F.col("cell").isin(probed_cells))
+    # read ONLY the probed cell directories (basePath keeps the `cell`
+    # partition column): a plain read of the layout root makes the
+    # driver list EVERY cell directory before pruning — measured as the
+    # dominant per-question cost at 2048 cells — while this lists
+    # nprobe of them. Empty cells have no directory; skip them.
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    subdirs = []
+    for c in probed_cells:
+        p = f"{path}/cell={c}"
+        jp = jvm.org.apache.hadoop.fs.Path(p)
+        if jp.getFileSystem(conf).exists(jp):
+            subdirs.append(p)
+    if subdirs:
+        idx = spark.read.option("basePath", path).parquet(*subdirs)
+    else:  # degenerate: every probed cell empty — scan-and-prune root
+        idx = spark.read.parquet(path).filter(
+            F.col("cell").isin(probed_cells)
+        )
     cand = (
         idx.join(F.broadcast(prb_c), "cell")
         .filter(F.col(index_id) != F.col(query_id))
