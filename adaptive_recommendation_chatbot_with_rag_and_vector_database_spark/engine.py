@@ -134,7 +134,10 @@ class RagEngine:
     ann_nprobe: int = 8
     _sessions: dict[str, list[dict]] = field(default_factory=dict)
     _index_rows: int | None = field(default=None, repr=False)
-    _ann_stale: bool = field(default=True, repr=False)
+    # True once THIS instance has verified (or written) an IVF layout
+    # matching the current corpus — the per-question short-circuit; an
+    # in-session corpus change resets it
+    _ann_built: bool = field(default=False, repr=False)
     _codebook: object = field(default=None, repr=False)
 
     # -- index build (S2-S5, F5, F6, F8) -----------------------------------
@@ -154,10 +157,11 @@ class RagEngine:
         )
         # defer the ANN build to the first retrieval: deciding the route
         # needs a row count, and paying that job here would tax every
-        # sub-threshold (reference-scale) index build; the staleness
-        # flag makes the first post-change retrieval rebuild instead
+        # sub-threshold (reference-scale) index build; clearing the
+        # built flag makes the first post-change retrieval re-verify
+        # (fingerprint probe) or rebuild instead
         if n_new > 0:
-            self._ann_stale = True
+            self._ann_built = False
             self._codebook = None
         return n_new
 
@@ -174,16 +178,35 @@ class RagEngine:
     def _ensure_ann_index(self) -> None:
         from .operators.similarity import train_centroids_sample, write_ivf_index
 
+        if self._ann_built:  # verified in-session: zero jobs per question
+            return
         rows = self._count_index_rows()
         if rows <= self.ann_threshold_rows:
             return
         ivf_path, cb_path = self._ann_paths()
-        if not self._ann_stale:
-            try:  # already built for this corpus state?
-                self.spark.read.parquet(cb_path).first()
-                return
-            except Exception:
-                pass
+        # The IVF layout is a PER-CORPUS artifact, not per-instance: a
+        # fresh engine pointed at an already-built index must reuse the
+        # on-disk codebook+layout, not retrain KMeans and rewrite 2 M
+        # rows. The codebook parquet carries the corpus fingerprint
+        # (row count at build time) beside the centroids; a match
+        # proves the layout serves the current corpus, and the read
+        # doubles as the codebook load. One probe per instance (or per
+        # in-session corpus change) — _ann_built short-circuits after.
+        try:
+            cb_rows = self.spark.read.parquet(cb_path).collect()
+        except Exception:
+            cb_rows = []  # absent codebook: build below
+        if cb_rows and all(
+            getattr(r, "corpus_rows", None) == rows for r in cb_rows
+        ):
+            import numpy as np
+
+            self._codebook = np.array(
+                [r.centroid for r in sorted(cb_rows, key=lambda r: r.cell)],
+                dtype=np.float64,
+            )
+            self._ann_built = True
+            return
         import math
 
         n_cells = int(
@@ -194,7 +217,10 @@ class RagEngine:
             n_cells,
             "embedding",
             sample_rows=max(4096, 8 * n_cells),
-            cache_key=self.index_path,
+            # corpus-versioned key: a stale-rebuild after index growth
+            # must RETRAIN, not replay the previous corpus's centroids
+            # memoized under the bare path
+            cache_key=f"{self.index_path}@rows={rows}",
         )
         write_ivf_index(
             self.index().select(
@@ -206,11 +232,11 @@ class RagEngine:
             payload_cols=("doc_id", "chunk_id", "text"),
         )
         self.spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-            "cell int, centroid array<double>",
+            [(i, [float(x) for x in c], rows) for i, c in enumerate(centroids)],
+            "cell int, centroid array<double>, corpus_rows long",
         ).coalesce(1).write.mode("overwrite").parquet(cb_path)
         self._codebook = centroids
-        self._ann_stale = False
+        self._ann_built = True
 
     def _load_codebook(self):
         # cached in-engine: the codebook is a static index artifact and
@@ -284,12 +310,18 @@ class RagEngine:
     def _below_ann_threshold(self) -> bool:
         """Route decision with a free fast path: a driver-side FS size
         listing (no Spark job) proves a reference-scale index is below
-        the ANN threshold — 100 MB of chunk+vector parquet cannot hold
-        100 k rows' worth of 64-float embeddings plus text, let alone
-        the 1 M-row default. The shortcut can only ever pick the EXACT
-        route (a misestimate costs a scan, never recall), and it is
-        bypassed for the artificially tiny thresholds tests use. Only
-        past the bytes bound does the exact count job run (cached)."""
+        the ANN threshold. The bytes bound SCALES with the configured
+        threshold: each index row carries a dim-float embedding plus
+        id+text payload, and even byte-stream-split+compressed parquet
+        does not shrink a random-float vector below ~1 byte per
+        component, so < threshold_rows × max(32, dim) bytes implies
+        rows < threshold for any threshold (a fixed 100 MB/100 k pair
+        silently routed a 150 k-row index past a 100 k threshold to
+        the exact scan, defeating the user's setting). The shortcut
+        can only ever pick the EXACT route (a misestimate costs a
+        scan, never recall), and it is bypassed for the artificially
+        tiny thresholds tests use. Only past the bytes bound does the
+        exact count job run (cached)."""
         if self._index_rows is None and self.ann_threshold_rows >= 100_000:
             try:
                 jpath = self.spark._jvm.org.apache.hadoop.fs.Path(
@@ -298,7 +330,9 @@ class RagEngine:
                 fs = jpath.getFileSystem(
                     self.spark._jsc.hadoopConfiguration()
                 )
-                if fs.getContentSummary(jpath).getLength() < (100 << 20):
+                min_row_bytes = max(32, self.dim)
+                bound = self.ann_threshold_rows * min_row_bytes
+                if fs.getContentSummary(jpath).getLength() < bound:
                     return True
             except Exception:
                 pass  # non-local FS quirks: fall through to the count
@@ -347,6 +381,9 @@ class RagEngine:
             # the question vector is already driver-side: its cells come
             # from a numpy matmul, not an Arrow UDF + collect round-trip
             probe_cells=nearest_cells(qvec, codebook, self.ann_nprobe),
+            # the probe frame is built 4 lines up with exactly one row;
+            # declaring it skips probe_cells' verification count job
+            n_probes=1,
             index_id="cid",
             # payload is co-located in the layout, so hits come back
             # fully materialized from the probed partitions — a lookup

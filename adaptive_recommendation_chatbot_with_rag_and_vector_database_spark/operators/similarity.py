@@ -383,6 +383,7 @@ def ivf_knn_pruned(
     index_vec: str = "embedding",
     payload_cols: tuple[str, ...] = (),
     probe_cells: list[int] | None = None,
+    n_probes: int | None = None,
 ) -> DataFrame:
     """IVF probe over a cell-partitioned index with STATIC partition
     pruning: the probe set is small by definition, so its ``nprobe``
@@ -396,11 +397,24 @@ def ivf_knn_pruned(
     ``probe_cells`` (e.g. from ``nearest_cells`` when the caller holds
     the probe vectors driver-side) skips the Arrow assignment UDF AND
     the distinct+collect sizing job — for a single interactive question
-    that removes two of the route's Spark jobs outright. With multiple
-    probes the listed cells apply to EVERY probe (a candidate superset
-    of per-probe assignment — fine for one probe, the intended caller;
-    pass None to keep per-probe nprobe semantics)."""
+    that removes two of the route's Spark jobs outright. Because the
+    listed cells would apply to EVERY probe row, ``probe_cells`` is
+    ENFORCED single-probe: a multi-probe caller would silently probe
+    the wrong cells for every other probe (recall loss with no error),
+    so the call raises unless the probe set has exactly one row. A
+    caller that already knows its probe count passes ``n_probes`` to
+    skip the verification job (the interactive engine passes 1); pass
+    ``probe_cells=None`` to keep per-probe nprobe semantics."""
     if probe_cells is not None:
+        if n_probes is None:
+            n_probes = probes.limit(2).count()
+        if n_probes != 1:
+            raise ValueError(
+                "ivf_knn_pruned(probe_cells=...) is single-probe only: the "
+                f"cell list applies to every probe row, but probes has "
+                f"{'>1' if n_probes > 1 else n_probes} row(s) — pass "
+                "probe_cells=None for per-probe nprobe assignment"
+            )
         probed_cells = sorted(set(probe_cells))
         prb_c = probes.select(
             F.col(query_id),
@@ -506,9 +520,10 @@ def ivf_knn_batch(
     SUPPORTED index at ~n_cells² ≈ 1.7·10⁷ rows on the √N rule (past
     that, per-cell scan cost grows linearly again — train an external
     codebook and pass ``centroids``/``n_cells`` explicitly to go
-    bigger). Kernel memory no longer depends on the probe count: the
-    per-cell score block is chunked along the probe axis so one chunk
-    is ≤ ~512 MB regardless of how many probes land in a cell. Pass
+    bigger). Kernel memory no longer depends on either cell-side
+    count: the per-cell score block is tiled along BOTH axes so one
+    dense block is ≤ ~512 MB regardless of how many probes land in a
+    cell or how large a single skewed index cell grows. Pass
     ``index_rows`` (the router does) to skip the sizing count.
 
     Id columns must be integral (cast to int64 inside the kernel); a
@@ -574,30 +589,54 @@ def ivf_knn_batch(
         for i in range(d):
             an2 = an2 + A[:, i] * A[:, i]
         an = np.sqrt(an2)
-        # Chunk the probe axis: one dense (|cell index| × chunk) block at
-        # a time, ≤ _BLOCK_ELEMS float64 elements (~512 MB), so a hot cell
-        # with millions of probes streams through in bounded memory instead
-        # of materializing an n×m block sized by the probe count.
-        chunk = max(16, min(512, _BLOCK_ELEMS // max(n, 1)))
+        # Tile BOTH axes so one dense block never exceeds _BLOCK_ELEMS
+        # float64 elements (~512 MB): the probe axis is chunked (a hot
+        # cell with millions of probes streams through), and — because a
+        # fixed chunk floor would let a mega-cell's index axis alone
+        # blow the budget (16·n elements is unbounded in n) — the INDEX
+        # axis tiles too once n·chunk would overflow the budget, with
+        # per-tile top-k merged per probe (identical result: any global
+        # top-k row is in its tile's top-k, and the merge re-applies the
+        # same (score desc, id asc) order).
+        chunk = max(1, min(512, _BLOCK_ELEMS // max(n, 1)))
+        tile = n if n * chunk <= _BLOCK_ELEMS else max(1, _BLOCK_ELEMS // chunk)
         out_q, out_i, out_s = [], [], []
         for c0 in range(0, m, chunk):
             Bc = B[c0 : c0 + chunk]
             qc = qids[c0 : c0 + chunk]
             mc = Bc.shape[0]
-            acc = np.zeros((n, mc))
             bn2 = np.zeros(mc)
             for i in range(d):
-                acc += np.outer(A[:, i], Bc[:, i])
                 bn2 = bn2 + Bc[:, i] * Bc[:, i]
-            denom = an[:, None] * np.sqrt(bn2)[None, :]
-            s = _round6_duck(
-                np.where(denom > 0.0, acc / np.where(denom > 0.0, denom, 1.0), 0.0)
-            )
+            bn = np.sqrt(bn2)
+            cand_ids: list[list] = [[] for _ in range(mc)]
+            cand_scs: list[list] = [[] for _ in range(mc)]
+            for t0 in range(0, n, tile):
+                At = A[t0 : t0 + tile]
+                idt = ids[t0 : t0 + tile]
+                ant = an[t0 : t0 + tile]
+                acc = np.zeros((At.shape[0], mc))
+                for i in range(d):
+                    acc += np.outer(At[:, i], Bc[:, i])
+                denom = ant[:, None] * bn[None, :]
+                s = _round6_duck(
+                    np.where(
+                        denom > 0.0, acc / np.where(denom > 0.0, denom, 1.0), 0.0
+                    )
+                )
+                for qi in range(mc):
+                    mask = idt != qc[qi]
+                    cand_i, cand_s = idt[mask], s[mask, qi]
+                    if cand_i.size == 0:
+                        continue
+                    order = np.lexsort((cand_i, -cand_s))[:k]
+                    cand_ids[qi].append(cand_i[order])
+                    cand_scs[qi].append(cand_s[order])
             for qi in range(mc):
-                mask = ids != qc[qi]
-                cand_i, cand_s = ids[mask], s[mask, qi]
-                if cand_i.size == 0:
+                if not cand_ids[qi]:
                     continue
+                cand_i = np.concatenate(cand_ids[qi])
+                cand_s = np.concatenate(cand_scs[qi])
                 order = np.lexsort((cand_i, -cand_s))[:k]
                 out_q.extend([qc[qi]] * len(order))
                 out_i.extend(cand_i[order])

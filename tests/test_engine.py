@@ -235,3 +235,73 @@ def test_retrieve_routes_through_ann_above_threshold(spark, tmp_path):
     res = eng.ask(q, session_id="ann")
     assert res["answer"]
     assert len(eng.recommend("ann").collect()) == eng.k
+
+
+def test_fresh_engine_reuses_on_disk_ann_layout(spark, tmp_path, monkeypatch):
+    """The IVF layout is a per-CORPUS artifact: a fresh engine pointed
+    at an already-built above-threshold index must verify the persisted
+    corpus fingerprint and reuse the codebook+layout — not retrain
+    KMeans and rewrite the index (ADVICE r6: the build was effectively
+    per-instance). Retrieval on the fresh instance must also stop
+    re-reading the codebook parquet per question once verified."""
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators import (
+        similarity as sim,
+    )
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.sources.loaders import (
+        load_table,
+    )
+
+    path = str(tmp_path / "index")
+    eng = RagEngine(spark, index_path=path, ann_threshold_rows=10)
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    assert eng.index_documents(docs) > 0
+    q = "priority freight shipments delayed by clerk errors"
+    built = eng.retrieve(q).collect()
+    assert eng._ann_built and len(built) == eng.k
+
+    def boom(*a, **k):
+        raise AssertionError("fresh engine rebuilt an already-built layout")
+
+    monkeypatch.setattr(sim, "train_centroids_sample", boom)
+    monkeypatch.setattr(sim, "write_ivf_index", boom)
+    fresh = RagEngine(spark, index_path=path, ann_threshold_rows=10)
+    got = fresh.retrieve(q).collect()
+    assert fresh._ann_built
+    assert [(r.doc_id, r.chunk_id) for r in got] == [
+        (r.doc_id, r.chunk_id) for r in built
+    ]
+
+
+def test_ann_rebuild_after_corpus_growth_retrains(spark, tmp_path, monkeypatch):
+    """After index_documents grows the corpus, the next retrieval must
+    RETRAIN with a corpus-versioned cache key — not silently replay the
+    old corpus's memoized centroids under the bare-path key, and not
+    trust the now-mismatched on-disk fingerprint (ADVICE r6)."""
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators import (
+        similarity as sim,
+    )
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.sources.loaders import (
+        load_table,
+    )
+
+    path = str(tmp_path / "index")
+    eng = RagEngine(spark, index_path=path, ann_threshold_rows=10)
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    assert eng.index_documents(docs.filter("doc_id % 2 = 0")) > 0
+    q = "priority freight shipments delayed by clerk errors"
+
+    seen_keys = []
+    real_train = sim.train_centroids_sample
+
+    def spy(*a, **k):
+        seen_keys.append(k.get("cache_key"))
+        return real_train(*a, **k)
+
+    monkeypatch.setattr(sim, "train_centroids_sample", spy)
+    eng.retrieve(q).collect()  # first build
+    assert eng.index_documents(docs.filter("doc_id % 2 = 1")) > 0
+    assert not eng._ann_built  # corpus change invalidates in-session
+    eng.retrieve(q).collect()  # fingerprint mismatch => rebuild
+    assert len(seen_keys) == 2  # retrained, not replayed from memo/disk
+    assert seen_keys[0] != seen_keys[1]  # corpus-versioned cache keys
+    assert all(k and str(path) in k for k in seen_keys)

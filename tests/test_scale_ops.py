@@ -187,3 +187,30 @@ def test_exact_quantiles_grouped_matches_builtin_percentile(spark):
     assert len(got) == len(fracs)
     for q, w in zip(fracs, want):
         assert got[q] == pytest.approx(w, abs=1e-9), q
+
+
+def test_ivf_pruned_probe_cells_is_single_probe_only(spark, tmp_path):
+    """probe_cells applies the SAME cell list to every probe row, so a
+    multi-probe caller would silently probe wrong cells for all but one
+    probe — the call must raise instead (ADVICE r6)."""
+    import pytest
+
+    emb = load_table(spark, "embeddings", SF)
+    cents = train_centroids_sample(emb, n_cells=8)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, path, cents)
+
+    multi = _probes(emb)  # > 1 probe rows
+    with pytest.raises(ValueError, match="single-probe"):
+        ivf_knn_pruned(spark, path, multi, cents, k=4, probe_cells=[0, 1])
+    # declared count is trusted and also enforced
+    with pytest.raises(ValueError, match="single-probe"):
+        ivf_knn_pruned(
+            spark, path, multi, cents, k=4, probe_cells=[0, 1], n_probes=2
+        )
+    # a genuine single probe with its own cells still works
+    one = multi.limit(1)
+    got = ivf_knn_pruned(
+        spark, path, one, cents, k=4, probe_cells=[0, 1, 2], n_probes=1
+    ).collect()
+    assert all(r.score is not None for r in got)

@@ -321,15 +321,16 @@ def test_ivf_batch_rejects_non_integral_ids(emb, probes):
 
 
 def test_ivf_batch_probe_chunking_hash_identical(emb, probes, monkeypatch):
-    """The probe-axis chunking inside score_cell must not change results:
-    shrinking the block budget forces a chunk boundary mid-cell (the
-    floor chunk of 16 < the ~120-probe fixture), exercising the
-    per-chunk block path against the unchunked broadcast reference."""
+    """The two-axis tiling inside score_cell must not change results:
+    shrinking the block budget to 1 element forces BOTH a probe-axis
+    chunk of 1 and an index-axis tile of 1 — the most extreme tiling
+    (every score in its own block, per-tile top-k merged per probe) —
+    against the untiled broadcast reference."""
     from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators import (
         similarity as sim,
     )
 
-    monkeypatch.setattr(sim, "_BLOCK_ELEMS", 1)  # chunk floor: 16 probes
+    monkeypatch.setattr(sim, "_BLOCK_ELEMS", 1)  # chunk=1 AND tile=1
     base = sorted(
         (r.query_id, r.vec_id, r.score)
         for r in sim.ivf_knn_batch(
