@@ -818,27 +818,32 @@ def exact_quantiles_grouped(
     percentile semantics) without a single aggregation buffer: Spark's
     built-in exact ``percentile`` collects every value of the column
     into ONE aggregate buffer — the same single-task order-statistic
-    wall the bucketed-rank idiom (q_decile_lift) exists to avoid.
+    wall the bucketed-rank idiom (q_decile_lift) exists to avoid. Thin
+    composition of ``ranked_tie_classes`` (the checkpointed class
+    table) and ``quantiles_from_ranked`` (the broadcast order-statistic
+    lookup) — split so consumers that need MORE than the quantiles
+    (q_equi_depth_histogram's per-bucket stats) reuse the same class
+    table instead of re-scanning the raw column."""
+    return quantiles_from_ranked(
+        ranked_tie_classes(df, col, bucket_width), fracs
+    )
 
-    Here the column collapses to (value, count) tie classes first (hash
-    aggregate, map-side partials), each class gets its exact order-
-    statistic range [cum+1, cum+cnt] via the floor-bucket two-phase
-    prefix sum, and each requested fraction q resolves to the classic
-    interpolation ``pos = 1 + (n-1)·q``: the two covering classes are
-    found by ONE 2·|fracs|-row broadcast theta-join against the class
-    table and combined as ``v_lo + (pos - ⌊pos⌋)·(v_hi - v_lo)``. No
-    stage holds more than one floor-bucket's classes; the only
-    single-partition window runs over the ~|range/width| bucket counts.
 
-    The class table is eagerly ``localCheckpoint``-ed: three consumers
-    (n, and the lo/hi lookups) would otherwise each re-execute the
-    scan+rank lineage — measured 3× the wall. Checkpoint blocks are
-    released by the ContextCleaner once the returned plan is garbage-
-    collected (unlike an unpaired ``persist``, which pins executor
-    storage for the session — the q_bloom_prune_join lesson).
-
-    Returns one row per fraction: (frac, quantile) — exact, matching
-    DuckDB's ``quantile_cont`` and Spark's ``percentile`` definition."""
+def ranked_tie_classes(
+    df: DataFrame,
+    col: str,
+    bucket_width: float = 1000.0,
+) -> DataFrame:
+    """The shared substrate of the exact-quantile family: collapse the
+    column to (v, cnt, cum) tie classes where ``cum`` is the count of
+    rows strictly below ``v`` — i.e. class ``v`` owns order statistics
+    [cum+1, cum+cnt]. Built distributed (hash aggregate to classes,
+    floor-bucket two-phase prefix sum; the only single-partition window
+    runs over the ~|range/width| bucket counts) and eagerly
+    ``localCheckpoint``-ed because every consumer family (n, quantile
+    lookups, histogram stats) would otherwise re-execute the scan+rank
+    lineage — measured 3x the wall. Checkpoint blocks are released by
+    the ContextCleaner once the plan is garbage-collected."""
     from pyspark.sql import Window
 
     vc = df.groupBy(F.col(col).alias("v")).agg(
@@ -856,7 +861,7 @@ def exact_quantiles_grouped(
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    ranked = (
+    return (
         b.join(F.broadcast(boff), "bkt")
         .select(
             "v",
@@ -867,6 +872,15 @@ def exact_quantiles_grouped(
         )
         .localCheckpoint(eager=True)
     )
+
+
+def quantiles_from_ranked(ranked: DataFrame, fracs: list[float]) -> DataFrame:
+    """Exact interpolated quantiles (quantile_cont / percentile
+    semantics) from a ``ranked_tie_classes`` table: each fraction q
+    resolves to ``pos = 1 + (n-1)*q``, the two covering classes are
+    found by ONE 2*|fracs|-row broadcast theta-join against the class
+    table, and combined as ``v_lo + (pos - floor(pos))*(v_hi - v_lo)``.
+    Returns one row per fraction: (frac, quantile)."""
     # n derives from the checkpointed classes (max covered index) — no
     # separate pass over the raw column
     n = ranked.agg(F.max(F.col("cum") + F.col("cnt")).alias("n"))
@@ -962,36 +976,37 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose single aggregation buffer collects the whole column into one
     task (the very wall an optimizer-stats job at 100 TB cannot hit).
     The 7-double bound row broadcasts back, bucket assignment is a
-    row-local sum of comparisons, and NDV comes from two-phase
-    (bucket, value) grouping. Cut points are rounded to 4 decimals
-    BEFORE assignment (the module-wide rule), so a 1-ulp interpolation
+    row-local sum of comparisons over the SAME tie-class table the cut
+    points came from (a bucket is a function of the value, so a whole
+    class lands in one bucket: n_rows = sum of class counts, NDV = the
+    class count itself). Cut points are rounded to 4 decimals BEFORE
+    assignment (the module-wide rule), so a 1-ulp interpolation
     difference can't flip a row's bucket."""
     li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
     ps = [i / 8.0 for i in range(1, 8)]
-    q7 = exact_quantiles_grouped(li, "l_extendedprice", ps)
+    # ONE pass builds the checkpointed (v, cnt, cum) tie-class table;
+    # the cut points AND the per-bucket stats both read it. A bucket is
+    # a function of the value alone, so a whole tie class lands in one
+    # bucket: n_rows is sum(cnt), NDV is the class count, lo/hi are
+    # min/max v — no second raw-column scan, no (bucket, value)
+    # re-grouping of 6x more raw rows (that second scan + regroup was
+    # the query's dominant cost at sf0.1).
+    ranked = ranked_tie_classes(li, "l_extendedprice")
+    q7 = quantiles_from_ranked(ranked, ps)
     bounds = q7.groupBy().pivot("frac", ps).agg(
         F.round(F.first("quantile"), 4)
     )
     bounds = bounds.select(
         *[F.col(f"`{p}`").alias(f"b{i+1}") for i, p in enumerate(ps)]
     )
-    v = F.col("l_extendedprice")
+    v = F.col("v")
     bucket = sum(
         (v > F.col(f"b{i}")).cast("int") for i in range(1, 8)
     )
-    # NDV via two-phase grouping instead of count(DISTINCT): the
-    # distinct lane of a mixed count/count-distinct aggregate plans an
-    # Expand that doubles every shuffled row; grouping on (bucket,
-    # value) first collapses duplicates map-side, and the second
-    # aggregate reads |distinct| rows
-    per_val = (
-        li.crossJoin(F.broadcast(bounds))
-        .select(bucket.cast("long").alias("bucket"), v.alias("v"))
-        .groupBy("bucket", "v")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
     return (
-        per_val.groupBy("bucket")
+        ranked.crossJoin(F.broadcast(bounds))
+        .select(bucket.cast("long").alias("bucket"), "v", "cnt")
+        .groupBy("bucket")
         .agg(
             F.sum("cnt").cast("long").alias("n_rows"),
             F.count(F.lit(1)).cast("long").alias("ndv"),
