@@ -1,0 +1,633 @@
+"""Statistics & audience wave 30 (SURVEY §2.34): the inferential and
+audience-analysis operators a BI platform layers over the warehouse —
+one-way ANOVA, Spearman rank correlation computed WITHOUT a global sort,
+audience set overlap, new-vs-returning decomposition, IQR outlier
+fences, BPE-style merge-pair mining, an embedding covariance audit,
+per-type inter-arrival cadence, and a Laspeyres price index.
+
+The reference (AI.py) has no analytics surface; these are the measures
+its operators would run over the chatbot's own logs and the corpus
+behind it. Every query has an exact DuckDB oracle. Determinism notes:
+all rank arithmetic is exact int64 (tie-class ranks, never engine sort
+order); float aggregates are rounded on both sides at the stated
+precision; inter-arrival ordering ties break on event_id; the price
+index's base year comes from the data via the same min() on both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import query
+from .sources.loaders import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# --- ST1: one-way ANOVA F-test ----------------------------------------------
+
+
+@query(
+    "q_anova_f",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(o_totalprice) AS s1,
+             sum(o_totalprice * o_totalprice) AS s2
+      FROM orders GROUP BY o_orderpriority),
+    s AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM g) AS k,
+             (SELECT CAST(sum(n) AS BIGINT) FROM g) AS big_n,
+             (SELECT sum(s1) FROM g) / (SELECT sum(n) FROM g) AS gm),
+    parts AS (
+      SELECT s.k, s.big_n,
+             sum(g.n * (g.s1 / g.n - s.gm) * (g.s1 / g.n - s.gm)) AS ssb,
+             sum(g.s2 - g.s1 * g.s1 / g.n) AS ssw
+      FROM g, s GROUP BY s.k, s.big_n)
+    SELECT k AS k_groups,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(big_n - k AS BIGINT) AS df_within,
+           round((ssb / (k - 1)) / (ssw / (big_n - k)), 4) AS f_stat,
+           round(ssb / (ssb + ssw), 6) AS eta_sq
+    FROM parts
+    """,
+)
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test (ST1): does mean order value differ across
+    order priorities? Completes the repo's hypothesis-test battery
+    (z-test M1, Mann-Whitney, chi-square, KS) with the k-group
+    parametric test. 100 TB shape: ONE hash aggregate collapses the
+    fact table to k rows of (n, Σx, Σx²) sufficient statistics —
+    map-side partials do almost all the work — and the F statistic is
+    closed-form arithmetic over those k rows (between/within sum of
+    squares from the moment sums, never a second pass). η² (effect
+    size) rides along for free. Both engines compute SSB/SSW from the
+    identical moment formulas, so round-4/round-6 parity is exact."""
+    g = _t(spark, sf_dir, "orders").groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("o_totalprice").alias("s1"),
+        F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias("s2"),
+    )
+    w = Window.partitionBy()
+    parts = g.select(
+        F.count(F.lit(1)).over(w).alias("k"),
+        F.sum("n").over(w).alias("big_n"),
+        (F.sum("s1").over(w) / F.sum("n").over(w)).alias("gm"),
+        "n",
+        "s1",
+        "s2",
+    ).select(
+        "k",
+        "big_n",
+        (
+            F.col("n")
+            * (F.col("s1") / F.col("n") - F.col("gm"))
+            * (F.col("s1") / F.col("n") - F.col("gm"))
+        ).alias("sb"),
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")).alias("sw"),
+    )
+    agg = parts.groupBy("k", "big_n").agg(
+        F.sum("sb").alias("ssb"), F.sum("sw").alias("ssw")
+    )
+    return agg.select(
+        F.col("k").alias("k_groups"),
+        (F.col("k") - 1).cast("long").alias("df_between"),
+        (F.col("big_n") - F.col("k")).cast("long").alias("df_within"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("big_n") - F.col("k"))),
+            4,
+        ).alias("f_stat"),
+        F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias(
+            "eta_sq"
+        ),
+    )
+
+
+# --- ST2: Spearman rank correlation without a global sort --------------------
+
+
+@query(
+    "q_spearman_corr",
+    oracle="""
+    WITH r AS (
+      SELECT (rank() OVER (ORDER BY l_quantity)
+              + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0) AS ra,
+             (rank() OVER (ORDER BY l_extendedprice)
+              + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0)
+               AS rb
+      FROM lineitem)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(corr(ra, rb), 6) AS spearman
+    FROM r
+    """,
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (ST2) between quantity and extended
+    price — the monotonic-association twin of q_stats_corr's Pearson.
+    The textbook form ranks each column with a GLOBAL sort window (one
+    task holds the whole column — the order-statistic wall). Here each
+    column's average-with-ties rank comes from the same tie-class
+    machinery as the exact quantiles (queries_scale.ranked_tie_classes:
+    hash-aggregate to (v, cnt, cum) classes, floor-bucket prefix sums):
+    avg_rank(v) = cum + (cnt+1)/2, exact int64-derived arithmetic with
+    no engine sort order anywhere. Rows join their two rank columns
+    back by VALUE (keyed equi-joins — the quantity side is ~50 classes
+    and broadcasts; the price side shuffles on value), then one
+    Pearson corr over the rank pairs. DuckDB's oracle uses the
+    classic rank windows; average ranks agree exactly because
+    rank() = cum + 1."""
+    from .queries_scale import ranked_tie_classes
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice"
+    )
+    ra = ranked_tie_classes(li.select("l_quantity"), "l_quantity").select(
+        F.col("v").alias("l_quantity"),
+        (F.col("cum") + (F.col("cnt") + 1) / 2.0).alias("ra"),
+    )
+    rb = ranked_tie_classes(
+        li.select("l_extendedprice"), "l_extendedprice"
+    ).select(
+        F.col("v").alias("l_extendedprice"),
+        (F.col("cum") + (F.col("cnt") + 1) / 2.0).alias("rb"),
+    )
+    paired = (
+        li.join(F.broadcast(ra), "l_quantity")
+        .join(rb, "l_extendedprice")
+        .select("ra", "rb")
+    )
+    return paired.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.corr("ra", "rb"), 6).alias("spearman"),
+    )
+
+
+# --- ST3: audience overlap (Jaccard between event-type user sets) ------------
+
+
+@query(
+    "q_audience_overlap",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      FROM ut GROUP BY event_type),
+    i AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, inter,
+           round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM i JOIN s sa ON type_a = sa.event_type
+           JOIN s sb ON type_b = sb.event_type
+    ORDER BY type_a, type_b
+    """,
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix (ST3): Jaccard similarity between the
+    user sets of every event-type pair — "how much of the click
+    audience also purchases", the segmentation overlap every campaign
+    planner asks for. Scale shape: the event volume collapses FIRST to
+    distinct (type, user) pairs (hash aggregate), the pair join is
+    keyed on user_id and fans out at most |types|²/2 rows per user
+    (type cardinality is a small constant — this is the co-occurrence
+    join, never a cross join), and set sizes broadcast back onto the
+    |types|² result. Inclusion-exclusion gives the union size without
+    a second pass."""
+    ut = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    s = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = ut.select(F.col("event_type").alias("type_a"), "user_id")
+    b = ut.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(s.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(s.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "inter",
+            F.round(
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# --- ST4: new vs returning daily decomposition -------------------------------
+
+
+@query(
+    "q_new_returning",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    first_seen AS (
+      SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id),
+    daily AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS active
+      FROM ud GROUP BY day),
+    news AS (
+      SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+      FROM first_seen GROUP BY first_day)
+    SELECT d.day, d.active,
+           coalesce(n.new_users, 0) AS new_users,
+           d.active - coalesce(n.new_users, 0) AS returning_users,
+           CAST(sum(coalesce(n.new_users, 0)) OVER (
+             ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS BIGINT) AS cum_users
+    FROM daily d LEFT JOIN news n ON d.day = n.day
+    ORDER BY d.day
+    """,
+)
+def q_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning decomposition (ST4): for each day, how
+    many active users saw their FIRST event that day vs came back —
+    plus the cumulative acquired-user curve. The growth-accounting
+    counterpart of q_cohort_retention's matrix (this is the time-series
+    view, that is the cohort view). Scale shape: the raw volume
+    collapses to distinct (user, day) once; first-seen is a user-keyed
+    min; both daily rollups are tiny (|days| rows), and the only
+    window is a running sum over |days| — never over users."""
+    ud = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    first_seen = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    daily = ud.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("active")
+    )
+    news = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.join(news, "day", "left")
+        .select(
+            "day",
+            "active",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+            (F.col("active") - F.coalesce("new_users", F.lit(0))).alias(
+                "returning_users"
+            ),
+        )
+        .withColumn(
+            "cum_users", F.sum("new_users").over(w).cast("long")
+        )
+        .orderBy("day")
+    )
+
+
+# --- ST5: IQR outlier fences -------------------------------------------------
+
+
+@query(
+    "q_iqr_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.25), 4) AS q1,
+             round(quantile_cont(l_extendedprice, 0.75), 4) AS q3
+      FROM lineitem GROUP BY l_returnflag),
+    f AS (
+      SELECT l_returnflag, q1, q3,
+             round(q1 - 1.5 * (q3 - q1), 5) AS lo_fence,
+             round(q3 + 1.5 * (q3 - q1), 5) AS hi_fence
+      FROM q)
+    SELECT f.l_returnflag, f.q1, f.q3, f.lo_fence, f.hi_fence,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE l.l_extendedprice < f.lo_fence
+                  OR l.l_extendedprice > f.hi_fence) AS BIGINT)
+             AS n_outliers,
+           round(count(*) FILTER (WHERE l.l_extendedprice < f.lo_fence
+                   OR l.l_extendedprice > f.hi_fence)
+                 / CAST(count(*) AS DOUBLE), 6) AS outlier_share
+    FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag
+    GROUP BY 1, 2, 3, 4, 5 ORDER BY f.l_returnflag
+    """,
+)
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR outlier fences per group (ST5): the boxplot rule
+    (±1.5·IQR beyond the quartiles) as a data-quality screen — which
+    return-flag segments carry heavy price tails, and how heavy. The
+    quartiles round to 4 decimals first (the module-wide rule), and the
+    fences round to FIVE: 1.5×(a 4-decimal number) has at most 5
+    decimal digits, so the 5-decimal round is exact representation on
+    both engines — a 4-decimal round would sit on a .00005 midpoint
+    half the time and split engines by one ulp (observed at sf0.001). Scale note: the grouped exact percentile aggregates one
+    GROUP's values per buffer — fine while groups are few and bounded
+    (3 flags here, same posture as Y4); the tie-class machinery
+    (queries_scale.ranked_tie_classes) is the unbounded-group escape
+    hatch. The fence pass re-reads the fact table once with the 3-row
+    fence side broadcast — two scans total, no row ever holds more
+    state than its own comparison."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    pct = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.75)))
+    q = (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("_p"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("_p")[0], 4).alias("q1"),
+            F.round(F.col("_p")[1], 4).alias("q3"),
+        )
+    )
+    f = q.select(
+        "l_returnflag",
+        "q1",
+        "q3",
+        F.round(F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")), 5).alias(
+            "lo_fence"
+        ),
+        F.round(F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")), 5).alias(
+            "hi_fence"
+        ),
+    )
+    out = (
+        F.col("l_extendedprice") < F.col("lo_fence")
+    ) | (F.col("l_extendedprice") > F.col("hi_fence"))
+    return (
+        li.join(F.broadcast(f), "l_returnflag")
+        .groupBy("l_returnflag", "q1", "q3", "lo_fence", "hi_fence")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(out.cast("long")).cast("long").alias("n_outliers"),
+            F.round(
+                F.sum(out.cast("long")) / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("outlier_share"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- ST6: BPE-style merge-pair mining ----------------------------------------
+
+
+@query(
+    "q_bpe_pairs",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    pairs AS (
+      SELECT substring(w, CAST(unnest(generate_series(1, length(w) - 1))
+                            AS INT), 2) AS pair
+      FROM words WHERE length(w) >= 2)
+    SELECT pair, CAST(count(*) AS BIGINT) AS freq
+    FROM pairs GROUP BY pair ORDER BY freq DESC, pair LIMIT 30
+    """,
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-pair mining (ST6): the first iteration of byte-pair
+    encoding — count every adjacent character pair inside every
+    whitespace token and rank the merge candidates. This is the
+    tokenizer-training primitive (the q_vocab_coverage / fertility
+    battery audits a FIXED vocab; this is where the vocab comes from).
+    Tokenization follows the engine-wide whitespace contract
+    (q_word_topk's split). Scale shape: pair generation is a row-local
+    ``transform(sequence(...))`` over codegen (no UDF), the explode
+    multiplies rows by ~word length but each output row is 2 chars,
+    and the count is a plain hash aggregate with map-side partials —
+    hot pairs ('th', 'er') are exactly the partial-agg-friendly case.
+    Top-30 is a TakeOrdered, never a global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), "pair")
+        .limit(30)
+    )
+
+
+# --- ST7: embedding covariance audit -----------------------------------------
+
+_COV_DIMS = 8
+
+
+def _cov_oracle() -> str:
+    cols = ", ".join(
+        f"CAST(embedding[{i}] AS DOUBLE) AS x{i}"
+        for i in range(1, _COV_DIMS + 1)
+    )
+    parts = []
+    for i in range(1, _COV_DIMS + 1):
+        for j in range(i, _COV_DIMS + 1):
+            parts.append(
+                f"SELECT {i} AS i, {j} AS j, "
+                f"round(covar_samp(x{i}, x{j}), 8) AS cov FROM d"
+            )
+    return (
+        f"WITH d AS (SELECT {cols} FROM embeddings) "
+        + " UNION ALL ".join(parts)
+        + " ORDER BY i, j"
+    )
+
+
+@query("q_embedding_cov", oracle=_cov_oracle())
+def q_embedding_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance audit (ST7): the upper-triangular sample
+    covariance of the first 8 embedding dimensions — the matrix a
+    drift monitor or PCA whitening step starts from (q_embedding_
+    dims_audit reads the diagonal; this adds the cross terms that
+    reveal correlated/collapsed dimensions). Scale shape: ALL 36
+    covariances come out of ONE hash-aggregate pass over the vectors
+    (Spark's covar_samp is a mergeable co-moment accumulator —
+    map-side partials, constant state per pair), element access is
+    codegen ``element_at``, and the result is 36 rows regardless of
+    corpus size. The d×d generalization is the same single pass with
+    d(d+1)/2 accumulators (d=64 → 2080 doubles of state — still
+    constant)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = emb.select(
+        *[
+            F.element_at("embedding", i).cast("double").alias(f"x{i}")
+            for i in range(1, _COV_DIMS + 1)
+        ]
+    )
+    aggs = []
+    for i in range(1, _COV_DIMS + 1):
+        for j in range(i, _COV_DIMS + 1):
+            aggs.append(
+                F.round(F.covar_samp(f"x{i}", f"x{j}"), 8).alias(
+                    f"c_{i}_{j}"
+                )
+            )
+    wide = d.agg(*aggs)
+    stack = ", ".join(
+        f"{i}, {j}, c_{i}_{j}"
+        for i in range(1, _COV_DIMS + 1)
+        for j in range(i, _COV_DIMS + 1)
+    )
+    n_pairs = _COV_DIMS * (_COV_DIMS + 1) // 2
+    return wide.select(
+        F.expr(f"stack({n_pairs}, {stack}) AS (i, j, cov)")
+    ).orderBy("i", "j")
+
+
+# --- ST8: inter-arrival cadence per event type -------------------------------
+
+
+@query(
+    "q_interarrival",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - CAST(floor(epoch(lag(ts) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+      FROM events)
+    SELECT event_type,
+           CAST(count(gap_s) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap_s, 0.50), 1) AS p50_s,
+           round(quantile_cont(gap_s, 0.90), 1) AS p90_s,
+           round(avg(gap_s), 1) AS mean_s
+    FROM g WHERE gap_s IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival cadence (ST8): the distribution of time
+    between a user's consecutive events OF THE SAME TYPE — how often
+    users come back to view vs purchase (q_funnel_timing measures
+    cross-step latency; this measures within-type rhythm, the input to
+    churn and session-timeout models). Scale shape: one (user, type)-
+    keyed sort window produces the lag gaps (epoch-second int64
+    arithmetic, ties broken on event_id so the order is total on both
+    engines), then a |types|-group percentile/mean rollup — the same
+    group-bounded exact-percentile posture as W19."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    g = ev.select(
+        "event_type",
+        (
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts")).over(w).cast("long")
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    pct = F.percentile("gap_s", F.array(F.lit(0.5), F.lit(0.9)))
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count("gap_s").cast("long").alias("n_gaps"),
+            pct.alias("_p"),
+            F.round(F.avg("gap_s"), 1).alias("mean_s"),
+        )
+        .select(
+            "event_type",
+            "n_gaps",
+            F.round(F.col("_p")[0], 1).alias("p50_s"),
+            F.round(F.col("_p")[1], 1).alias("p90_s"),
+            "mean_s",
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- ST9: Laspeyres price index ----------------------------------------------
+
+
+@query(
+    "q_price_index",
+    oracle="""
+    WITH py AS (
+      SELECT year(l_shipdate) AS yr, l_partkey,
+             sum(l_extendedprice) / sum(l_quantity) AS p,
+             sum(l_quantity) AS q
+      FROM lineitem GROUP BY 1, 2),
+    base AS (
+      SELECT l_partkey, p AS p0, q AS q0 FROM py
+      WHERE yr = (SELECT min(yr) FROM py)),
+    joined AS (
+      SELECT py.yr, CAST(count(*) AS BIGINT) AS n_parts,
+             sum(py.p * base.q0) AS cur_basket,
+             sum(base.p0 * base.q0) AS base_basket
+      FROM py JOIN base USING (l_partkey)
+      GROUP BY py.yr)
+    SELECT yr, n_parts,
+           round(cur_basket / base_basket, 6) AS laspeyres
+    FROM joined ORDER BY yr
+    """,
+)
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index (ST9): yearly price level relative to the
+    first shipping year, weighting each part's unit price by its
+    BASE-year quantity basket — the fixed-basket inflation measure
+    (what a CPI is), restricted per standard practice to parts present
+    in both years. Scale shape: the fact table collapses to (year,
+    part) unit-price/quantity cells in one hash aggregate; the base
+    year is a data-derived min over |years| rows (broadcast scalar);
+    the basket join is keyed on part (broadcast-able dimension side at
+    fixture scale, plain keyed shuffle at 100 TB) and each year's
+    basket sums are map-side-partial friendly."""
+    li = _t(spark, sf_dir, "lineitem")
+    py = li.groupBy(
+        F.year("l_shipdate").alias("yr"), "l_partkey"
+    ).agg(
+        (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"),
+        F.sum("l_quantity").alias("q"),
+    )
+    min_yr = py.agg(F.min("yr").alias("yr0"))
+    base = (
+        py.join(F.broadcast(min_yr), py.yr == F.col("yr0"))
+        .select("l_partkey", F.col("p").alias("p0"), F.col("q").alias("q0"))
+    )
+    return (
+        py.join(base, "l_partkey")
+        .groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum(F.col("p") * F.col("q0")).alias("cur_basket"),
+            F.sum(F.col("p0") * F.col("q0")).alias("base_basket"),
+        )
+        .select(
+            "yr",
+            "n_parts",
+            F.round(F.col("cur_basket") / F.col("base_basket"), 6).alias(
+                "laspeyres"
+            ),
+        )
+        .orderBy("yr")
+    )

@@ -49,6 +49,7 @@ _MODULES = (
     "adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_measurement",
     "adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_ledger",
     "adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_mlops",
+    "adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_stats",
 )
 
 

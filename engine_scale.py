@@ -65,6 +65,21 @@ def drive(spark, sf_dir: str, mult_tag: str, out: dict) -> None:
         eng._ensure_ann_index()
         out[f"ann_build_{mult_tag}"] = round(time.perf_counter() - t0, 3)
 
+        # per-corpus reuse (round 7): a FRESH engine on the same index
+        # path must verify the persisted corpus fingerprint and reuse
+        # the on-disk codebook+layout — before the fix this stage paid
+        # the full KMeans train + partitioned rewrite AGAIN (the build
+        # was effectively per-instance). Timed as its own stage so the
+        # reuse cost (one codebook read + count) is visible next to the
+        # build it replaces.
+        fresh = RagEngine(spark, index_path=f"{workdir}/index")
+        t0 = time.perf_counter()
+        rows = fresh.retrieve(QUESTION).collect()
+        out[f"fresh_engine_retrieve_{mult_tag}"] = round(
+            time.perf_counter() - t0, 3
+        )
+        assert len(rows) == fresh.k
+
         for st in ("similarity", "mmr", "hybrid"):
             t0 = time.perf_counter()
             rows = eng.retrieve(QUESTION, search_type=st).collect()
