@@ -844,8 +844,13 @@ def test_multi_touch_single_user_lineage(spark):
 
 def test_equi_depth_bounds_broadcast_once(spark):
     plan = _plan(spark, "q_equi_depth_histogram")
-    # one percentile buffer produces all 7 cut points; the 7-double row
-    # must come back as a broadcast, and assignment is expression-only
+    # round 7: cut points AND per-bucket stats both read the
+    # checkpointed tie-class table — no built-in percentile buffer, no
+    # second raw-column scan; the 7-double bound row broadcasts and
+    # assignment is expression-only
+    assert "percentile" not in plan.lower()
+    assert "Scan ExistingRDD" in plan  # the checkpointed class table
+    assert plan.count("FileScan parquet") == 0  # raw column never re-read
     assert "BroadcastExchange" in plan
     assert "PythonUDF" not in plan
 
@@ -875,3 +880,49 @@ def test_exact_quantiles_no_single_buffer_percentile(spark):
     assert "percentile" not in plan.lower()
     assert "Scan ExistingRDD" in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_anova_single_sufficient_stats_pass(spark):
+    plan = _plan(spark, "q_anova_f")
+    # the fact table collapses to k moment rows in ONE aggregate with
+    # map-side partials; the F arithmetic joins nothing back
+    assert "partial_sum" in plan
+    assert "Join" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_spearman_has_no_global_sort_window(spark):
+    plan = _plan(spark, "q_spearman_corr")
+    # ranks come from the checkpointed tie-class tables (exact int64
+    # arithmetic), never a global rank window over the raw column
+    assert "Scan ExistingRDD" in plan
+    assert "row_number" not in plan.lower() and "rank(" not in plan.lower()
+    # the ~50-class quantity rank side broadcasts
+    assert "BroadcastHashJoin" in plan
+
+
+def test_audience_overlap_collapses_before_pair_join(spark):
+    plan = _plan(spark, "q_audience_overlap")
+    # distinct (type, user) FIRST (partial aggregate before the
+    # exchange), then a user-keyed equi-join — never a cross join
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan
+
+
+def test_bpe_pairs_codegen_generate_topk(spark):
+    plan = _plan(spark, "q_bpe_pairs")
+    # pair generation is transform(sequence(...)) inside Generate —
+    # no Python anywhere — with map-side partial counts and TakeOrdered
+    assert "PythonUDF" not in plan
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "ReadSchema: struct<text:string>" in plan  # column-pruned scan
+
+
+def test_embedding_cov_single_pass(spark):
+    plan = _plan(spark, "q_embedding_cov")
+    # all 36 covariances from one mergeable co-moment aggregate over
+    # one scan; the stack to rows is expression-only
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_covar_samp" in plan or "covar_samp" in plan
+    assert "Join" not in plan
