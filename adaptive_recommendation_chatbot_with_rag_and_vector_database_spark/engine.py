@@ -138,6 +138,7 @@ class RagEngine:
     # matching the current corpus — the per-question short-circuit; an
     # in-session corpus change resets it
     _ann_built: bool = field(default=False, repr=False)
+    _lex_built: bool = field(default=False, repr=False)
     _codebook: object = field(default=None, repr=False)
 
     # -- index build (S2-S5, F5, F6, F8) -----------------------------------
@@ -162,6 +163,7 @@ class RagEngine:
         # (fingerprint probe) or rebuild instead
         if n_new > 0:
             self._ann_built = False
+            self._lex_built = False
             self._codebook = None
         return n_new
 
@@ -174,6 +176,48 @@ class RagEngine:
 
     def _ann_paths(self) -> tuple[str, str]:
         return f"{self.index_path}_ivf", f"{self.index_path}_ivf_codebook"
+
+    def _lex_paths(self) -> tuple[str, str]:
+        return f"{self.index_path}_lex", f"{self.index_path}_lex_stats"
+
+    def _ensure_lex_index(self) -> None:
+        """Lexical twin of ``_ensure_ann_index``: above the routing
+        threshold the hybrid path's BM25 leg reads a bucket-partitioned
+        posting-list layout instead of tokenizing every chunk per
+        question (the scan leg dominated hybrid latency at the
+        2 M-chunk tier). Same per-corpus reuse contract: the stats
+        parquet carries the corpus row count, a fresh engine verifies
+        it before rebuilding, and ``_lex_built`` short-circuits every
+        later question. Built lazily on the first hybrid retrieval —
+        vector-only users never pay it."""
+        from .operators.ranking import write_postings_index
+
+        if self._lex_built:
+            return
+        rows = self._count_index_rows()
+        if rows <= self.ann_threshold_rows:
+            return
+        lex_path, stats_path = self._lex_paths()
+        try:
+            st = self.spark.read.parquet(stats_path).collect()
+        except Exception:
+            st = []
+        if st and all(getattr(r, "corpus_rows", None) == rows for r in st):
+            self._lex_built = True
+            return
+        write_postings_index(
+            self.index().select(
+                F.concat_ws("#", F.col("doc_id"), F.col("chunk_id")).alias(
+                    "cid"
+                ),
+                "text",
+            ),
+            lex_path,
+            stats_path,
+            id_col="cid",
+            fingerprint=rows,
+        )
+        self._lex_built = True
 
     def _ensure_ann_index(self) -> None:
         from .operators.similarity import train_centroids_sample, write_ivf_index
@@ -443,9 +487,25 @@ class RagEngine:
         idx = self.index().withColumn(
             "cid", F.concat_ws("#", F.col("doc_id"), F.col("chunk_id"))
         )
-        bm = bm25_scores(
-            idx.select(F.col("cid").alias("doc_id"), "text"), terms
-        ).withColumnRenamed("doc_id", "cid")
+        if self._below_ann_threshold():
+            # reference-scale: tokenize-and-score scan, bit-stable with
+            # the historical path and the oracle-checked operator
+            bm = bm25_scores(
+                idx.select(F.col("cid").alias("doc_id"), "text"), terms
+            ).withColumnRenamed("doc_id", "cid")
+        else:
+            # above-threshold: the posting-list layout serves the leg —
+            # per-question cost is |terms| bucket directories + row-group
+            # pruning on the sorted term column, never a corpus tokenize.
+            # Scores are bit-identical to the scan form for every chunk
+            # containing >=1 query term (bm25_postings_scores docstring).
+            from .operators.ranking import bm25_postings_scores
+
+            self._ensure_lex_index()
+            lex_path, stats_path = self._lex_paths()
+            bm = bm25_postings_scores(
+                self.spark, lex_path, stats_path, terms, id_col="cid"
+            )
         qvec = embed_text(question, self.dim)
         # the vector leg routes on index size like every retrieval; the
         # BM25 leg is lexical and scan-bound either way

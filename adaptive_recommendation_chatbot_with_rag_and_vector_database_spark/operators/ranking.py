@@ -236,6 +236,161 @@ def bm25_dynamic_oracle_select(terms_cte: str, relation: str = "documents") -> s
     """
 
 
+# --- index-time lexical structure: bucket-partitioned posting lists ---------
+
+#: posting-list hash buckets: enough that a question's <=5 term buckets
+#: open <2% of the layout's files, few enough that the build's
+#: partitionBy stays a sane directory count
+LEX_BUCKETS = 256
+
+
+def term_bucket(term: str) -> int:
+    """Driver-side twin of ``term_bucket_expr``: sha1-hex-prefix mod —
+    chosen over xxhash64/crc because BOTH sides (a Catalyst expression
+    at build time, plain hashlib at question time) can compute it
+    exactly, so the per-question bucket set never needs a Spark job."""
+    import hashlib
+
+    return int(hashlib.sha1(term.encode("utf-8")).hexdigest()[:8], 16) % LEX_BUCKETS
+
+
+def term_bucket_expr(col: Column) -> Column:
+    return F.pmod(
+        F.conv(F.substring(F.sha1(col), 1, 8), 16, 10).cast("long"),
+        F.lit(LEX_BUCKETS),
+    ).cast("int")
+
+
+def write_postings_index(
+    docs: DataFrame,
+    path: str,
+    stats_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fingerprint: int | None = None,
+) -> None:
+    """Persist the corpus as a bucket-partitioned POSTING LIST — the
+    lexical twin of ``write_ivf_index``'s vector layout, and the same
+    lesson: only index-time structure beats a scan. Rows are
+    ``(term, id, tf, dl, df)`` (df denormalized onto postings so a
+    probe needs no second lookup), partitioned by ``term_bucket`` and
+    sorted by term within each bucket file, so a question's terms
+    resolve driver-side to <=|terms| partition directories AND the
+    parquet row-group min/max on the sorted ``term`` column prunes
+    inside them. Global BM25 stats (N, avgdl — over ALL docs, exactly
+    what the scan form computes per question) persist beside the
+    layout with the caller's corpus ``fingerprint`` for reuse checks.
+    Cost model: the posting table is Σ|distinct terms per doc| rows
+    built once per corpus change; a question then reads
+    ~|terms|/LEX_BUCKETS of it instead of tokenizing every document
+    per query (measured: the scan leg dominated hybrid latency at the
+    2 M-chunk tier)."""
+    from ..sources.loaders import scatter
+
+    t = scatter(docs).select(F.col(id_col), tokens(text_col).alias("toks"))
+    m = t.select(
+        id_col,
+        F.size("toks").alias("dl"),
+        F.explode("toks").alias("term"),
+    )
+    tf = m.groupBy("term", id_col, "dl").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_t = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    post = tf.join(df_t, "term").withColumn(
+        "bucket", term_bucket_expr(F.col("term"))
+    )
+    (
+        post.repartition("bucket")
+        .sortWithinPartitions("term", id_col)
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    stats = t.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (
+            F.sum(F.size("toks")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    ).withColumn(
+        "corpus_rows",
+        F.lit(-1 if fingerprint is None else int(fingerprint)).cast("long"),
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(stats_path)
+
+
+def bm25_postings_scores(
+    spark,
+    path: str,
+    stats_path: str,
+    terms: list[str],
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 over the persisted posting lists → ``(id_col, bm25)`` for
+    every document containing >=1 query term. Identical arithmetic to
+    ``bm25_scores`` (same idf/tf expressions, same left-to-right term
+    sum, same round-6), with exact tf/dl/df/N/avgdl read from the
+    layout — so any document that matches a term scores bit-for-bit
+    what the scan form gives it. The one DELIBERATE difference:
+    zero-match documents produce no row at all (the scan form emits
+    them with bm25 = 0), i.e. documents carry lexical evidence only if
+    they contain a query term — at retrieval depth this only matters
+    for queries matching fewer than ``depth`` documents. The probed
+    buckets resolve driver-side (``term_bucket``) into a basePath read
+    of <=|terms| partition directories, like ``ivf_knn_pruned``."""
+    uterms = list(dict.fromkeys(terms))  # order-preserving unique
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    subdirs = []
+    for b in sorted({term_bucket(t) for t in uterms}):
+        p = f"{path}/bucket={b}"
+        jp = jvm.org.apache.hadoop.fs.Path(p)
+        if jp.getFileSystem(conf).exists(jp):
+            subdirs.append(p)
+    stats = spark.read.parquet(stats_path).select("n", "avgdl")
+    if not subdirs:  # no term has a populated bucket: empty frame
+        return spark.createDataFrame([], f"{id_col} string, bm25 double")
+    post = (
+        spark.read.option("basePath", path)
+        .parquet(*subdirs)
+        .filter(F.col("term").isin(uterms))
+    )
+    wide = post.groupBy(id_col, "dl").agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("tf"))).alias(f"tf{i}")
+            for i, t in enumerate(uterms)
+        ],
+        *[
+            F.max(F.when(F.col("term") == t, F.col("df"))).alias(f"df{i}")
+            for i, t in enumerate(uterms)
+        ],
+    )
+    scored = wide.crossJoin(F.broadcast(stats))
+
+    def contrib(i: int) -> Column:
+        # absent term => tf 0: idf(any positive df) * 0 == +0.0, exactly
+        # the scan form's idf(real df) * 0 — df's filler never leaks
+        tf = F.coalesce(F.col(f"tf{i}"), F.lit(0)).cast("long")
+        df = F.coalesce(F.col(f"df{i}"), F.lit(1.0))
+        idf = F.log(
+            (F.col("n") - df + F.lit(0.5)) / (df + F.lit(0.5)) + F.lit(1.0)
+        )
+        denom = tf + F.lit(BM25_K1) * (
+            F.lit(1 - BM25_B) + F.lit(BM25_B) * (F.col("dl") / F.col("avgdl"))
+        )
+        return idf * (tf * F.lit(BM25_K1 + 1)) / denom
+
+    total = contrib(0)
+    for i in range(1, len(uterms)):
+        total = total + contrib(i)
+    return scored.select(F.col(id_col), F.round(total, 6).alias("bm25"))
+
+
 RRF_K = 60  # standard reciprocal-rank-fusion smoothing constant
 RRF_DEPTH = 50  # fuse the top-N of each ranker, not whole-corpus ranks
 

@@ -305,3 +305,72 @@ def test_ann_rebuild_after_corpus_growth_retrains(spark, tmp_path, monkeypatch):
     assert len(seen_keys) == 2  # retrained, not replayed from memo/disk
     assert seen_keys[0] != seen_keys[1]  # corpus-versioned cache keys
     assert all(k and str(path) in k for k in seen_keys)
+
+
+def test_postings_bm25_bit_identical_to_scan_form(spark, tmp_path):
+    """The posting-list layout must reproduce the scan-form BM25 scores
+    bit-for-bit for every document containing >=1 query term (the only
+    documents the postings emit — zero-match docs carry no lexical
+    evidence by design)."""
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators.ranking import (
+        bm25_postings_scores,
+        bm25_scores,
+        write_postings_index,
+    )
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.sources.loaders import (
+        load_table,
+    )
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001").select(
+        "doc_id", "text"
+    )
+    lex = str(tmp_path / "lex")
+    stats = str(tmp_path / "lex_stats")
+    write_postings_index(docs, lex, stats, fingerprint=123)
+    # real corpus tokens plus one absent term (its tf-0 filler-df path
+    # must contribute exactly +0.0, like the scan form's idf*0)
+    terms = ["query", "window", "merge", "customer", "zzz_absent_term"]
+    scan = {
+        r.doc_id: r.bm25
+        for r in bm25_scores(docs, terms).collect()
+        if r.bm25 != 0.0
+    }
+    post = {
+        r.doc_id: r.bm25
+        for r in bm25_postings_scores(
+            spark, lex, stats, terms, id_col="doc_id"
+        ).collect()
+    }
+    assert post  # the fixture matches some terms
+    assert post == scan  # exact float equality, doc for doc
+
+
+def test_hybrid_routes_through_postings_above_threshold(spark, tmp_path, monkeypatch):
+    """Above the ANN threshold the hybrid BM25 leg must come from the
+    posting-list layout (no corpus tokenize per question), and a fresh
+    engine must REUSE the persisted layout via the stats fingerprint."""
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators import (
+        ranking as rk,
+    )
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.sources.loaders import (
+        load_table,
+    )
+
+    path = str(tmp_path / "index")
+    eng = RagEngine(spark, index_path=path, ann_threshold_rows=10)
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    assert eng.index_documents(docs) > 0
+    q = "priority freight shipments delayed by clerk errors"
+    rows = eng.retrieve(q, search_type="hybrid").collect()
+    assert len(rows) == eng.k and eng._lex_built
+
+    def boom(*a, **k):
+        raise AssertionError("fresh engine rebuilt an already-built postings layout")
+
+    monkeypatch.setattr(rk, "write_postings_index", boom)
+    fresh = RagEngine(spark, index_path=path, ann_threshold_rows=10)
+    got = fresh.retrieve(q, search_type="hybrid").collect()
+    assert fresh._lex_built
+    assert [(r.doc_id, r.chunk_id) for r in got] == [
+        (r.doc_id, r.chunk_id) for r in rows
+    ]
