@@ -1,9 +1,13 @@
-"""Statistics & audience wave 30 (SURVEY §2.34): the inferential and
-audience-analysis operators a BI platform layers over the warehouse —
-one-way ANOVA, Spearman rank correlation computed WITHOUT a global sort,
-audience set overlap, new-vs-returning decomposition, IQR outlier
+"""Statistics & audience waves 30-31 (SURVEY §2.34): the inferential
+and audience-analysis operators a BI platform layers over the warehouse
+— one-way ANOVA, Spearman rank correlation computed WITHOUT a global
+sort, audience set overlap, new-vs-returning decomposition, IQR outlier
 fences, BPE-style merge-pair mining, an embedding covariance audit,
-per-type inter-arrival cadence, and a Laspeyres price index.
+per-type inter-arrival cadence, a Laspeyres price index, and (wave 31)
+contingency-table information measures (MI / chi-square / Cramér's V),
+the quantity-weighted median, a daily cross-correlation function,
+HHI/CR4 market concentration, the Wilcoxon signed-rank paired test, and
+a Flesch readability audit.
 
 The reference (AI.py) has no analytics surface; these are the measures
 its operators would run over the chatbot's own logs and the corpus
@@ -630,4 +634,462 @@ def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("yr")
+    )
+
+
+# =============================== wave 31 =====================================
+# Contingency-table information measures, weighted robust stats, lagged
+# series association, market concentration, the paired-rank test, and a
+# readability audit.
+
+
+# --- ST10: contingency-table stats (MI, chi-square, Cramér's V) --------------
+
+
+@query(
+    "q_contingency_stats",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS a, dayofweek(ts) AS b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n,
+                   CAST(count(DISTINCT a) AS BIGINT) AS r,
+                   CAST(count(DISTINCT b) AS BIGINT) AS c
+            FROM cells),
+    marg AS (
+      SELECT cells.a, cells.b, cells.n_ab,
+             sum(n_ab) OVER (PARTITION BY a) AS n_a,
+             sum(n_ab) OVER (PARTITION BY b) AS n_b
+      FROM cells),
+    parts AS (
+      SELECT sum((n_ab::DOUBLE / t.n)
+                 * ln((n_ab::DOUBLE * t.n) / (n_a::DOUBLE * n_b))) AS mi,
+             sum(pow(n_ab - (n_a::DOUBLE * n_b / t.n), 2)
+                 / (n_a::DOUBLE * n_b / t.n)) AS chi2,
+             max(t.n) AS n, max(t.r) AS r, max(t.c) AS c
+      FROM marg, tot t)
+    SELECT n, r AS n_rows_dim, c AS n_cols_dim,
+           round(chi2, 4) AS chi2,
+           round(mi, 6) AS mutual_info,
+           round(sqrt(chi2 / (n * (CASE WHEN r < c THEN r ELSE c END - 1))),
+                 6) AS cramers_v
+    FROM parts
+    """,
+)
+def q_contingency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency-table association battery (ST10): mutual
+    information, chi-square, and Cramér's V between event type and
+    weekday — the feature-selection measures (is behavior
+    day-of-week dependent, and HOW dependent) beside the pure
+    significance test q_chi_square runs. Scale shape: the event volume
+    collapses to an r×c cell table in one hash aggregate; marginals are
+    windows over the ≤35-cell table; all three statistics come from one
+    pass over those cells. Engines sum ≤35 small terms in different
+    orders — absorbed by round-4/6."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("a"),
+        F.dayofweek("ts").alias("b"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    wall = Window.partitionBy()
+    marg = cells.select(
+        "a",
+        "b",
+        "n_ab",
+        F.sum("n_ab").over(wa).alias("n_a"),
+        F.sum("n_ab").over(wb).alias("n_b"),
+        F.sum("n_ab").over(wall).cast("long").alias("n"),
+        F.size(F.collect_set("a").over(wall)).cast("long").alias("r"),
+        F.size(F.collect_set("b").over(wall)).cast("long").alias("c"),
+    )
+    e = F.col("n_a").cast("double") * F.col("n_b") / F.col("n")
+    parts = marg.groupBy("n", "r", "c").agg(
+        F.sum(
+            (F.col("n_ab").cast("double") / F.col("n"))
+            * F.log(
+                (F.col("n_ab").cast("double") * F.col("n"))
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            )
+        ).alias("mi"),
+        F.sum(F.pow(F.col("n_ab") - e, F.lit(2.0)) / e).alias("chi2"),
+    )
+    return parts.select(
+        "n",
+        F.col("r").alias("n_rows_dim"),
+        F.col("c").alias("n_cols_dim"),
+        F.round("chi2", 4).alias("chi2"),
+        F.round("mi", 6).alias("mutual_info"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * (F.least("r", "c") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+# --- ST11: weighted median ----------------------------------------------------
+
+
+@query(
+    "q_weighted_median",
+    oracle="""
+    WITH vc AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS v,
+             sum(l_quantity) AS w
+      FROM lineitem GROUP BY 1, 2),
+    cum AS (
+      SELECT flag, v, w,
+             sum(w) OVER (PARTITION BY flag ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cw,
+             sum(w) OVER (PARTITION BY flag) AS tw
+      FROM vc)
+    SELECT flag AS l_returnflag,
+           round(min(tw), 2) AS total_weight,
+           round(min(CASE WHEN cw >= tw / 2 THEN v END), 2)
+             AS weighted_median
+    FROM cum GROUP BY flag ORDER BY flag
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag (ST11): the
+    robust "typical unit price" where every row votes with its
+    quantity — the lower weighted median (smallest value whose
+    cumulative weight reaches half the total; an exact, tie-free
+    definition on both engines because weights are integral-valued
+    doubles summed exactly and W/2 is an exact binary halving). Scale
+    shape: rows collapse to (flag, value) weight classes FIRST (hash
+    aggregate), the cumulative window sorts only each flag's ~|distinct
+    values| classes within its own partition — no global sort, no
+    single-task percentile buffer."""
+    li = _t(spark, sf_dir, "lineitem")
+    vc = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+    ).agg(F.sum("l_quantity").alias("w"))
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("flag")
+    cum = vc.select(
+        "flag",
+        "v",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wtot).alias("tw"),
+    )
+    return (
+        cum.groupBy("flag")
+        .agg(
+            F.round(F.min("tw"), 2).alias("total_weight"),
+            F.round(
+                F.min(F.when(F.col("cw") >= F.col("tw") / 2, F.col("v"))), 2
+            ).alias("weighted_median"),
+        )
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            "total_weight",
+            "weighted_median",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- ST12: cross-correlation of two daily series -------------------------------
+
+_CCF_MAX_LAG = 7
+
+
+@query(
+    "q_ccf",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+               AS v,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS p
+      FROM events GROUP BY 1),
+    lags AS (SELECT unnest(generate_series(0, {_CCF_MAX_LAG})) AS lag)
+    SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(corr(a.v, b.p), 6) AS ccf
+    FROM lags CROSS JOIN daily a JOIN daily b ON b.day = a.day + CAST(lag AS INT)
+    GROUP BY lag ORDER BY lag
+    """,
+)
+def q_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function (ST12): corr(views_t, purchases_{{t+lag}})
+    for lags 0..7 — "does view volume LEAD purchase volume, and by how
+    many days", the lead-lag diagnostic beside q_acf's
+    autocorrelation. Scale shape: the event volume collapses to one
+    |days|-row daily frame (two filtered counts in one pass); each lag
+    is a self-join of that tiny frame shifted by date arithmetic, and
+    the |lags| correlations aggregate |days|-sized inputs — everything
+    after the first aggregate is dimension-table-sized."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum((F.col("event_type") == "view").cast("long"))
+        .cast("long")
+        .alias("v"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("p"),
+    )
+    lags = spark.range(0, _CCF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.select("day", "v")
+    b = daily.select(F.col("day").alias("day_b"), "p")
+    joined = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b, F.col("day_b") == F.date_add(F.col("day"), F.col("lag")))
+    )
+    return (
+        joined.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.corr("v", "p"), 6).alias("ccf"),
+        )
+        .orderBy("lag")
+    )
+
+
+# --- ST13: market concentration (HHI + CR4) ------------------------------------
+
+
+@query(
+    "q_hhi_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation, s.s_suppkey,
+             sum(l.l_extendedprice) AS r
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY 1, 2),
+    shares AS (
+      SELECT nation, s_suppkey, r,
+             r / sum(r) OVER (PARTITION BY nation) AS share,
+             row_number() OVER (PARTITION BY nation
+                                ORDER BY r DESC, s_suppkey) AS rn
+      FROM rev)
+    SELECT nation,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(sum(share * share) * 10000, 2) AS hhi,
+           round(sum(CASE WHEN rn <= 4 THEN share ELSE 0 END), 6) AS cr4
+    FROM shares GROUP BY nation ORDER BY nation
+    """,
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market concentration per nation (ST13):
+    HHI (sum of squared supplier revenue shares × 10000, the antitrust
+    scale) and CR4 (top-4 share) — "is this supplier market
+    concentrated", the market-structure view where W21's Pareto curve
+    is the customer view. Scale shape: the fact table collapses to
+    (nation, supplier) revenue in one keyed aggregate (supplier and
+    nation dims broadcast); shares and the top-4 rank are windows over
+    each nation's ~|suppliers| rows — partition-keyed, never global."""
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "s_suppkey")
+        .agg(F.sum("l_extendedprice").alias("r"))
+    )
+    wn = Window.partitionBy("nation")
+    wr = Window.partitionBy("nation").orderBy(F.desc("r"), "s_suppkey")
+    shares = rev.select(
+        "nation",
+        (F.col("r") / F.sum("r").over(wn)).alias("share"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    return (
+        shares.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.round(F.sum(F.col("share") * F.col("share")) * 10000, 2).alias(
+                "hhi"
+            ),
+            F.round(
+                F.sum(F.when(F.col("rn") <= 4, F.col("share")).otherwise(0.0)),
+                6,
+            ).alias("cr4"),
+        )
+        .orderBy("nation")
+    )
+
+
+# --- ST14: Wilcoxon signed-rank (paired year-over-year prices) ------------------
+
+
+@query(
+    "q_wilcoxon_signed_rank",
+    oracle="""
+    WITH py AS (
+      SELECT year(l_shipdate) AS yr, l_partkey,
+             sum(l_extendedprice) / sum(l_quantity) AS p
+      FROM lineitem GROUP BY 1, 2),
+    yrs AS (SELECT min(yr) AS y1 FROM py),
+    pairs AS (
+      SELECT a.l_partkey,
+             round(b.p - a.p, 4) AS d
+      FROM py a JOIN py b USING (l_partkey), yrs
+      WHERE a.yr = yrs.y1 AND b.yr = yrs.y1 + 1),
+    nz AS (SELECT l_partkey, d, abs(d) AS ad FROM pairs WHERE d <> 0),
+    ranked AS (
+      SELECT d,
+             rank() OVER (ORDER BY ad)
+               + (count(*) OVER (PARTITION BY ad) - 1) / 2.0 AS rk
+      FROM nz),
+    stat AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CASE WHEN d > 0 THEN rk ELSE 0 END) AS w_plus
+      FROM ranked)
+    SELECT n, round(w_plus, 1) AS w_plus,
+           round((w_plus - n * (n + 1) / 4.0)
+                 / sqrt(n * (n + 1.0) * (2 * n + 1) / 24.0), 4) AS z
+    FROM stat
+    """,
+)
+def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test (ST14): did per-part unit prices SHIFT
+    between the first two shipping years — the PAIRED nonparametric
+    test beside q_mann_whitney's unpaired U (same part measured twice,
+    differences ranked by magnitude). Determinism: differences are
+    rounded to 4 decimals BEFORE ranking (a 1-ulp split in a float
+    difference must not reorder ranks between engines), zeros drop per
+    the standard procedure, and tied magnitudes take average ranks via
+    the tie-class identity avg_rank = cum + (cnt+1)/2 — computed here
+    from ``ranked_tie_classes`` (NO global sort window; the oracle's
+    rank()+ties formula agrees exactly because rank() = cum + 1).
+    The normal approximation z uses the classic moments."""
+    from .queries_scale import ranked_tie_classes
+
+    li = _t(spark, sf_dir, "lineitem")
+    py = li.groupBy(
+        F.year("l_shipdate").alias("yr"), "l_partkey"
+    ).agg((F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"))
+    y1 = py.agg(F.min("yr").alias("y1"))
+    a = py.join(F.broadcast(y1), py.yr == F.col("y1")).select(
+        "l_partkey", F.col("p").alias("pa")
+    )
+    b = py.join(F.broadcast(y1), py.yr == F.col("y1") + 1).select(
+        "l_partkey", F.col("p").alias("pb")
+    )
+    pairs = a.join(b, "l_partkey").select(
+        F.round(F.col("pb") - F.col("pa"), 4).alias("d")
+    )
+    nz = pairs.filter(F.col("d") != 0).select(
+        "d", F.abs("d").alias("ad")
+    )
+    rk = ranked_tie_classes(nz.select("ad"), "ad").select(
+        F.col("v").alias("ad"),
+        (F.col("cum") + (F.col("cnt") + 1) / 2.0).alias("rk"),
+    )
+    ranked = nz.join(rk, "ad")
+    stat = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("d") > 0, F.col("rk")).otherwise(0.0)).alias(
+            "w_plus"
+        ),
+    )
+    return stat.select(
+        "n",
+        F.round("w_plus", 1).alias("w_plus"),
+        F.round(
+            (F.col("w_plus") - F.col("n") * (F.col("n") + 1) / 4.0)
+            / F.sqrt(
+                F.col("n")
+                * (F.col("n") + 1.0)
+                * (2 * F.col("n") + 1)
+                / 24.0
+            ),
+            4,
+        ).alias("z"),
+    )
+
+
+# --- ST15: Flesch readability audit --------------------------------------------
+
+
+@query(
+    "q_readability",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS words,
+             greatest(len(regexp_extract_all(text, '[.!?]')), 1)
+               AS sentences,
+             greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+               AS syllables
+      FROM documents),
+    f AS (
+      SELECT source,
+             206.835 - 1.015 * (words::DOUBLE / sentences)
+               - 84.6 * (syllables::DOUBLE / words) AS flesch
+      FROM d WHERE words > 0)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(flesch), 4) AS mean_flesch,
+           round(min(flesch), 4) AS min_flesch,
+           round(max(flesch), 4) AS max_flesch
+    FROM f GROUP BY source ORDER BY source
+    """,
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease audit per source (ST15): the classic
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words) formula
+    with a deterministic engine-portable syllable proxy (count of
+    [aeiouy]+ vowel groups — explicit character classes, no \\s/\\w
+    shorthand whose RE2/Java semantics diverge) — the readability
+    dimension the quality-score battery (X3) doesn't measure. Scale
+    shape: all three counts are row-local regexp/array expressions in
+    codegen; the per-source rollup is a |sources|-group aggregate with
+    map-side partials. Counts are exact integers; only the final
+    averages carry float noise, absorbed by round-4."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    )
+    sentences = F.greatest(
+        F.regexp_count(F.col("text"), F.lit("[.!?]")), F.lit(1)
+    )
+    syllables = F.greatest(
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")),
+        F.lit(1),
+    )
+    d = docs.select(
+        "source",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+    ).filter(F.col("words") > 0)
+    f = d.select(
+        "source",
+        (
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("words").cast("double") / F.col("sentences"))
+            - F.lit(84.6)
+            * (F.col("syllables").cast("double") / F.col("words"))
+        ).alias("flesch"),
+    )
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("flesch"), 4).alias("mean_flesch"),
+            F.round(F.min("flesch"), 4).alias("min_flesch"),
+            F.round(F.max("flesch"), 4).alias("max_flesch"),
+        )
+        .orderBy("source")
     )
