@@ -507,8 +507,7 @@ class RagEngine:
                 self.spark, lex_path, stats_path, terms, id_col="cid"
             )
         qvec = embed_text(question, self.dim)
-        # the vector leg routes on index size like every retrieval; the
-        # BM25 leg is lexical and scan-bound either way
+        # the vector leg routes on index size like every retrieval
         vs = self._topk_chunks(qvec, depth, payload_cols=()).select(
             F.concat_ws("#", F.col("doc_id"), F.col("chunk_id")).alias("cid"),
             "score",
@@ -516,6 +515,32 @@ class RagEngine:
         top = rrf_fuse(bm, vs, "cid", "bm25", "score", k=k, depth=depth).select(
             "cid", F.col("rrf").alias("score")
         )
+        # payload pruning: above the threshold the fused top-k is
+        # collected (k rows — the same boundedness ask() relies on) so
+        # its doc_ids become a PUSHABLE parquet predicate on the index
+        # scan; the broadcast-join-against-the-full-scan form read all
+        # 2 M rows to serve k of them. Below the threshold the scan is
+        # the cheap part and the historical lazy plan stays untouched.
+        if not self._below_ann_threshold():
+            picked = top.collect()  # k rows by construction
+            doc_ids = sorted({int(c.cid.split("#")[0]) for c in picked})
+            scores = {c.cid: float(c.score) for c in picked}
+            hits = (
+                idx.filter(F.col("doc_id").isin(doc_ids))
+                .filter(F.col("cid").isin(list(scores)))
+                .select("cid", "doc_id", "chunk_id", "text")
+                .collect()
+            )
+            return self.spark.createDataFrame(
+                sorted(
+                    (
+                        (r.doc_id, r.chunk_id, r.text, scores[r.cid])
+                        for r in hits
+                    ),
+                    key=lambda t: (-t[3], t[0], t[1]),
+                ),
+                "doc_id long, chunk_id int, text string, score double",
+            )
         return (
             F.broadcast(top)
             .join(idx, "cid")
