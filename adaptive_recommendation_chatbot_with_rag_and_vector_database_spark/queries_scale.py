@@ -936,6 +936,124 @@ def quantiles_from_ranked(ranked: DataFrame, fracs: list[float]) -> DataFrame:
     )
 
 
+def grouped_exact_quantiles(
+    df: DataFrame,
+    col: str,
+    grp: str,
+    fracs: list[float],
+    bucket_width: float = 1000.0,
+) -> DataFrame:
+    """PER-GROUP distributed exact interpolated quantiles — the
+    unbounded-group-safe form of ``exact_quantiles_grouped`` (and the
+    scale answer to the built-in grouped ``percentile``, whose buffer
+    collects one whole GROUP's values into a single task — measured as
+    the q_iqr_outliers wall at the 100x tier: 3 groups x 2 M values
+    per buffer). Identical machinery, one extra key everywhere: tie
+    classes are (grp, v, cnt), the floor-bucket prefix sum windows are
+    partitioned by group (no window ever exceeds one group's
+    ~|range/width| bucket counts), targets explode to 2*|fracs| rows
+    PER GROUP and meet the class table in a group-keyed equi-join with
+    a range residual — never a global broadcast theta over all groups'
+    classes. Returns (grp, frac, quantile), quantile_cont semantics."""
+    from pyspark.sql import Window
+
+    vc = df.groupBy(F.col(grp), F.col(col).alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    b = vc.withColumn("bkt", F.floor(F.col("v") / bucket_width).cast("long"))
+    bc = b.groupBy(grp, "bkt").agg(F.sum("cnt").cast("long").alias("bn"))
+    w_off = (
+        Window.partitionBy(grp)
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = bc.select(
+        grp,
+        "bkt",
+        F.coalesce(F.sum("bn").over(w_off), F.lit(0)).cast("long").alias("off"),
+    )
+    w_in = (
+        Window.partitionBy(grp, "bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = (
+        b.join(boff, [grp, "bkt"])
+        .select(
+            grp,
+            "v",
+            "cnt",
+            (
+                F.col("off") + F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
+            ).alias("cum"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n = ranked.groupBy(grp).agg(
+        F.max(F.col("cum") + F.col("cnt")).alias("n")
+    )
+    pos = F.lit(1.0) + (F.col("n") - 1) * F.col("frac")
+    targets = (
+        n.select(
+            grp,
+            F.explode(
+                F.array(*[F.lit(float(q)) for q in fracs])
+            ).alias("frac"),
+            "n",
+        )
+        .select(grp, "frac", pos.alias("pos"))
+        .select(
+            grp,
+            "frac",
+            "pos",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("lo").alias("side"),
+                        F.floor("pos").cast("long").alias("idx"),
+                    ),
+                    F.struct(
+                        F.lit("hi").alias("side"),
+                        F.least(
+                            F.ceil("pos").cast("long"),
+                            F.floor("pos").cast("long") + 1,
+                        ).alias("idx"),
+                    ),
+                )
+            ).alias("t"),
+        )
+        .select(
+            grp,
+            "frac",
+            "pos",
+            F.col("t.side").alias("side"),
+            F.col("t.idx").alias("idx"),
+        )
+    )
+    # no broadcast hint: targets is 2*|fracs| rows PER GROUP, so for
+    # bounded group counts AQE broadcasts it anyway, while an unbounded
+    # group domain falls back to a grp-keyed shuffle join with the range
+    # condition as a residual — never a global theta product
+    hits = targets.join(
+        ranked.withColumnRenamed(grp, "_g"),
+        (F.col(grp) == F.col("_g"))
+        & (F.col("idx") > F.col("cum"))
+        & (F.col("idx") <= F.col("cum") + F.col("cnt")),
+    )
+    wide = hits.groupBy(grp, "frac", "pos").agg(
+        F.max(F.when(F.col("side") == "lo", F.col("v"))).alias("v_lo"),
+        F.max(F.when(F.col("side") == "hi", F.col("v"))).alias("v_hi"),
+    )
+    return wide.select(
+        grp,
+        "frac",
+        (
+            F.col("v_lo")
+            + (F.col("pos") - F.floor("pos")) * (F.col("v_hi") - F.col("v_lo"))
+        ).alias("quantile"),
+    )
+
+
 @query(
     "q_equi_depth_histogram",
     oracle="""

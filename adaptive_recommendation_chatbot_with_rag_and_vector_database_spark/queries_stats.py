@@ -348,24 +348,34 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     fences round to FIVE: 1.5×(a 4-decimal number) has at most 5
     decimal digits, so the 5-decimal round is exact representation on
     both engines — a 4-decimal round would sit on a .00005 midpoint
-    half the time and split engines by one ulp (observed at sf0.001). Scale note: the grouped exact percentile aggregates one
-    GROUP's values per buffer — fine while groups are few and bounded
-    (3 flags here, same posture as Y4); the tie-class machinery
-    (queries_scale.ranked_tie_classes) is the unbounded-group escape
-    hatch. The fence pass re-reads the fact table once with the 3-row
-    fence side broadcast — two scans total, no row ever holds more
-    state than its own comparison."""
+    half the time and split engines by one ulp (observed at sf0.001).
+    Scale note: the quartiles come from ``grouped_exact_quantiles``
+    (per-group tie-class ranks) — the built-in grouped ``percentile``
+    collects one whole GROUP's values into a single aggregation buffer
+    (2 M values per buffer at the 100× tier). Local wall is comparable
+    (9.6 vs 10.8 s at 100× — both forms are bound by touching the same
+    ~6 M rows) but the largest single-task state drops from one group's
+    entire column to one (group, floor-bucket)'s tie classes — the
+    property that decides survival at 100 TB, where a 33 B-value group
+    buffer simply does not fit. The fence pass re-reads the fact
+    table once with the 3-row fence side broadcast — no row ever holds
+    more state than its own comparison."""
+    from .queries_scale import grouped_exact_quantiles
+
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    pct = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.75)))
+    qq = grouped_exact_quantiles(
+        li, "l_extendedprice", "l_returnflag", [0.25, 0.75]
+    )
     q = (
-        li.groupBy("l_returnflag")
-        .agg(pct.alias("_p"))
+        qq.groupBy("l_returnflag")
+        .pivot("frac", [0.25, 0.75])
+        .agg(F.round(F.first("quantile"), 4))
         .select(
             "l_returnflag",
-            F.round(F.col("_p")[0], 4).alias("q1"),
-            F.round(F.col("_p")[1], 4).alias("q3"),
+            F.col("`0.25`").alias("q1"),
+            F.col("`0.75`").alias("q3"),
         )
     )
     f = q.select(

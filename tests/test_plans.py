@@ -926,3 +926,11 @@ def test_embedding_cov_single_pass(spark):
     assert plan.count("FileScan parquet") == 1
     assert "partial_covar_samp" in plan or "covar_samp" in plan
     assert "Join" not in plan
+
+
+def test_iqr_quartiles_avoid_group_percentile_buffer(spark):
+    plan = _plan(spark, "q_iqr_outliers")
+    # quartiles come from the per-group tie-class machinery: no built-in
+    # percentile aggregate (one whole group's values in a single buffer)
+    assert "percentile" not in plan.lower()
+    assert "Scan ExistingRDD" in plan  # the checkpointed class table

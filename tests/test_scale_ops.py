@@ -214,3 +214,33 @@ def test_ivf_pruned_probe_cells_is_single_probe_only(spark, tmp_path):
         spark, path, one, cents, k=4, probe_cells=[0, 1, 2], n_probes=1
     ).collect()
     assert all(r.score is not None for r in got)
+
+
+def test_grouped_exact_quantiles_matches_numpy_per_group(spark):
+    """quantile_cont semantics per group, from the grouped tie-class
+    machinery — cross-checked against numpy's linear interpolation on
+    each group's sorted values."""
+    import numpy as np
+    from collections import defaultdict
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_scale import (
+        grouped_exact_quantiles,
+    )
+
+    li = load_table(spark, "lineitem", SF)
+    by_flag = defaultdict(list)
+    for r in li.select("l_returnflag", "l_extendedprice").collect():
+        by_flag[r.l_returnflag].append(r.l_extendedprice)
+    fracs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    got = {
+        (r.l_returnflag, r.frac): r.quantile
+        for r in grouped_exact_quantiles(
+            li.select("l_returnflag", "l_extendedprice"),
+            "l_extendedprice",
+            "l_returnflag",
+            fracs,
+        ).collect()
+    }
+    assert len(got) == len(by_flag) * len(fracs)
+    for flag, vals in by_flag.items():
+        for q in fracs:
+            assert abs(got[(flag, q)] - np.quantile(vals, q)) < 1e-6, (flag, q)
