@@ -846,3 +846,54 @@ def q_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --- LG9: duplicate-payment screen -------------------------------------------
+
+
+@query(
+    "q_duplicate_payments",
+    oracle="""
+    SELECT l_orderkey, l_partkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(min(l_linenumber) AS BIGINT) AS first_line,
+           CAST(max(l_linenumber) AS BIGINT) AS last_line,
+           round(sum(l_quantity), 2) AS qty_total,
+           round(sum(l_extendedprice), 2) AS amount_total,
+           CASE WHEN count(DISTINCT l_extendedprice) < count(*)
+                THEN 1 ELSE 0 END AS exact_amount_dup
+    FROM lineitem
+    GROUP BY l_orderkey, l_partkey
+    HAVING count(*) > 1
+    ORDER BY l_orderkey, l_partkey
+    """,
+)
+def q_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate line-entry screen (LG9): orders that bill the SAME
+    part on more than one line — the double-entry / double-click audit
+    every AP team runs before paying an invoice, with an
+    ``exact_amount_dup`` flag separating "same part re-billed at the
+    same price" (the classic duplicate) from legitimate split lines at
+    different prices. Scale shape: one (orderkey, partkey)-keyed hash
+    aggregate with map-side partials over the 100 TB side and a
+    HAVING filter — no self-join at all; the distinct-price check
+    collapses inside the same aggregate. Output is total-ordered on
+    the group key."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_orderkey", "l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.min("l_linenumber").cast("long").alias("first_line"),
+            F.max("l_linenumber").cast("long").alias("last_line"),
+            F.round(F.sum("l_quantity"), 2).alias("qty_total"),
+            F.round(F.sum("l_extendedprice"), 2).alias("amount_total"),
+            F.when(
+                F.countDistinct("l_extendedprice") < F.count(F.lit(1)), 1
+            )
+            .otherwise(0)
+            .alias("exact_amount_dup"),
+        )
+        .filter(F.col("n_lines") > 1)
+        .orderBy("l_orderkey", "l_partkey")
+    )

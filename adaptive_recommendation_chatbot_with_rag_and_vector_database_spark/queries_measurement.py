@@ -1572,3 +1572,152 @@ def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mde, 5).alias("mde_abs"),
         n_req.alias("n_per_arm_for_5pct"),
     )
+
+
+# --- M16: difference-in-differences -----------------------------------------
+
+
+@query(
+    "q_diff_in_diff",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS t0,
+             CAST(floor(epoch(max(ts))) AS BIGINT) AS t1
+      FROM events),
+    users AS (SELECT DISTINCT user_id FROM events),
+    spend AS (
+      SELECT user_id,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       <= (SELECT t0 + (t1 - t0) // 2 FROM bounds)
+                  THEN 0 ELSE 1 END AS period,
+             sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+               AS y
+      FROM events GROUP BY 1, 2),
+    grid AS (
+      SELECT u.user_id, p.period,
+             CASE WHEN (u.user_id * {_LCG_A} + {_LCG_C}) % {_LCG_M}
+                       < {_LCG_M // 2}
+                  THEN 0 ELSE 1 END AS treated,
+             coalesce(s.y, 0.0) AS y
+      FROM users u
+      CROSS JOIN (SELECT 0 AS period UNION ALL SELECT 1) p
+      LEFT JOIN spend s
+        ON s.user_id = u.user_id AND s.period = p.period),
+    cells AS (
+      SELECT treated, period, CAST(count(*) AS BIGINT) AS n,
+             sum(y) AS s1, sum(y * y) AS s2
+      FROM grid GROUP BY 1, 2),
+    m AS (
+      SELECT treated, period, n, s1 / n AS mean,
+             (s2 - s1 * s1 / n) / (n - 1) AS v
+      FROM cells),
+    wide AS (
+      SELECT
+        max(CASE WHEN treated = 0 AND period = 0 THEN n END) AS n_c,
+        max(CASE WHEN treated = 1 AND period = 0 THEN n END) AS n_t,
+        max(CASE WHEN treated = 0 AND period = 0 THEN mean END) AS m_c0,
+        max(CASE WHEN treated = 0 AND period = 1 THEN mean END) AS m_c1,
+        max(CASE WHEN treated = 1 AND period = 0 THEN mean END) AS m_t0,
+        max(CASE WHEN treated = 1 AND period = 1 THEN mean END) AS m_t1,
+        sum(v / n) AS var_sum
+      FROM m)
+    SELECT n_c, n_t,
+           round(m_c0, 4) AS mean_control_pre,
+           round(m_c1, 4) AS mean_control_post,
+           round(m_t0, 4) AS mean_treated_pre,
+           round(m_t1, 4) AS mean_treated_post,
+           round((m_t1 - m_t0) - (m_c1 - m_c0), 4) AS did,
+           round(sqrt(var_sum), 4) AS se,
+           round(((m_t1 - m_t0) - (m_c1 - m_c0)) / sqrt(var_sum), 4) AS z
+    FROM wide
+    """,
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences (M16): the quasi-experimental
+    estimator — treated-vs-control spend change across a pre/post cut
+    — for when assignment wasn't randomized but a parallel-trends
+    control exists. Deterministic by construction: the treated bucket
+    is the same LCG hash as q_ab_test, the period cut is integer
+    epoch arithmetic on the data's own midpoint, and every user
+    appears in BOTH periods (zero-filled grid — dropping silent-period
+    users biases the estimator). Scale shape: one user×period keyed
+    aggregate, a |users|×2 grid via a 2-row broadcast cross join, four
+    (treated, period) moment cells, closed-form DiD + its linearized
+    SE over those 4 rows."""
+    ev = load_table(spark, "events", sf_dir)
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("long")).alias("t0"),
+        F.max(F.col("ts").cast("long")).alias("t1"),
+    ).select((F.col("t0") + F.floor((F.col("t1") - F.col("t0")) / 2)).cast("long").alias("cut"))
+    spend = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.when(F.col("ts").cast("long") <= F.col("cut"), 0)
+            .otherwise(1)
+            .alias("period"),
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(0.0)
+            .alias("v"),
+        )
+        .groupBy("user_id", "period")
+        .agg(F.sum("v").alias("y"))
+    )
+    users = ev.select("user_id").distinct()
+    periods = spark.createDataFrame([(0,), (1,)], "period int")
+    grid = (
+        users.crossJoin(F.broadcast(periods))
+        .join(spend, ["user_id", "period"], "left")
+        .select(
+            F.when(
+                (F.col("user_id") * _LCG_A + _LCG_C) % _LCG_M < _LCG_M // 2,
+                0,
+            )
+            .otherwise(1)
+            .alias("treated"),
+            "period",
+            F.coalesce("y", F.lit(0.0)).alias("y"),
+        )
+    )
+    cells = grid.groupBy("treated", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).alias("s2"),
+    )
+    m = cells.select(
+        "treated",
+        "period",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        (
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("v"),
+    )
+
+    def cell(t: int, p: int, col: str):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("period") == p), F.col(col))
+        )
+
+    wide = m.groupBy().agg(
+        cell(0, 0, "n").alias("n_c"),
+        cell(1, 0, "n").alias("n_t"),
+        cell(0, 0, "mean").alias("m_c0"),
+        cell(0, 1, "mean").alias("m_c1"),
+        cell(1, 0, "mean").alias("m_t0"),
+        cell(1, 1, "mean").alias("m_t1"),
+        F.sum(F.col("v") / F.col("n")).alias("var_sum"),
+    )
+    did = (F.col("m_t1") - F.col("m_t0")) - (F.col("m_c1") - F.col("m_c0"))
+    return wide.select(
+        "n_c",
+        "n_t",
+        F.round("m_c0", 4).alias("mean_control_pre"),
+        F.round("m_c1", 4).alias("mean_control_post"),
+        F.round("m_t0", 4).alias("mean_treated_pre"),
+        F.round("m_t1", 4).alias("mean_treated_post"),
+        F.round(did, 4).alias("did"),
+        F.round(F.sqrt("var_sum"), 4).alias("se"),
+        F.round(did / F.sqrt("var_sum"), 4).alias("z"),
+    )

@@ -697,3 +697,172 @@ def q_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --- MO7: information-gain feature screen ------------------------------------
+
+
+@query(
+    "q_info_gain",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+               AS views,
+             CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+               AS clicks,
+             CAST(max(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END)
+               AS BIGINT) AS weekend,
+             CASE WHEN count(*) FILTER (WHERE event_type = 'purchase') > 0
+                  THEN 1 ELSE 0 END AS label
+      FROM events GROUP BY user_id),
+    thr AS (
+      SELECT round(avg(views), 4) AS tv, round(avg(clicks), 4) AS tc
+      FROM per_user),
+    feats AS (
+      SELECT 'f_clicks_above_mean' AS feature,
+             CASE WHEN clicks > (SELECT tc FROM thr) THEN 1 ELSE 0 END AS f,
+             label
+      FROM per_user
+      UNION ALL
+      SELECT 'f_views_above_mean',
+             CASE WHEN views > (SELECT tv FROM thr) THEN 1 ELSE 0 END, label
+      FROM per_user
+      UNION ALL
+      SELECT 'f_weekend_active', CAST(weekend AS INT), label FROM per_user),
+    cells AS (
+      SELECT feature, f, label, CAST(count(*) AS BIGINT) AS c
+      FROM feats GROUP BY 1, 2, 3),
+    -- entropy via the single-level identity H = ln(n) - (sum c*ln c)/n
+    ent AS (
+      SELECT feature, f, CAST(sum(c) AS BIGINT) AS nf,
+             ln(CAST(sum(c) AS DOUBLE))
+               - sum(c::DOUBLE * ln(c::DOUBLE)) / sum(c) AS h
+      FROM cells GROUP BY feature, f),
+    base AS (
+      SELECT feature, CAST(sum(cl) AS BIGINT) AS n,
+             ln(CAST(sum(cl) AS DOUBLE))
+               - sum(cl::DOUBLE * ln(cl::DOUBLE)) / sum(cl) AS h0
+      FROM (SELECT feature, label, CAST(sum(c) AS BIGINT) AS cl
+            FROM cells GROUP BY 1, 2)
+      GROUP BY feature)
+    SELECT b.feature,
+           -- + 0 canonicalizes IEEE -0.0 (a zero gain rounds to -0.0
+           -- when the unrounded difference is a tiny negative)
+           round(b.h0 - sum((e.nf::DOUBLE / b.n) * e.h), 6) + 0 AS info_gain,
+           round(sum(CASE WHEN e.f = 1 THEN e.nf ELSE 0 END)::DOUBLE / b.n,
+                 4) AS split_rate
+    FROM base b JOIN ent e ON b.feature = e.feature
+    GROUP BY b.feature, b.h0, b.n
+    ORDER BY b.feature
+    """,
+)
+def q_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-gain feature screen (MO7): rank candidate binary
+    features (clicks above the mean, views above the mean, any weekend
+    activity) by how much each reduces label entropy for "user
+    converts" — the decision-stump criterion feature selection starts
+    from (q_target_encoding builds the feature; this decides which are
+    WORTH building). Determinism: thresholds are data-derived MEANS
+    (moment aggregates — no percentile buffer) rounded to 4 decimals
+    before the comparison; weekend membership is computed with each
+    engine's own day numbering (Spark Sun=1/Sat=7, DuckDB Sun=0/Sat=6
+    — same set); entropies are ≤4-term ln sums, rounded at 6. Scale
+    shape: one user rollup, a 3×|users| feature unpivot, (feature, f,
+    label) cells, closed-form conditional entropy over ≤12 rows."""
+    ev = load_table(spark, "events", sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "view").cast("long"))
+        .cast("long")
+        .alias("views"),
+        F.sum((F.col("event_type") == "click").cast("long"))
+        .cast("long")
+        .alias("clicks"),
+        F.max(
+            F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("weekend"),
+        F.when(
+            F.sum((F.col("event_type") == "purchase").cast("long")) > 0, 1
+        )
+        .otherwise(0)
+        .alias("label"),
+    )
+    thr = per_user.agg(
+        F.round(F.avg("views"), 4).alias("tv"),
+        F.round(F.avg("clicks"), 4).alias("tc"),
+    )
+    pu = per_user.crossJoin(F.broadcast(thr))
+    feats = (
+        pu.select(
+            F.lit("f_clicks_above_mean").alias("feature"),
+            F.when(F.col("clicks") > F.col("tc"), 1).otherwise(0).alias("f"),
+            "label",
+        )
+        .unionByName(
+            pu.select(
+                F.lit("f_views_above_mean").alias("feature"),
+                F.when(F.col("views") > F.col("tv"), 1)
+                .otherwise(0)
+                .alias("f"),
+                "label",
+            )
+        )
+        .unionByName(
+            pu.select(
+                F.lit("f_weekend_active").alias("feature"),
+                F.col("weekend").cast("int").alias("f"),
+                "label",
+            )
+        )
+    )
+    cells = feats.groupBy("feature", "f", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    # entropy via the single-level identity H = ln(n) - (sum c*ln c)/n
+    # (a direct -sum((c/n)ln(c/n)) would nest aggregates)
+    ent = cells.groupBy("feature", "f").agg(
+        F.sum("c").cast("long").alias("nf"),
+        (
+            F.log(F.sum("c").cast("double"))
+            - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+            / F.sum("c")
+        ).alias("h"),
+    )
+    lab = cells.groupBy("feature", "label").agg(
+        F.sum("c").cast("long").alias("cl")
+    )
+    base = lab.groupBy("feature").agg(
+        F.sum("cl").cast("long").alias("n"),
+        (
+            F.log(F.sum("cl").cast("double"))
+            - F.sum(
+                F.col("cl").cast("double") * F.log(F.col("cl").cast("double"))
+            )
+            / F.sum("cl")
+        ).alias("h0"),
+    )
+    return (
+        base.join(ent, "feature")
+        .groupBy("feature", "h0", "n")
+        .agg(
+            F.sum(
+                (F.col("nf").cast("double") / F.col("n")) * F.col("h")
+            ).alias("hc"),
+            F.sum(F.when(F.col("f") == 1, F.col("nf")).otherwise(0)).alias(
+                "n1"
+            ),
+        )
+        .select(
+            "feature",
+            # + 0 canonicalizes IEEE -0.0 on both engines
+            (F.round(F.col("h0") - F.col("hc"), 6) + F.lit(0.0)).alias(
+                "info_gain"
+            ),
+            F.round(F.col("n1").cast("double") / F.col("n"), 4).alias(
+                "split_rate"
+            ),
+        )
+        .orderBy("feature")
+    )

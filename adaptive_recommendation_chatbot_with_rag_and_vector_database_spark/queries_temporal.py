@@ -884,3 +884,64 @@ def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- TM11: resurrection analysis ----------------------------------------------
+
+_RESURRECT_GAP_DAYS = 14
+
+
+@query(
+    "q_resurrection",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    g AS (
+      SELECT user_id, day,
+             CAST(day - lag(day) OVER (PARTITION BY user_id ORDER BY day)
+               AS BIGINT) AS gap
+      FROM ud)
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS active,
+           CAST(count(*) FILTER (WHERE gap >= {_RESURRECT_GAP_DAYS})
+             AS BIGINT) AS resurrected,
+           round(count(*) FILTER (WHERE gap >= {_RESURRECT_GAP_DAYS})
+                 / CAST(count(*) AS DOUBLE), 6) AS resurrection_rate
+    FROM g GROUP BY day ORDER BY day
+    """,
+)
+def q_resurrection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resurrection analysis (TM11): per day, how many active users
+    came BACK after ≥14 days of absence — the third growth-accounting
+    state beside ST4's new/returning split (new, retained, resurrected
+    — the distinction that tells a team whether a win-back campaign or
+    organic decay explains the curve). Scale shape: events collapse to
+    distinct (user, day) once; one user-keyed lag window yields
+    absence gaps in integer date arithmetic; the per-day rollup is
+    |days|-row. A user's first-ever day has no gap and counts as new,
+    not resurrected — same convention both engines (NULL fails the
+    >= comparison)."""
+    ud = (
+        load_table(spark, "events", sf_dir)
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = ud.select(
+        "day",
+        F.datediff("day", F.lag("day").over(w)).cast("long").alias("gap"),
+    )
+    res = (F.col("gap") >= _RESURRECT_GAP_DAYS).cast("long")
+    return (
+        g.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("active"),
+            F.sum(F.coalesce(res, F.lit(0))).cast("long").alias("resurrected"),
+            F.round(
+                F.sum(F.coalesce(res, F.lit(0)))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("resurrection_rate"),
+        )
+        .orderBy("day")
+    )

@@ -449,3 +449,80 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("val") != 0)
         .orderBy("doc_id", "bucket")
     )
+
+
+# --- L7: point-in-time churn label construction ------------------------------
+
+_CHURN_HORIZON_DAYS = 14
+
+
+@query(
+    "q_churn_labels",
+    oracle=f"""
+    WITH cutoff AS (
+      SELECT max(CAST(ts AS DATE)) - {_CHURN_HORIZON_DAYS} AS c FROM events),
+    pre AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events_pre,
+             CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+               AS active_days_pre,
+             CAST((SELECT c FROM cutoff) - max(CAST(ts AS DATE)) AS BIGINT)
+               AS recency_days
+      FROM events WHERE CAST(ts AS DATE) <= (SELECT c FROM cutoff)
+      GROUP BY user_id),
+    post AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE CAST(ts AS DATE) > (SELECT c FROM cutoff))
+    SELECT pre.user_id, n_events_pre, active_days_pre, recency_days,
+           CASE WHEN post.user_id IS NULL THEN 1 ELSE 0 END AS churned
+    FROM pre LEFT JOIN post ON pre.user_id = post.user_id
+    ORDER BY pre.user_id
+    """,
+)
+def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time churn label construction (L7): the training-set
+    builder every churn model needs and most leak — features computed
+    ONLY from events at or before a cutoff (the data's last day minus
+    the horizon), the label from whether the user reappears after it.
+    Computing both from one table with an explicit cutoff makes the
+    temporal boundary auditable (q_feature_backfill is the general PIT
+    join; this is the label side). Scale shape: one pushdown-filtered
+    pre-cutoff aggregate per user, a distinct post-cutoff user set,
+    and a left anti-shaped join for the label — all user-keyed; the
+    cutoff is a 1-row broadcast."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    cutoff = ev.agg(
+        F.date_sub(F.max("day"), _CHURN_HORIZON_DAYS).alias("c")
+    )
+    pre = (
+        ev.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("day") <= F.col("c"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events_pre"),
+            F.countDistinct("day").cast("long").alias("active_days_pre"),
+            F.datediff(F.first("c"), F.max("day"))
+            .cast("long")
+            .alias("recency_days"),
+        )
+    )
+    post = (
+        ev.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("day") > F.col("c"))
+        .select("user_id")
+        .distinct()
+        .withColumn("_returned", F.lit(1))
+    )
+    return (
+        pre.join(post, "user_id", "left")
+        .select(
+            "user_id",
+            "n_events_pre",
+            "active_days_pre",
+            "recency_days",
+            F.when(F.col("_returned").isNull(), 1).otherwise(0).alias("churned"),
+        )
+        .orderBy("user_id")
+    )

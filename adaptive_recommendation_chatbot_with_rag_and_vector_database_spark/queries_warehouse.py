@@ -1330,3 +1330,134 @@ def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("l_suppkey"))
         .limit(20)
     )
+
+
+# --- W25: price/volume/mix revenue bridge ------------------------------------
+
+
+@query(
+    "q_pvm_bridge",
+    oracle="""
+    WITH py AS (
+      SELECT year(l_shipdate) AS yr, l_partkey,
+             sum(l_extendedprice) AS rev, sum(l_quantity) AS q,
+             sum(l_extendedprice) / sum(l_quantity) AS p
+      FROM lineitem GROUP BY 1, 2),
+    y0 AS (SELECT min(yr) AS y FROM py),
+    a AS (SELECT l_partkey, rev, q, p FROM py, y0 WHERE yr = y0.y),
+    b AS (SELECT l_partkey, rev, q, p FROM py, y0 WHERE yr = y0.y + 1),
+    joined AS (
+      SELECT coalesce(a.l_partkey, b.l_partkey) AS pk,
+             a.rev AS rev0, a.q AS q0, a.p AS p0,
+             b.rev AS rev1, b.q AS q1, b.p AS p1
+      FROM a FULL OUTER JOIN b ON a.l_partkey = b.l_partkey),
+    eff AS (
+      SELECT sum(coalesce(rev0, 0)) AS rev_y0,
+             sum(coalesce(rev1, 0)) AS rev_y1,
+             sum(CASE WHEN rev0 IS NOT NULL AND rev1 IS NOT NULL
+                      THEN (p1 - p0) * q0 ELSE 0 END) AS price_eff,
+             sum(CASE WHEN rev0 IS NOT NULL AND rev1 IS NOT NULL
+                      THEN p0 * (q1 - q0) ELSE 0 END) AS volume_eff,
+             sum(CASE WHEN rev0 IS NOT NULL AND rev1 IS NOT NULL
+                      THEN (p1 - p0) * (q1 - q0) ELSE 0 END) AS mix_eff,
+             sum(CASE WHEN rev0 IS NULL THEN rev1 ELSE 0 END) AS new_rev,
+             -sum(CASE WHEN rev1 IS NULL THEN rev0 ELSE 0 END) AS lost_rev
+      FROM joined)
+    SELECT round(rev_y0, 2) AS rev_y0,
+           round(rev_y1, 2) AS rev_y1,
+           round(rev_y1 - rev_y0, 2) AS delta,
+           round(price_eff, 2) AS price_effect,
+           round(volume_eff, 2) AS volume_effect,
+           round(mix_eff, 2) AS mix_effect,
+           round(new_rev, 2) AS new_parts_rev,
+           round(lost_rev, 2) AS lost_parts_rev,
+           CASE WHEN abs((rev_y1 - rev_y0)
+                         - (price_eff + volume_eff + mix_eff
+                            + new_rev + lost_rev)) < 0.01
+                THEN 1 ELSE 0 END AS exact
+    FROM eff
+    """,
+)
+def q_pvm_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/volume/mix revenue bridge (W25): decompose the first
+    year-over-year revenue change into price effect (Δp·q₀), volume
+    effect (p₀·Δq), the price×volume cross ("mix") term, and
+    new/discontinued-part revenue — the finance bridge behind every
+    "why did revenue move" review (W23's waterfall decomposes WITHIN a
+    period; this decomposes the change BETWEEN periods). The five
+    effects sum to the delta ALGEBRAICALLY — rev₁−rev₀ =
+    (p₁−p₀)q₀ + p₀(q₁−q₀) + (p₁−p₀)(q₁−q₀) per common part, rev₁ for
+    new, −rev₀ for lost — and the ``exact`` column asserts the
+    conservation inside the query (1e-2 tolerance over float
+    association noise). Scale shape: one (year, part) cell aggregate,
+    a part-keyed full outer join between two year slices, one
+    effects rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    py = li.groupBy(F.year("l_shipdate").alias("yr"), "l_partkey").agg(
+        F.sum("l_extendedprice").alias("rev"),
+        F.sum("l_quantity").alias("q"),
+        (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"),
+    )
+    y0 = py.agg(F.min("yr").alias("y"))
+    a = py.join(F.broadcast(y0), py.yr == F.col("y")).select(
+        "l_partkey",
+        F.col("rev").alias("rev0"),
+        F.col("q").alias("q0"),
+        F.col("p").alias("p0"),
+    )
+    b = py.join(F.broadcast(y0), py.yr == F.col("y") + 1).select(
+        "l_partkey",
+        F.col("rev").alias("rev1"),
+        F.col("q").alias("q1"),
+        F.col("p").alias("p1"),
+    )
+    j = a.join(b, "l_partkey", "full_outer")
+    both = F.col("rev0").isNotNull() & F.col("rev1").isNotNull()
+    eff = j.agg(
+        F.sum(F.coalesce("rev0", F.lit(0.0))).alias("rev_y0"),
+        F.sum(F.coalesce("rev1", F.lit(0.0))).alias("rev_y1"),
+        F.sum(
+            F.when(both, (F.col("p1") - F.col("p0")) * F.col("q0")).otherwise(
+                0.0
+            )
+        ).alias("price_eff"),
+        F.sum(
+            F.when(both, F.col("p0") * (F.col("q1") - F.col("q0"))).otherwise(
+                0.0
+            )
+        ).alias("volume_eff"),
+        F.sum(
+            F.when(
+                both,
+                (F.col("p1") - F.col("p0")) * (F.col("q1") - F.col("q0")),
+            ).otherwise(0.0)
+        ).alias("mix_eff"),
+        F.sum(
+            F.when(F.col("rev0").isNull(), F.col("rev1")).otherwise(0.0)
+        ).alias("new_rev"),
+        (-F.sum(
+            F.when(F.col("rev1").isNull(), F.col("rev0")).otherwise(0.0)
+        )).alias("lost_rev"),
+    )
+    total = (
+        F.col("price_eff")
+        + F.col("volume_eff")
+        + F.col("mix_eff")
+        + F.col("new_rev")
+        + F.col("lost_rev")
+    )
+    return eff.select(
+        F.round("rev_y0", 2).alias("rev_y0"),
+        F.round("rev_y1", 2).alias("rev_y1"),
+        F.round(F.col("rev_y1") - F.col("rev_y0"), 2).alias("delta"),
+        F.round("price_eff", 2).alias("price_effect"),
+        F.round("volume_eff", 2).alias("volume_effect"),
+        F.round("mix_eff", 2).alias("mix_effect"),
+        F.round("new_rev", 2).alias("new_parts_rev"),
+        F.round("lost_rev", 2).alias("lost_parts_rev"),
+        F.when(
+            F.abs((F.col("rev_y1") - F.col("rev_y0")) - total) < 0.01, 1
+        )
+        .otherwise(0)
+        .alias("exact"),
+    )
