@@ -180,6 +180,32 @@ class RagEngine:
     def _lex_paths(self) -> tuple[str, str]:
         return f"{self.index_path}_lex", f"{self.index_path}_lex_stats"
 
+    def _corpus_signature(self, rows: int) -> str:
+        """Reuse fingerprint for derived layouts (IVF codebook, postings
+        stats). Row count alone would let any corpus change that
+        preserves row count (an external rewrite of ``index_path``, an
+        in-place re-chunk by another process) silently serve a stale
+        layout, so the signature also folds in the index parquet's
+        total byte length and the newest modification time among its
+        direct children (covers in-place file rewrites, which leave the
+        directory's own mtime untouched on local FS). Driver-side FS
+        metadata only — no Spark job. Degrades to rows-only on FS
+        quirks: the safe direction, since a later successful probe then
+        mismatches and rebuilds."""
+        sig = f"rows={rows}"
+        try:
+            jpath = self.spark._jvm.org.apache.hadoop.fs.Path(self.index_path)
+            fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            length = fs.getContentSummary(jpath).getLength()
+            mtime = fs.getFileStatus(jpath).getModificationTime()
+            for st in fs.listStatus(jpath):
+                if st.getModificationTime() > mtime:
+                    mtime = st.getModificationTime()
+            sig += f";bytes={length};mtime={mtime}"
+        except Exception:
+            pass
+        return sig
+
     def _ensure_lex_index(self) -> None:
         """Lexical twin of ``_ensure_ann_index``: above the routing
         threshold the hybrid path's BM25 leg reads a bucket-partitioned
@@ -198,11 +224,12 @@ class RagEngine:
         if rows <= self.ann_threshold_rows:
             return
         lex_path, stats_path = self._lex_paths()
+        sig = self._corpus_signature(rows)
         try:
             st = self.spark.read.parquet(stats_path).collect()
         except Exception:
             st = []
-        if st and all(getattr(r, "corpus_rows", None) == rows for r in st):
+        if st and all(getattr(r, "corpus_sig", None) == sig for r in st):
             self._lex_built = True
             return
         write_postings_index(
@@ -216,6 +243,7 @@ class RagEngine:
             stats_path,
             id_col="cid",
             fingerprint=rows,
+            signature=sig,
         )
         self._lex_built = True
 
@@ -232,16 +260,18 @@ class RagEngine:
         # fresh engine pointed at an already-built index must reuse the
         # on-disk codebook+layout, not retrain KMeans and rewrite 2 M
         # rows. The codebook parquet carries the corpus fingerprint
-        # (row count at build time) beside the centroids; a match
-        # proves the layout serves the current corpus, and the read
-        # doubles as the codebook load. One probe per instance (or per
-        # in-session corpus change) — _ann_built short-circuits after.
+        # (row count + index bytes + newest child mtime at build time,
+        # _corpus_signature) beside the centroids; a match proves the
+        # layout serves the current corpus, and the read doubles as the
+        # codebook load. One probe per instance (or per in-session
+        # corpus change) — _ann_built short-circuits after.
+        sig = self._corpus_signature(rows)
         try:
             cb_rows = self.spark.read.parquet(cb_path).collect()
         except Exception:
             cb_rows = []  # absent codebook: build below
         if cb_rows and all(
-            getattr(r, "corpus_rows", None) == rows for r in cb_rows
+            getattr(r, "corpus_sig", None) == sig for r in cb_rows
         ):
             import numpy as np
 
@@ -276,8 +306,11 @@ class RagEngine:
             payload_cols=("doc_id", "chunk_id", "text"),
         )
         self.spark.createDataFrame(
-            [(i, [float(x) for x in c], rows) for i, c in enumerate(centroids)],
-            "cell int, centroid array<double>, corpus_rows long",
+            [
+                (i, [float(x) for x in c], rows, sig)
+                for i, c in enumerate(centroids)
+            ],
+            "cell int, centroid array<double>, corpus_rows long, corpus_sig string",
         ).coalesce(1).write.mode("overwrite").parquet(cb_path)
         self._codebook = centroids
         self._ann_built = True
@@ -522,14 +555,34 @@ class RagEngine:
         # 2 M rows to serve k of them. Below the threshold the scan is
         # the cheap part and the historical lazy plan stays untouched.
         if not self._below_ann_threshold():
+            from pyspark.sql.types import DoubleType, StructField, StructType
+
             picked = top.collect()  # k rows by construction
-            doc_ids = sorted({int(c.cid.split("#")[0]) for c in picked})
+            # doc_id values come back via the cid string; cast the
+            # LITERALS to the index's own doc_id type (constant-folded,
+            # so the In predicate still pushes to the parquet scan)
+            # instead of int()-parsing them — type-agnostic like the
+            # broadcast-join path this replaces
+            doc_strs = sorted({c.cid.rsplit("#", 1)[0] for c in picked})
+            did_type = idx.schema["doc_id"].dataType
             scores = {c.cid: float(c.score) for c in picked}
             hits = (
-                idx.filter(F.col("doc_id").isin(doc_ids))
+                idx.filter(
+                    F.col("doc_id").isin(
+                        [F.lit(s).cast(did_type) for s in doc_strs]
+                    )
+                )
                 .filter(F.col("cid").isin(list(scores)))
                 .select("cid", "doc_id", "chunk_id", "text")
                 .collect()
+            )
+            schema = StructType(
+                [
+                    idx.schema["doc_id"],
+                    idx.schema["chunk_id"],
+                    idx.schema["text"],
+                    StructField("score", DoubleType()),
+                ]
             )
             return self.spark.createDataFrame(
                 sorted(
@@ -539,7 +592,7 @@ class RagEngine:
                     ),
                     key=lambda t: (-t[3], t[0], t[1]),
                 ),
-                "doc_id long, chunk_id int, text string, score double",
+                schema,
             )
         return (
             F.broadcast(top)

@@ -269,6 +269,7 @@ def write_postings_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     fingerprint: int | None = None,
+    signature: str | None = None,
 ) -> None:
     """Persist the corpus as a bucket-partitioned POSTING LIST — the
     lexical twin of ``write_ivf_index``'s vector layout, and the same
@@ -319,6 +320,11 @@ def write_postings_index(
     ).withColumn(
         "corpus_rows",
         F.lit(-1 if fingerprint is None else int(fingerprint)).cast("long"),
+    ).withColumn(
+        # full corpus signature (rows+bytes+mtime, engine._corpus_signature)
+        # for reuse checks robust to equal-row-count corpus rewrites
+        "corpus_sig",
+        F.lit(signature).cast("string"),
     )
     stats.coalesce(1).write.mode("overwrite").parquet(stats_path)
 
@@ -385,9 +391,14 @@ def bm25_postings_scores(
         )
         return idf * (tf * F.lit(BM25_K1 + 1)) / denom
 
-    total = contrib(0)
-    for i in range(1, len(uterms)):
-        total = total + contrib(i)
+    # Sum in the ORIGINAL terms order, duplicates included: the scan
+    # form adds one contribution per list occurrence, so a repeated
+    # term ('spark spark streaming') must contribute twice here too —
+    # same addends, same left-to-right order, bit-identical doubles.
+    col_of = {t: i for i, t in enumerate(uterms)}
+    total = contrib(col_of[terms[0]])
+    for t in terms[1:]:
+        total = total + contrib(col_of[t])
     return scored.select(F.col(id_col), F.round(total, 6).alias("bm25"))
 
 

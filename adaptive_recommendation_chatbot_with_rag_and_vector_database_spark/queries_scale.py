@@ -846,7 +846,11 @@ def ranked_tie_classes(
     the ContextCleaner once the plan is garbage-collected."""
     from pyspark.sql import Window
 
-    vc = df.groupBy(F.col(col).alias("v")).agg(
+    # quantile_cont/percentile IGNORE NULLs; without this filter the
+    # NULL class floor-buckets to NULL (sorts first in the prefix-sum
+    # window, inflating every real class's cum) yet drops out of the
+    # non-null-safe bkt equi-join — shifting every order statistic
+    vc = df.where(F.col(col).isNotNull()).groupBy(F.col(col).alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
     b = vc.withColumn("bkt", F.floor(F.col("v") / bucket_width).cast("long"))
@@ -948,17 +952,38 @@ def grouped_exact_quantiles(
     scale answer to the built-in grouped ``percentile``, whose buffer
     collects one whole GROUP's values into a single task — measured as
     the q_iqr_outliers wall at the 100x tier: 3 groups x 2 M values
-    per buffer). Identical machinery, one extra key everywhere: tie
-    classes are (grp, v, cnt), the floor-bucket prefix sum windows are
-    partitioned by group (no window ever exceeds one group's
-    ~|range/width| bucket counts), targets explode to 2*|fracs| rows
-    PER GROUP and meet the class table in a group-keyed equi-join with
-    a range residual — never a global broadcast theta over all groups'
-    classes. Returns (grp, frac, quantile), quantile_cont semantics."""
+    per buffer). Thin composition of ``grouped_ranked_tie_classes``
+    (the checkpointed per-group class table) and
+    ``grouped_quantiles_from_ranked`` — split like the global pair so
+    consumers needing MORE than the quantiles (q_iqr_outliers' fence
+    counting) reuse the class table instead of re-scanning the fact.
+    Returns (grp, frac, quantile), quantile_cont semantics."""
+    return grouped_quantiles_from_ranked(
+        grouped_ranked_tie_classes(df, col, grp, bucket_width), grp, fracs
+    )
+
+
+def grouped_ranked_tie_classes(
+    df: DataFrame,
+    col: str,
+    grp: str,
+    bucket_width: float = 1000.0,
+) -> DataFrame:
+    """Per-group tie-class substrate → (grp, v, cnt, cum) where ``cum``
+    counts the group's rows strictly below ``v``. Same machinery as
+    ``ranked_tie_classes`` with one extra key everywhere: the
+    floor-bucket prefix-sum windows are partitioned by group (no window
+    ever exceeds one group's ~|range/width| bucket counts). Eagerly
+    localCheckpoint-ed for the same multi-consumer reuse reason."""
     from pyspark.sql import Window
 
-    vc = df.groupBy(F.col(grp), F.col(col).alias("v")).agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
+    # NULL values are ignored (quantile_cont semantics) — see the
+    # matching filter in ranked_tie_classes for why leaving them in
+    # silently shifts every order statistic
+    vc = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(F.col(grp), F.col(col).alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
     b = vc.withColumn("bkt", F.floor(F.col("v") / bucket_width).cast("long"))
     bc = b.groupBy(grp, "bkt").agg(F.sum("cnt").cast("long").alias("bn"))
@@ -977,7 +1002,7 @@ def grouped_exact_quantiles(
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    ranked = (
+    return (
         b.join(boff, [grp, "bkt"])
         .select(
             grp,
@@ -989,6 +1014,16 @@ def grouped_exact_quantiles(
         )
         .localCheckpoint(eager=True)
     )
+
+
+def grouped_quantiles_from_ranked(
+    ranked: DataFrame, grp: str, fracs: list[float]
+) -> DataFrame:
+    """Per-group exact interpolated quantiles from a
+    ``grouped_ranked_tie_classes`` table → (grp, frac, quantile).
+    Targets explode to 2*|fracs| rows PER GROUP and meet the class
+    table in a group-keyed equi-join with a range residual — never a
+    global broadcast theta over all groups' classes."""
     n = ranked.groupBy(grp).agg(
         F.max(F.col("cum") + F.col("cnt")).alias("n")
     )

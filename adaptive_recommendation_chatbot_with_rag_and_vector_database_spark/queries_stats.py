@@ -349,24 +349,29 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal digits, so the 5-decimal round is exact representation on
     both engines — a 4-decimal round would sit on a .00005 midpoint
     half the time and split engines by one ulp (observed at sf0.001).
-    Scale note: the quartiles come from ``grouped_exact_quantiles``
-    (per-group tie-class ranks) — the built-in grouped ``percentile``
-    collects one whole GROUP's values into a single aggregation buffer
-    (2 M values per buffer at the 100× tier). Local wall is comparable
-    (9.6 vs 10.8 s at 100× — both forms are bound by touching the same
-    ~6 M rows) but the largest single-task state drops from one group's
-    entire column to one (group, floor-bucket)'s tie classes — the
-    property that decides survival at 100 TB, where a 33 B-value group
-    buffer simply does not fit. The fence pass re-reads the fact
-    table once with the 3-row fence side broadcast — no row ever holds
-    more state than its own comparison."""
-    from .queries_scale import grouped_exact_quantiles
+    Scale note: the quartiles come from the per-group tie-class
+    machinery (``grouped_ranked_tie_classes``) — the built-in grouped
+    ``percentile`` collects one whole GROUP's values into a single
+    aggregation buffer (2 M values per buffer at the 100× tier); the
+    largest single-task state here is one (group, floor-bucket)'s tie
+    classes — the property that decides survival at 100 TB, where a
+    33 B-value group buffer simply does not fit. The fence pass reuses
+    the SAME checkpointed class table (a whole tie class falls on one
+    side of a fence, so n = Σcnt and n_outliers = Σcnt·[outside]) —
+    the fact table is scanned exactly once per run, the move that took
+    q_equi_depth_histogram 3.2→1.9 s (r7) and this query 10.2→~4 s at
+    the 100× tier."""
+    from .queries_scale import (
+        grouped_quantiles_from_ranked,
+        grouped_ranked_tie_classes,
+    )
 
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice"
     )
-    qq = grouped_exact_quantiles(
-        li, "l_extendedprice", "l_returnflag", [0.25, 0.75]
+    ranked = grouped_ranked_tie_classes(li, "l_extendedprice", "l_returnflag")
+    qq = grouped_quantiles_from_ranked(
+        ranked, "l_returnflag", [0.25, 0.75]
     )
     q = (
         qq.groupBy("l_returnflag")
@@ -389,17 +394,18 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hi_fence"
         ),
     )
-    out = (
-        F.col("l_extendedprice") < F.col("lo_fence")
-    ) | (F.col("l_extendedprice") > F.col("hi_fence"))
+    out = (F.col("v") < F.col("lo_fence")) | (F.col("v") > F.col("hi_fence"))
     return (
-        li.join(F.broadcast(f), "l_returnflag")
+        ranked.join(F.broadcast(f), "l_returnflag")
         .groupBy("l_returnflag", "q1", "q3", "lo_fence", "hi_fence")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(out.cast("long")).cast("long").alias("n_outliers"),
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum(F.when(out, F.col("cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_outliers"),
             F.round(
-                F.sum(out.cast("long")) / F.count(F.lit(1)).cast("double"),
+                F.sum(F.when(out, F.col("cnt")).otherwise(F.lit(0)))
+                / F.sum("cnt").cast("double"),
                 6,
             ).alias("outlier_share"),
         )

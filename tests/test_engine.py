@@ -328,8 +328,10 @@ def test_postings_bm25_bit_identical_to_scan_form(spark, tmp_path):
     stats = str(tmp_path / "lex_stats")
     write_postings_index(docs, lex, stats, fingerprint=123)
     # real corpus tokens plus one absent term (its tf-0 filler-df path
-    # must contribute exactly +0.0, like the scan form's idf*0)
-    terms = ["query", "window", "merge", "customer", "zzz_absent_term"]
+    # must contribute exactly +0.0, like the scan form's idf*0) plus a
+    # REPEATED term: the scan form adds one contribution per list
+    # occurrence, so the postings form must too — not dedupe the sum
+    terms = ["query", "window", "query", "merge", "customer", "zzz_absent_term"]
     scan = {
         r.doc_id: r.bm25
         for r in bm25_scores(docs, terms).collect()
@@ -374,3 +376,48 @@ def test_hybrid_routes_through_postings_above_threshold(spark, tmp_path, monkeyp
     assert [(r.doc_id, r.chunk_id) for r in got] == [
         (r.doc_id, r.chunk_id) for r in rows
     ]
+
+
+def test_fresh_engine_detects_equal_rowcount_corpus_rewrite(
+    spark, tmp_path, monkeypatch
+):
+    """An external rewrite of index_path that PRESERVES the row count
+    must still fail the reuse fingerprint: the corpus signature folds
+    the index parquet's byte length and newest child mtime in beside
+    the row count (ADVICE r7), so a fresh engine retrains instead of
+    silently serving a stale IVF layout."""
+    import shutil
+
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators import (
+        similarity as sim,
+    )
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.sources.loaders import (
+        load_table,
+    )
+
+    path = str(tmp_path / "index")
+    eng = RagEngine(spark, index_path=path, ann_threshold_rows=10)
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    assert eng.index_documents(docs) > 0
+    q = "priority freight shipments delayed by clerk errors"
+    eng.retrieve(q).collect()  # builds + persists the IVF layout
+
+    # external same-rowcount rewrite: round-trip the index through a
+    # staging dir (different file sizes/mtimes, identical row count)
+    staged = str(tmp_path / "staged")
+    spark.read.parquet(path).coalesce(1).write.parquet(staged)
+    shutil.rmtree(path)
+    shutil.move(staged, path)
+
+    calls = []
+    real_train = sim.train_centroids_sample
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real_train(*a, **k)
+
+    monkeypatch.setattr(sim, "train_centroids_sample", spy)
+    fresh = RagEngine(spark, index_path=path, ann_threshold_rows=10)
+    got = fresh.retrieve(q).collect()
+    assert calls, "fresh engine trusted a stale fingerprint after an equal-rowcount rewrite"
+    assert fresh._ann_built and len(got) == fresh.k

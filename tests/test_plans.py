@@ -934,3 +934,7 @@ def test_iqr_quartiles_avoid_group_percentile_buffer(spark):
     # percentile aggregate (one whole group's values in a single buffer)
     assert "percentile" not in plan.lower()
     assert "Scan ExistingRDD" in plan  # the checkpointed class table
+    # r8: the fence pass counts outliers from the SAME class table —
+    # the fact parquet is scanned once (inside the eager checkpoint),
+    # never again in the final plan
+    assert "FileScan parquet" not in plan

@@ -244,3 +244,39 @@ def test_grouped_exact_quantiles_matches_numpy_per_group(spark):
     for flag, vals in by_flag.items():
         for q in fracs:
             assert abs(got[(flag, q)] - np.quantile(vals, q)) < 1e-6, (flag, q)
+
+def test_quantile_machinery_ignores_nulls(spark):
+    """NULLs in the value column must be ignored (quantile_cont /
+    percentile semantics). Before the r7-ADVICE fix the NULL class
+    inflated every real class's cum via the prefix-sum window but
+    dropped out of the bkt equi-join, shifting all order statistics
+    (ADVICE r7, queries_scale.py ranked_tie_classes)."""
+    import numpy as np
+    import pytest
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_scale import (
+        exact_quantiles_grouped,
+        grouped_exact_quantiles,
+    )
+
+    vals = [float(v) for v in range(1, 42)]
+    rows = [(("a" if v % 2 else "b"), v) for v in vals]
+    rows += [("a", None), ("b", None), ("b", None)]  # the poison rows
+    df = spark.createDataFrame(rows, "g string, x double").repartition(4)
+    fracs = [0.25, 0.5, 0.75]
+
+    got = {
+        r.frac: r.quantile
+        for r in exact_quantiles_grouped(df, "x", fracs, bucket_width=7.0).collect()
+    }
+    for q in fracs:
+        assert got[q] == pytest.approx(float(np.quantile(vals, q)), abs=1e-9), q
+
+    by_g = {"a": [v for v in vals if v % 2], "b": [v for v in vals if not v % 2]}
+    gq = {
+        (r.g, r.frac): r.quantile
+        for r in grouped_exact_quantiles(df, "x", "g", fracs, bucket_width=7.0).collect()
+    }
+    assert len(gq) == len(by_g) * len(fracs)  # no NULL group rows leak out
+    for g, gvals in by_g.items():
+        for q in fracs:
+            assert gq[(g, q)] == pytest.approx(float(np.quantile(gvals, q)), abs=1e-9), (g, q)
