@@ -984,39 +984,82 @@ def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 4 decimals BEFORE ranking (a 1-ulp split in a float
     difference must not reorder ranks between engines), zeros drop per
     the standard procedure, and tied magnitudes take average ranks via
-    the tie-class identity avg_rank = cum + (cnt+1)/2 — computed here
-    from ``ranked_tie_classes`` (NO global sort window; the oracle's
-    rank()+ties formula agrees exactly because rank() = cum + 1).
-    The normal approximation z uses the classic moments."""
-    from .queries_scale import ranked_tie_classes
+    the tie-class identity avg_rank = cum + (cnt+1)/2 (NO global sort
+    window; the oracle's rank()+ties formula agrees exactly because
+    rank() = cum + 1). The normal approximation z uses the classic
+    moments.
+    Scale shape (r8 rewrite — was 7.3 s vs oracle 3.2 s at the 100×
+    tier): the first year resolves in one bounded driver round-trip so
+    the two-year window becomes a PUSHABLE date-range predicate on the
+    fact scan; both years' unit prices pivot out of ONE l_partkey hash
+    aggregate (the (yr,partkey)+self-join form recomputed the grouped
+    fact THREE times — the y1/a/b legs share no lineage without a
+    checkpoint); and the sign counts ride the tie classes through the
+    floor-bucket prefix sum (w_plus = Σ rk·pos per class — exact, ranks
+    are half-integers), so nothing ever joins back to the pair rows.
+    One fact scan, one wide shuffle, class-sized state after."""
+    from pyspark.sql import Window
 
     li = _t(spark, sf_dir, "lineitem")
-    py = li.groupBy(
-        F.year("l_shipdate").alias("yr"), "l_partkey"
-    ).agg((F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"))
-    y1 = py.agg(F.min("yr").alias("y1"))
-    a = py.join(F.broadcast(y1), py.yr == F.col("y1")).select(
-        "l_partkey", F.col("p").alias("pa")
+    y1 = int(
+        li.agg(F.year(F.min("l_shipdate")).alias("y1")).collect()[0].y1
     )
-    b = py.join(F.broadcast(y1), py.yr == F.col("y1") + 1).select(
-        "l_partkey", F.col("p").alias("pb")
+    yr = F.year("l_shipdate")
+    two = li.filter(
+        (F.col("l_shipdate") >= F.lit(f"{y1}-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit(f"{y1 + 2}-01-01").cast("date"))
     )
-    pairs = a.join(b, "l_partkey").select(
-        F.round(F.col("pb") - F.col("pa"), 4).alias("d")
+    py = two.groupBy("l_partkey").agg(
+        (
+            F.sum(F.when(yr == y1, F.col("l_extendedprice")))
+            / F.sum(F.when(yr == y1, F.col("l_quantity")))
+        ).alias("pa"),
+        (
+            F.sum(F.when(yr == y1 + 1, F.col("l_extendedprice")))
+            / F.sum(F.when(yr == y1 + 1, F.col("l_quantity")))
+        ).alias("pb"),
     )
-    nz = pairs.filter(F.col("d") != 0).select(
-        "d", F.abs("d").alias("ad")
+    pairs = py.filter(
+        F.col("pa").isNotNull() & F.col("pb").isNotNull()
+    ).select(F.round(F.col("pb") - F.col("pa"), 4).alias("d"))
+    # signed rows collapse straight to |d| tie classes carrying their
+    # positive count — the ranked_tie_classes machinery with pos along.
+    # Eagerly checkpointed (class-sized): both the bucket-offset branch
+    # and the final prefix sum consume it, and without the checkpoint
+    # the offset branch re-runs the whole fact scan + pivot aggregate
+    adc = (
+        pairs.filter(F.col("d") != 0)
+        .groupBy(F.abs("d").alias("ad"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.sum((F.col("d") > 0).cast("long")).cast("long").alias("pos"),
+        )
+        .localCheckpoint(eager=True)
     )
-    rk = ranked_tie_classes(nz.select("ad"), "ad").select(
-        F.col("v").alias("ad"),
-        (F.col("cum") + (F.col("cnt") + 1) / 2.0).alias("rk"),
+    b = adc.withColumn("bkt", F.floor(F.col("ad") / 1000.0).cast("long"))
+    bc = b.groupBy("bkt").agg(F.sum("cnt").cast("long").alias("bn"))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bc.select(
+        "bkt",
+        F.coalesce(F.sum("bn").over(w_off), F.lit(0)).cast("long").alias("off"),
     )
-    ranked = nz.join(rk, "ad")
-    stat = ranked.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.when(F.col("d") > 0, F.col("rk")).otherwise(0.0)).alias(
-            "w_plus"
-        ),
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("ad")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cls = b.join(F.broadcast(boff), "bkt").select(
+        "cnt",
+        "pos",
+        (
+            F.col("off") + F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
+        ).alias("cum"),
+    )
+    stat = cls.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(
+            (F.col("cum") + (F.col("cnt") + 1) / 2.0) * F.col("pos")
+        ).alias("w_plus"),
     )
     return stat.select(
         "n",

@@ -938,3 +938,15 @@ def test_iqr_quartiles_avoid_group_percentile_buffer(spark):
     # the fact parquet is scanned once (inside the eager checkpoint),
     # never again in the final plan
     assert "FileScan parquet" not in plan
+
+
+def test_wilcoxon_single_scan_pushed_range_no_self_join(spark):
+    plan = _plan(spark, "q_wilcoxon_signed_rank")
+    # r8 rewrite: the fact is read ONCE, inside the eager class-table
+    # checkpoint (the old (yr,partkey)+self-join form scanned/grouped
+    # it three times) — the final plan sees only the checkpointed
+    # classes, no parquet scan, no join of pair rows, no rank window
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan
+    assert "rank(" not in plan
