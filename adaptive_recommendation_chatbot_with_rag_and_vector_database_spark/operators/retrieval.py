@@ -190,6 +190,7 @@ def knn_join(
     index_id: str = "vec_id",
     index_vec: str = "embedding",
     max_probe_rows: int = 65536,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Batch kNN join (J2/J8/O3): per query row, the k nearest index rows
     by cosine. Exact (brute-force), via ``similarity.brute_knn_block``:
@@ -226,7 +227,12 @@ def knn_join(
     # the whole blocked scoring in ONE task; no-op on well-partitioned
     # input (see loaders.scatter)
     partials = brute_knn_block(
-        scatter(index), panel, k, index_id=index_id, index_vec=index_vec
+        scatter(index),
+        panel,
+        k,
+        index_id=index_id,
+        index_vec=index_vec,
+        exclude_self=exclude_self,
     ).withColumnRenamed("query_id", query_id).withColumnRenamed(
         "vec_id", index_id
     )
@@ -275,6 +281,11 @@ def knn_auto(
     if index_rows is None:
         index_rows = index.count()
     if index_rows <= ann_threshold_rows:
+        # exclude_self for CROSS-REGIME uniformity: every approximate
+        # route (lsh_knn, ivf_knn, ivf_knn_batch) masks index_id ==
+        # query_id, so the exact route must too — otherwise the same
+        # probe set flips semantics when the index crosses the
+        # threshold (caught by q_knn_auto_quality's no_self verdict)
         out = knn_join(
             queries,
             index,
@@ -283,6 +294,7 @@ def knn_auto(
             query_vec=query_vec,
             index_id=index_id,
             index_vec=index_vec,
+            exclude_self=True,
         ).select(
             query_id, index_id, F.round(F.col("score"), 6).alias("score"), "rank"
         )
