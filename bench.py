@@ -175,15 +175,39 @@ def main() -> None:
         timings[name] = _timed(lambda: _force(fn(spark, SF_DIR)), runs)
 
     total = round(sum(timings.values()), 3)
+    full = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    # full per-query map → file (270+ queries ≈ 6 KB of JSON; the
+    # driver's stdout capture is a ~2 KB tail window that cut the old
+    # single line on BOTH ends — BENCH_r06/r07 "parsed": null)
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
+    )
+    with open(full_path, "w") as f:
+        json.dump(full, f)
+    # final stdout line stays ONE compact parseable JSON object well
+    # under the capture window: headline totals + the slowest 25
+    slow = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:25]
+    )
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": slow,
+                "n_queries": len(timings),
+                "full": full_path,
                 "sf": _sf_from_dir(SF_DIR),
-            }
+            },
+            separators=(",", ":"),
         )
     )
 
