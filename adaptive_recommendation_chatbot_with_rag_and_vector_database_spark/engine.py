@@ -281,6 +281,8 @@ class RagEngine:
             )
             self._ann_built = True
             return
+        if cb_rows and self._try_ivf_append(cb_rows, rows, sig):
+            return
         import math
 
         n_cells = int(
@@ -314,6 +316,74 @@ class RagEngine:
         ).coalesce(1).write.mode("overwrite").parquet(cb_path)
         self._codebook = centroids
         self._ann_built = True
+
+    #: a corpus that grew by more than this fraction since the codebook
+    #: trained gets a RETRAIN, not an append — per-row cell assignment
+    #: under the old codebook stays exactly correct at any growth, but
+    #: codebook optimality (and with it recall-per-nprobe) drifts with
+    #: the corpus distribution, so the append path is for the
+    #: steady-state trickle, not for doublings
+    IVF_APPEND_MAX_GROWTH = 0.25
+
+    def _try_ivf_append(self, cb_rows, rows: int, sig: str) -> bool:
+        """Incremental IVF maintenance: when the corpus GREW (bounded,
+        append-only — the engine's own ``index_documents`` contract)
+        since the layout was built, assign only the delta chunks to the
+        existing codebook's cells and append them into the
+        cell-partitioned layout, instead of retraining KMeans and
+        rewriting millions of rows for a 1 % addition (measured at the
+        2 M-chunk tier: full rebuild 150-190 s, append seconds).
+        Eligibility is PROVEN, not assumed: the old layout must be a
+        clean subset of the current index (zero orphan cids — an
+        external rewrite that removed rows fails this and falls through
+        to the retrain path) and growth must stay within
+        ``IVF_APPEND_MAX_GROWTH``. Returns True when the append served;
+        False falls through to the rebuild."""
+        ivf_path, cb_path = self._ann_paths()
+        old_rows = {getattr(r, "corpus_rows", -1) for r in cb_rows}
+        if len(old_rows) != 1:
+            return False
+        old = old_rows.pop()
+        if not (0 < old < rows and rows - old <= self.IVF_APPEND_MAX_GROWTH * old):
+            return False
+        try:
+            layout_ids = self.spark.read.parquet(ivf_path).select("cid")
+        except Exception:
+            return False
+        full = self.index().select(
+            self._cid(), "embedding", "doc_id", "chunk_id", "text"
+        )
+        # both guards read only the 8-byte cid lane of each side
+        if layout_ids.join(
+            full.select("cid"), "cid", "left_anti"
+        ).limit(1).count():
+            return False  # orphans: the old layout is not a subset
+        import numpy as np
+
+        from .operators.similarity import append_ivf_index
+
+        codebook = np.array(
+            [r.centroid for r in sorted(cb_rows, key=lambda r: r.cell)],
+            dtype=np.float64,
+        )
+        delta = full.join(layout_ids, "cid", "left_anti")
+        append_ivf_index(
+            delta,
+            ivf_path,
+            codebook,
+            index_id="cid",
+            payload_cols=("doc_id", "chunk_id", "text"),
+        )
+        self.spark.createDataFrame(
+            [
+                (int(r.cell), [float(x) for x in r.centroid], rows, sig)
+                for r in cb_rows
+            ],
+            "cell int, centroid array<double>, corpus_rows long, corpus_sig string",
+        ).coalesce(1).write.mode("overwrite").parquet(cb_path)
+        self._codebook = codebook
+        self._ann_built = True
+        return True
 
     def _load_codebook(self):
         # cached in-engine: the codebook is a static index artifact and

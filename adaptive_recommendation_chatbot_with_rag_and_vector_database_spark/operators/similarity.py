@@ -370,6 +370,42 @@ def write_ivf_index(
     )
 
 
+def append_ivf_index(
+    new_rows: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    index_id: str = "vec_id",
+    index_vec: str = "embedding",
+    payload_cols: tuple[str, ...] = (),
+) -> None:
+    """Append-only IVF maintenance: assign ONLY the delta rows to the
+    EXISTING codebook's cells and append them into the cell-partitioned
+    layout — the incremental-upsert path every production vector store
+    ships, vs. the rebuild path (retrain KMeans + rewrite the full
+    corpus) that costs minutes at the 2 M-chunk tier for a 1 % append.
+    Per-row cell assignment is identical to what a full rebuild under
+    the SAME codebook would compute, so probe results over appended
+    layouts match a same-codebook rewrite exactly; what drifts is only
+    codebook optimality as the corpus distribution moves, which is why
+    callers bound growth before electing append over retrain
+    (engine._ensure_ann_index: ≤ IVF_APPEND_MAX_GROWTH)."""
+    from ..sources.loaders import scatter
+
+    assign = _nearest_cells_udf(centroids, 1)
+    (
+        scatter(new_rows)
+        .select(
+            F.col(index_id),
+            F.col(index_vec),
+            *payload_cols,
+            assign(F.col(index_vec))[0].alias("cell"),
+        )
+        .write.partitionBy("cell")
+        .mode("append")
+        .parquet(path)
+    )
+
+
 def ivf_knn_pruned(
     spark,
     path: str,

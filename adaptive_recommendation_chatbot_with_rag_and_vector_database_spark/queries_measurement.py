@@ -22,7 +22,7 @@ same reason.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import query
@@ -1720,4 +1720,239 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(did, 4).alias("did"),
         F.round(F.sqrt("var_sum"), 4).alias("se"),
         F.round(did / F.sqrt("var_sum"), 4).alias("z"),
+    )
+
+
+# --- M17: Poisson goodness-of-fit on order basket sizes -------------------------
+
+
+@query(
+    "q_poisson_gof",
+    oracle="""
+    WITH k AS (
+      SELECT o.o_orderkey,
+             least(coalesce(c.k, 0), 13) AS kb,
+             coalesce(c.k, 0) AS k
+      FROM orders o LEFT JOIN (
+        SELECT l_orderkey, count(*) AS k FROM lineitem GROUP BY 1) c
+        ON o.o_orderkey = c.l_orderkey),
+    lam AS (
+      SELECT count(*)::DOUBLE AS n, sum(k)::DOUBLE / count(*) AS l FROM k),
+    obs AS (SELECT kb, count(*)::DOUBLE AS o FROM k GROUP BY kb),
+    bins AS (
+      SELECT b.kb, coalesce(obs.o, 0.0) AS o,
+             CASE WHEN b.kb < 13
+                  THEN n * exp(-l) * power(l, b.kb) / factorial(b.kb::INT)
+             END AS e_raw
+      FROM (SELECT unnest(generate_series(0, 13)) AS kb) b
+      LEFT JOIN obs ON b.kb = obs.kb, lam),
+    e AS (
+      SELECT kb, o,
+             coalesce(e_raw,
+                      (SELECT n FROM lam) - sum(e_raw) OVER ()) AS e
+      FROM bins)
+    SELECT CAST((SELECT n FROM lam) AS BIGINT) AS n_orders,
+           round((SELECT l FROM lam), 6) AS lambda_hat,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           round(sum((o - e) * (o - e) / e), 4) AS chi2
+    FROM e
+    """,
+)
+def q_poisson_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson goodness-of-fit on order basket sizes (M17, wave 33):
+    does lines-per-order look Poisson(λ̂)? — the distributional sanity
+    check behind queueing/demand models, complementing q_chi_square's
+    independence test with the one-sample GOF form. Bins k = 0..12 plus
+    a ≥13 tail whose expected mass is n − Σ expected (so the bins sum
+    exactly to n and the tail needs no incomplete-gamma). λ̂ is an
+    exact integer-sum ratio, pmf uses factorial (exact int64 for
+    k ≤ 12) — both engines evaluate the identical expression tree and
+    chi² rounds to 4. Scale shape: one orderkey-keyed count aggregate,
+    a 14-row bin frame (broadcast), every window over 14 rows."""
+    od = load_table(spark, "orders", sf_dir).select("o_orderkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey")
+    c = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("k"))
+    k = od.join(c, od.o_orderkey == c.l_orderkey, "left").select(
+        F.coalesce("k", F.lit(0)).alias("k")
+    )
+    # collapse to the exact k-histogram FIRST: λ̂, n, and the binned
+    # observed counts all derive from this ≤|max k|-row table, so the
+    # fact tables are scanned exactly once (a separate λ aggregate
+    # re-ran the whole join lineage — caught by the plan pin)
+    kh = (
+        k.groupBy("k")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+        .localCheckpoint(eager=True)  # two consumers (λ̂ + bins)
+    )
+    lam = kh.agg(
+        F.sum("cnt").alias("n"),
+        (F.sum(F.col("k") * F.col("cnt")) / F.sum("cnt")).alias("l"),
+    )
+    obs = kh.groupBy(
+        F.least(F.col("k"), F.lit(13)).cast("long").alias("kb")
+    ).agg(F.sum("cnt").alias("o"))
+    bins = spark.range(0, 14).select(F.col("id").cast("long").alias("kb"))
+    joined = (
+        bins.join(obs, "kb", "left")
+        .crossJoin(F.broadcast(lam))
+        .select(
+            "kb",
+            F.coalesce("o", F.lit(0.0)).alias("o"),
+            F.when(
+                F.col("kb") < 13,
+                F.col("n")
+                * F.exp(-F.col("l"))
+                * F.pow("l", F.col("kb"))
+                / F.factorial(F.col("kb").cast("int")),
+            ).alias("e_raw"),
+            "n",
+            "l",
+        )
+    )
+    w = Window.partitionBy()
+    e = joined.select(
+        "n",
+        "l",
+        "o",
+        F.coalesce(
+            "e_raw", F.col("n") - F.sum("e_raw").over(w)
+        ).alias("e"),
+    )
+    return e.groupBy("n", "l").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.round(
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+            4,
+        ).alias("chi2"),
+    ).select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.round("l", 6).alias("lambda_hat"),
+        "n_bins",
+        "chi2",
+    )
+
+
+# --- M18: seeded randomization (permutation) test --------------------------------
+
+
+_PERM_N = 64  # deterministic label reassignments
+_PERM_STEP = 7919  # prime offset decorrelating permutations
+
+
+@query(
+    "q_permutation_test",
+    oracle=f"""
+    WITH spend AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+               AS y
+      FROM events GROUP BY user_id),
+    perms AS (
+      SELECT p, user_id, y,
+             CASE WHEN ((user_id + p * {_PERM_STEP}) * {_LCG_A}
+                        + {_LCG_C}) % {_LCG_M} < {_LCG_M // 2}
+                  THEN 0 ELSE 1 END AS grp
+      FROM spend, (SELECT unnest(generate_series(0, {_PERM_N})) AS p)),
+    stats AS (
+      SELECT p,
+             round(abs(sum(CASE WHEN grp = 1 THEN y END)
+                         / count(CASE WHEN grp = 1 THEN 1 END)
+                       - sum(CASE WHEN grp = 0 THEN y END)
+                         / count(CASE WHEN grp = 0 THEN 1 END)), 4) AS d
+      FROM perms GROUP BY p),
+    obs AS (SELECT d AS d_obs FROM stats WHERE p = 0)
+    SELECT CAST((SELECT count(*) FROM spend) AS BIGINT) AS n_users,
+           CAST({_PERM_N} AS BIGINT) AS n_perms,
+           d_obs,
+           round((1.0 + count(*) FILTER (WHERE s.p > 0 AND s.d >= o.d_obs))
+                 / (1.0 + {_PERM_N}), 4) AS p_value
+    FROM stats s, obs o GROUP BY d_obs
+    """,
+)
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded randomization test (M18, wave 33): the
+    distribution-free significance check for the A/B spend difference —
+    re-assign users to arms {_PERM_N} times with a DETERMINISTIC LCG
+    (permutation p offsets the seed by p·{_PERM_STEP}; p = 0 IS the
+    q_ab_test assignment, so the observed stat is the real experiment)
+    and count reassignments whose |mean gap| reaches the observed one.
+    Per-permutation stats round to 4 decimals BEFORE the ≥ comparison
+    (a 1-ulp sum split must not flip a count). Scale shape: one
+    user-keyed spend aggregate, then a {_PERM_N + 1}-way explode of the
+    |users|-row rollup (never the event rows) into (p, grp) partial
+    sums — the event table is scanned once."""
+    ev = load_table(spark, "events", sf_dir)
+    # eagerly checkpointed: the |users|-row rollup feeds the perm
+    # explode AND the n_users count — without it each consumer re-runs
+    # the event scan (plan pin: exactly one FileScan)
+    spend = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value")
+                ).otherwise(0.0)
+            ).alias("y")
+        )
+        .localCheckpoint(eager=True)
+    )
+    perms = spend.select(
+        "user_id",
+        "y",
+        F.explode(F.sequence(F.lit(0), F.lit(_PERM_N))).alias("p"),
+    ).select(
+        "p",
+        "y",
+        F.when(
+            ((F.col("user_id") + F.col("p") * _PERM_STEP) * _LCG_A + _LCG_C)
+            % _LCG_M
+            < _LCG_M // 2,
+            0,
+        )
+        .otherwise(1)
+        .alias("grp"),
+    )
+    stats = perms.groupBy("p").agg(
+        F.round(
+            F.abs(
+                F.sum(F.when(F.col("grp") == 1, F.col("y")))
+                / F.count(F.when(F.col("grp") == 1, F.lit(1)))
+                - F.sum(F.when(F.col("grp") == 0, F.col("y")))
+                / F.count(F.when(F.col("grp") == 0, F.lit(1)))
+            ),
+            4,
+        ).alias("d")
+    )
+    # d_obs folds in via a window over the 65-row stats table — a
+    # separate filter branch would re-run the whole perm lineage
+    n_users = spend.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    return (
+        stats.withColumn(
+            "d_obs",
+            F.max(F.when(F.col("p") == 0, F.col("d"))).over(
+                Window.partitionBy()
+            ),
+        )
+        .agg(
+            F.first("d_obs").alias("d_obs"),
+            F.round(
+                (
+                    1.0
+                    + F.sum(
+                        (
+                            (F.col("p") > 0) & (F.col("d") >= F.col("d_obs"))
+                        ).cast("long")
+                    )
+                )
+                / (1.0 + _PERM_N),
+                4,
+            ).alias("p_value"),
+        )
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "n_users",
+            F.lit(_PERM_N).cast("long").alias("n_perms"),
+            "d_obs",
+            "p_value",
+        )
     )

@@ -866,3 +866,110 @@ def q_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("feature")
     )
+
+
+# --- MO9: Jensen-Shannon drift between time halves --------------------------------
+
+
+@query(
+    "q_js_drift",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS t0,
+             CAST(floor(epoch(max(ts))) AS BIGINT) AS t1
+      FROM events),
+    halves AS (
+      SELECT event_type,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       <= (SELECT t0 + (t1 - t0) // 2 FROM bounds)
+                  THEN 0 ELSE 1 END AS half
+      FROM events),
+    c AS (SELECT event_type, half, count(*)::DOUBLE AS c
+          FROM halves GROUP BY 1, 2),
+    n AS (SELECT half, sum(c) AS n FROM c GROUP BY half),
+    p AS (
+      SELECT t.event_type,
+             coalesce(c0.c, 0) / (SELECT n FROM n WHERE half = 0) AS p0,
+             coalesce(c1.c, 0) / (SELECT n FROM n WHERE half = 1) AS p1
+      FROM (SELECT DISTINCT event_type FROM c) t
+      LEFT JOIN c c0 ON c0.event_type = t.event_type AND c0.half = 0
+      LEFT JOIN c c1 ON c1.event_type = t.event_type AND c1.half = 1),
+    terms AS (
+      SELECT event_type, p0, p1,
+             0.5 * (CASE WHEN p0 > 0
+                         THEN p0 * ln(p0 / ((p0 + p1) / 2)) ELSE 0 END)
+             + 0.5 * (CASE WHEN p1 > 0
+                           THEN p1 * ln(p1 / ((p0 + p1) / 2)) ELSE 0 END)
+               AS term
+      FROM p)
+    SELECT event_type, round(p0, 6) AS p0, round(p1, 6) AS p1,
+           round(term, 6) AS jsd_term,
+           round(sum(term) OVER (), 6) AS jsd_total
+    FROM terms ORDER BY event_type
+    """,
+)
+def q_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon drift on the event-type mix (MO9, wave 33):
+    symmetric, bounded [0, ln 2] divergence between the first and
+    second half of the observation window — the drift family's third
+    member beside PSI (MO1, binned numeric) and KS (G5, continuous):
+    JS is the right metric for CATEGORICAL mixes because it tolerates
+    zero-probability categories (a type present in one half only
+    contributes a finite term; KL explodes). Deterministic midpoint cut
+    (integer epoch arithmetic, q_diff_in_diff's idiom), zero-filled
+    type×half grid. Scale shape: one (type, half) hash aggregate — the
+    event table is scanned once; everything after runs on the
+    |types|-row mix table."""
+    ev = load_table(spark, "events", sf_dir)
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("long")).alias("t0"),
+        F.max(F.col("ts").cast("long")).alias("t1"),
+    ).select(
+        (F.col("t0") + F.floor((F.col("t1") - F.col("t0")) / 2))
+        .cast("long")
+        .alias("cut")
+    )
+    c = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.when(F.col("ts").cast("long") <= F.col("cut"), 0)
+            .otherwise(1)
+            .alias("half"),
+        )
+        .groupBy("event_type", "half")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    n = c.groupBy("half").agg(F.sum("c").alias("n"))
+    c0 = c.filter(F.col("half") == 0).select("event_type", F.col("c").alias("c0"))
+    c1 = c.filter(F.col("half") == 1).select("event_type", F.col("c").alias("c1"))
+    n0 = n.filter(F.col("half") == 0).select(F.col("n").alias("n0"))
+    n1 = n.filter(F.col("half") == 1).select(F.col("n").alias("n1"))
+    p = (
+        c.select("event_type")
+        .distinct()
+        .join(c0, "event_type", "left")
+        .join(c1, "event_type", "left")
+        .crossJoin(F.broadcast(n0))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "event_type",
+            (F.coalesce("c0", F.lit(0.0)) / F.col("n0")).alias("p0"),
+            (F.coalesce("c1", F.lit(0.0)) / F.col("n1")).alias("p1"),
+        )
+    )
+    m = (F.col("p0") + F.col("p1")) / 2
+    term = 0.5 * F.when(
+        F.col("p0") > 0, F.col("p0") * F.log(F.col("p0") / m)
+    ).otherwise(0.0) + 0.5 * F.when(
+        F.col("p1") > 0, F.col("p1") * F.log(F.col("p1") / m)
+    ).otherwise(0.0)
+    terms = p.select("event_type", "p0", "p1", term.alias("term"))
+    w = Window.partitionBy()
+    return terms.select(
+        "event_type",
+        F.round("p0", 6).alias("p0"),
+        F.round("p1", 6).alias("p1"),
+        F.round("term", 6).alias("jsd_term"),
+        F.round(F.sum("term").over(w), 6).alias("jsd_total"),
+    ).orderBy("event_type")

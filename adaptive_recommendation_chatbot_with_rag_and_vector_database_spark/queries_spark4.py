@@ -406,3 +406,39 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         schema,
     )
+
+
+# --- Q6: parameterized SQL (named parameter markers) ---------------------------
+
+
+@query(
+    "q_param_sql",
+    oracle="""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_quantity >= 30 AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_param_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (Q6, wave 33): Spark 4's parameterized
+    ``spark.sql(query, args={...})`` — literals bind server-side as
+    typed parameter markers (no string splicing, injection-safe, and
+    the plan cache can reuse across bindings). The bound predicate
+    must still reach the parquet scan as a pushed filter — parameter
+    markers constant-fold before pushdown (pinned in
+    tests/test_plans.py)."""
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView(
+        "lineitem_param"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem_param
+        WHERE l_quantity >= :minqty AND l_shipdate < :cutoff
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        args={"minqty": 30, "cutoff": "1997-01-01"},
+    )

@@ -945,3 +945,81 @@ def q_resurrection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- TM12: weekend vs weekday revenue uplift -----------------------------------
+
+
+@query(
+    "q_weekend_uplift",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS we,
+             round(sum(value), 4) AS rev
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT we, count(*)::DOUBLE AS n, sum(rev) AS s1,
+             sum(rev * rev) AS s2
+      FROM daily GROUP BY we),
+    w AS (SELECT n AS n1, s1 AS a1, s2 AS b1 FROM m WHERE we = 1),
+    wd AS (SELECT n AS n0, s1 AS a0, s2 AS b0 FROM m WHERE we = 0)
+    SELECT CAST(n1 AS BIGINT) AS n_weekend_days,
+           CAST(n0 AS BIGINT) AS n_weekday_days,
+           round(a1 / n1, 4) AS mean_weekend,
+           round(a0 / n0, 4) AS mean_weekday,
+           round(a1 / n1 / (a0 / n0), 4) AS uplift,
+           round((a1 / n1 - a0 / n0)
+                 / sqrt(((b1 - a1 * a1 / n1) / (n1 - 1)) / n1
+                        + ((b0 - a0 * a0 / n0) / (n0 - 1)) / n0), 4)
+             AS welch_t
+    FROM w, wd
+    """,
+)
+def q_weekend_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend-vs-weekday revenue uplift with a Welch t (TM12, wave
+    33): do weekend days genuinely earn more per day, or is the lift
+    noise — the seasonality DECISION beside q_weekday_seasonality's
+    per-day profile. Daily totals round to 4 decimals BEFORE the
+    moment sums (a 1-ulp event-sum split must not move the t), Welch
+    moments come from the ~31-row day table, and the ISO weekend
+    definition (Sat/Sun) is pinned on both engines (Spark dayofweek is
+    1=Sun..7=Sat; DuckDB isodow is 1=Mon..7=Sun — conditions differ,
+    sets match). Scale shape: one (day, flag) hash aggregate over the
+    fact; everything after is day-count sized."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        F.to_date("ts").alias("d"),
+        F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("we"),
+    ).agg(F.round(F.sum("value"), 4).alias("rev"))
+    m = daily.groupBy("we").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("rev").alias("s1"),
+        F.sum(F.col("rev") * F.col("rev")).alias("s2"),
+    )
+    w1 = m.filter(F.col("we") == 1).select(
+        F.col("n").alias("n1"), F.col("s1").alias("a1"), F.col("s2").alias("b1")
+    )
+    w0 = m.filter(F.col("we") == 0).select(
+        F.col("n").alias("n0"), F.col("s1").alias("a0"), F.col("s2").alias("b0")
+    )
+    var1 = (F.col("b1") - F.col("a1") * F.col("a1") / F.col("n1")) / (
+        F.col("n1") - 1
+    )
+    var0 = (F.col("b0") - F.col("a0") * F.col("a0") / F.col("n0")) / (
+        F.col("n0") - 1
+    )
+    return w1.crossJoin(w0).select(
+        F.col("n1").cast("long").alias("n_weekend_days"),
+        F.col("n0").cast("long").alias("n_weekday_days"),
+        F.round(F.col("a1") / F.col("n1"), 4).alias("mean_weekend"),
+        F.round(F.col("a0") / F.col("n0"), 4).alias("mean_weekday"),
+        F.round((F.col("a1") / F.col("n1")) / (F.col("a0") / F.col("n0")), 4).alias(
+            "uplift"
+        ),
+        F.round(
+            (F.col("a1") / F.col("n1") - F.col("a0") / F.col("n0"))
+            / F.sqrt(var1 / F.col("n1") + var0 / F.col("n0")),
+            4,
+        ).alias("welch_t"),
+    )

@@ -1368,3 +1368,139 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("labeled_lang", "pred_lang")
     )
+
+
+# --- Z11: vocabulary richness (hapax ratio / type-token) -----------------------
+
+
+@query(
+    "q_vocab_richness",
+    oracle="""
+    WITH w AS (
+      SELECT source, word, count(*) AS freq FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+      WHERE word <> ''
+      GROUP BY source, word)
+    SELECT source,
+           CAST(sum(freq) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(count(*) FILTER (WHERE freq = 1) AS BIGINT) AS n_hapax,
+           round(count(*) / CAST(sum(freq) AS DOUBLE), 6) AS ttr,
+           round(count(*) FILTER (WHERE freq = 1)
+                 / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio
+    FROM w GROUP BY source ORDER BY source
+    """,
+)
+def q_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness audit per source (Z11, wave 33): type-token
+    ratio and hapax-legomenon share — the lexical-diversity signals a
+    corpus curator reads before weighting a source (boilerplate farms
+    show low TTR / low hapax; OCR noise shows the opposite extreme).
+    One explode → (source, word) hash aggregate (map-side partials per
+    word) → per-source rollup of the type table; the only exchange
+    after the word counts carries one row per distinct (source, word),
+    never per token occurrence."""
+    w = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        w.groupBy("source")
+        .agg(
+            F.sum("freq").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum((F.col("freq") == 1).cast("long")).cast("long").alias("n_hapax"),
+            F.round(
+                F.count(F.lit(1)) / F.sum("freq").cast("double"), 6
+            ).alias("ttr"),
+            F.round(
+                F.sum((F.col("freq") == 1).cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("hapax_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- X18: minhash estimator calibration audit -----------------------------------
+
+
+@query(
+    "q_minhash_calibration",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           true AS has_pairs,
+           true AS mean_err_ok,
+           true AS max_err_ok,
+           true AS bias_ok
+    FROM documents
+    """,
+)
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minhash estimator calibration audit (X18, wave 33): on LSH
+    candidate pairs, how far is the 16-hash signature's Jaccard
+    ESTIMATE (matching-component fraction) from the exact token
+    Jaccard — the accuracy contract a dedup pipeline silently relies
+    on when it thresholds on sketches (q_dedup_minhash verifies
+    candidates exactly; this audits the sketch itself, the
+    q_approx_sketch pattern applied to minhash). Verdict bounds come
+    from estimator theory for 16 independent permutations: per-pair
+    std = sqrt(J(1-J)/16) <= 0.125, so mean |err| <= 0.125; the
+    estimate quantizes in 1/16 steps so max |err| <= 0.75; and
+    collision-conditioning bias (candidates are pairs that already
+    matched >=1 band) is positive but < 0.125. Measured 0.079-0.083 /
+    0.42-0.50 / +0.026-0.041 across the three fixture tiers. Scale
+    shape: pairs decimate deterministically (id_a % 97 = 0, probe side of the band join) BEFORE the
+    exact-Jaccard attach — a calibration audit must never be the
+    scale bottleneck of the dedup it audits; signatures join id-keyed."""
+    from .functions.text import N_MINHASH, minhash_signature
+    from .operators.dedup import _jaccard, _with_sketch, minhash_candidates
+
+    docs = _docs(spark, sf_dir)
+    sk = _with_sketch(docs, "doc_id", "text").select(
+        "doc_id", minhash_signature(F.col("tokh")).alias("sig")
+    )
+    pairs = minhash_candidates(
+        docs, id_a_filter=lambda c: c % 97 == 0
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda v: v,
+            )
+        ).cast("double")
+        / N_MINHASH
+    )
+    scored = (
+        pairs.join(
+            sk.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sk.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
+        .select(
+            (est - _jaccard(F.col("toks_a"), F.col("toks_b"))).alias("err")
+        )
+    )
+    stats = scored.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.avg(F.abs("err")).alias("mean_err"),
+        F.max(F.abs("err")).alias("max_err"),
+        F.avg("err").alias("bias"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return n_docs.crossJoin(stats).select(
+        "n_docs",
+        (F.col("n_pairs") > 0).alias("has_pairs"),
+        (F.col("mean_err") <= 0.125).alias("mean_err_ok"),
+        (F.col("max_err") <= 0.75).alias("max_err_ok"),
+        ((F.col("bias") > -0.01) & (F.col("bias") < 0.125)).alias("bias_ok"),
+    )

@@ -1461,3 +1461,146 @@ def q_pvm_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("exact"),
     )
+
+
+# --- W26: customer revenue-decile transition matrix ----------------------------
+
+
+@query(
+    "q_decile_transition",
+    oracle="""
+    WITH rev AS (
+      SELECT year(o_orderdate) AS yr, o_custkey,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY 1, 2),
+    y1 AS (SELECT min(yr) AS y FROM rev),
+    rk AS (
+      SELECT yr, o_custkey,
+             row_number() OVER (PARTITION BY yr ORDER BY rev, o_custkey)
+               AS rn,
+             count(*) OVER (PARTITION BY yr) AS n
+      FROM rev, y1 WHERE yr IN (y, y + 1)),
+    dec AS (
+      SELECT yr, o_custkey,
+             CAST(floor(10.0 * (rn - 1) / n) AS BIGINT) + 1 AS dec
+      FROM rk),
+    pairs AS (
+      SELECT a.dec AS d_from, b.dec AS d_to
+      FROM dec a JOIN dec b ON a.o_custkey = b.o_custkey, y1
+      WHERE a.yr = y AND b.yr = y + 1)
+    SELECT d_from, d_to, CAST(count(*) AS BIGINT) AS n_cust,
+           round(count(*) / sum(count(*)) OVER (), 6) AS share
+    FROM pairs GROUP BY d_from, d_to ORDER BY d_from, d_to
+    """,
+)
+def q_decile_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue-decile migration matrix (W26, wave 33): where
+    last year's decile-d customers land this year — the mobility view
+    behind churn-risk and upsell targeting (a heavy diagonal means a
+    sticky base; mass under the diagonal means decay). Determinism:
+    revenue rounds to 2 decimals BEFORE ranking, rank is unique via the
+    custkey tie-break, and deciles come from the closed form
+    floor(10·(rank−1)/n)+1 — never engine-order ntile. Scale shape: the
+    per-year rank is grouped tie classes (cum) plus a row_number INSIDE
+    one (yr, rev) tie class — the only windows run over single classes,
+    never a year's whole customer list in one task; the transition join
+    is custkey-keyed; the share denominator is a window over the
+    ≤100-row matrix."""
+    from .queries_scale import grouped_ranked_tie_classes
+
+    od = _t(spark, sf_dir, "orders")
+    rev = od.groupBy(
+        F.year("o_orderdate").alias("yr"), "o_custkey"
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    y1 = int(
+        od.agg(F.year(F.min("o_orderdate")).alias("y")).collect()[0].y
+    )
+    two = rev.filter(F.col("yr").isin(y1, y1 + 1))
+    cls = grouped_ranked_tie_classes(two, "rev", "yr").select(
+        "yr", F.col("v").alias("rev"), "cum"
+    )
+    w_in = Window.partitionBy("yr", "rev").orderBy("o_custkey")
+    # per-year size via agg + broadcast, NOT a partitionBy(yr) window —
+    # that window would pull a whole year's customers into one task
+    ny = two.groupBy("yr").agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        two.join(cls, ["yr", "rev"])
+        .withColumn("rn", F.col("cum") + F.row_number().over(w_in))
+        .join(F.broadcast(ny), "yr")
+        .select(
+            "yr",
+            "o_custkey",
+            (
+                F.floor(10.0 * (F.col("rn") - 1) / F.col("n")).cast("long") + 1
+            ).alias("dec"),
+        )
+    )
+    a = ranked.filter(F.col("yr") == y1).select(
+        "o_custkey", F.col("dec").alias("d_from")
+    )
+    b = ranked.filter(F.col("yr") == y1 + 1).select(
+        "o_custkey", F.col("dec").alias("d_to")
+    )
+    m = (
+        a.join(b, "o_custkey")
+        .groupBy("d_from", "d_to")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cust"))
+    )
+    return m.select(
+        "d_from",
+        "d_to",
+        "n_cust",
+        F.round(
+            F.col("n_cust") / F.sum("n_cust").over(Window.partitionBy()), 6
+        ).alias("share"),
+    ).orderBy("d_from", "d_to")
+
+
+# --- W27: discount-band margin profile -----------------------------------------
+
+
+@query(
+    "q_discount_margin",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+             count(*) AS n_lines,
+             sum(l_extendedprice) AS g,
+             sum(l_extendedprice * (1 - l_discount)) AS net
+      FROM lineitem GROUP BY 1)
+    SELECT disc_pct, CAST(n_lines AS BIGINT) AS n_lines,
+           round(g, 2) AS gross, round(net, 2) AS net,
+           round(net / g, 6) AS net_ratio,
+           round(g / sum(g) OVER (), 6) AS gross_share
+    FROM b ORDER BY disc_pct
+    """,
+)
+def q_discount_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-band margin profile (W27, wave 33): gross vs net
+    revenue and volume share per integer discount percent — the pricing
+    dashboard behind "is the 10%-off band buying us anything". One
+    pushdown-pruned fact aggregate with map-side partials; the share
+    denominator is a window over the ~11-row band table, never a second
+    fact scan."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_discount"
+    )
+    b = li.groupBy(
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("l_extendedprice").alias("g"),
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "net"
+        ),
+    )
+    return b.select(
+        "disc_pct",
+        "n_lines",
+        F.round("g", 2).alias("gross"),
+        F.round("net", 2).alias("net"),
+        F.round(F.col("net") / F.col("g"), 6).alias("net_ratio"),
+        F.round(
+            F.col("g") / F.sum("g").over(Window.partitionBy()), 6
+        ).alias("gross_share"),
+    ).orderBy("disc_pct")

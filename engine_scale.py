@@ -103,6 +103,26 @@ def drive(spark, sf_dir: str, mult_tag: str, out: dict) -> None:
         recs = eng.recommend("scale").collect()
         out[f"recommend_{mult_tag}"] = round(time.perf_counter() - t0, 3)
         assert len(recs) == eng.k
+
+        # round 8: bounded corpus growth → incremental IVF maintenance.
+        # A 1% append must trigger the delta-assign + partition-append
+        # path (engine._try_ivf_append), never the KMeans retrain +
+        # full layout rewrite the same growth cost before.
+        from pyspark.sql import functions as F
+
+        delta_docs = docs.filter(F.col("doc_id") % 100 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(10**10)
+        )
+        t0 = time.perf_counter()
+        n_delta = eng.index_documents(delta_docs)
+        out[f"append_index_{mult_tag}"] = round(time.perf_counter() - t0, 3)
+        out[f"n_delta_chunks_{mult_tag}"] = n_delta
+        t0 = time.perf_counter()
+        rows = eng.retrieve(QUESTION).collect()
+        out[f"append_ann_refresh_{mult_tag}"] = round(
+            time.perf_counter() - t0, 3
+        )
+        assert len(rows) == eng.k and eng._ann_built
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 

@@ -421,3 +421,55 @@ def test_fresh_engine_detects_equal_rowcount_corpus_rewrite(
     got = fresh.retrieve(q).collect()
     assert calls, "fresh engine trusted a stale fingerprint after an equal-rowcount rewrite"
     assert fresh._ann_built and len(got) == fresh.k
+
+
+def test_bounded_corpus_growth_appends_into_ivf_layout(
+    spark, tmp_path, monkeypatch
+):
+    """Incremental IVF maintenance (round 8): a bounded append-only
+    corpus growth must NOT retrain KMeans or rewrite the layout — the
+    delta chunks are assigned under the existing codebook and appended
+    into the cell partitions, and the appended content is immediately
+    retrievable through the ANN route."""
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators import (
+        similarity as sim,
+    )
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.sources.loaders import (
+        load_table,
+    )
+
+    path = str(tmp_path / "index")
+    eng = RagEngine(spark, index_path=path, ann_threshold_rows=10)
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    assert eng.index_documents(docs.filter("doc_id % 10 != 0")) > 0
+    eng.retrieve("priority freight shipments").collect()  # builds the layout
+
+    def boom(*a, **k):
+        raise AssertionError("bounded growth retrained/rewrote the IVF layout")
+
+    assert eng.index_documents(docs.filter("doc_id % 10 = 0")) > 0  # ~11% growth
+    monkeypatch.setattr(sim, "train_centroids_sample", boom)
+    monkeypatch.setattr(sim, "write_ivf_index", boom)
+
+    # pick a NEW doc's own chunk text as the query: its embedding is
+    # the chunk's embedding, so the appended chunk must come back top-1
+    new_chunk = (
+        eng.index()
+        .filter("doc_id % 10 = 0")
+        .filter("chunk_id = 0")
+        .select("doc_id", "text")
+        .first()
+    )
+    got = eng.retrieve(new_chunk.text).collect()
+    assert eng._ann_built
+    assert got[0].doc_id == new_chunk.doc_id and got[0].chunk_id == 0
+
+    # the layout now covers the whole corpus, no duplicates
+    ivf_path, _ = eng._ann_paths()
+    assert (
+        spark.read.parquet(ivf_path).count() == eng.index().count()
+    )
+    # and a FRESH engine reuses the appended layout (fingerprint matches)
+    fresh = RagEngine(spark, index_path=path, ann_threshold_rows=10)
+    fresh.retrieve("delayed clerk errors").collect()
+    assert fresh._ann_built

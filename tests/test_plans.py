@@ -950,3 +950,51 @@ def test_wilcoxon_single_scan_pushed_range_no_self_join(spark):
     assert "Scan ExistingRDD" in plan
     assert "SortMergeJoin" not in plan
     assert "rank(" not in plan
+
+
+def test_param_sql_pushes_bound_parameters(spark):
+    plan = _plan(spark, "q_param_sql")
+    # named parameter markers must constant-fold into scan-level
+    # filters (the PushedFilters list itself is truncated in toString,
+    # so assert on the DataFilters the scan node prints)
+    assert "PushedFilters: [IsNotNull" in plan
+    assert ">= 30.0)" in plan
+    assert "l_shipdate" in plan and "< 1997-01-01" in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_decile_transition_no_year_wide_window(spark):
+    plan = _plan(spark, "q_decile_transition")
+    # ranks come from grouped tie classes + a row_number INSIDE one
+    # (yr, rev) class; no window may be partitioned on the bare year
+    # (that pulls a whole year's customers into one task)
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        head = spec.split(",")[0]
+        assert not (head.startswith("yr") and "rev" not in spec.split("ASC")[0]), spec
+    assert "percentile" not in plan.lower()
+    assert "ntile" not in plan.lower()
+
+
+def test_permutation_test_explodes_rollup_not_events(spark):
+    plan = _plan(spark, "q_permutation_test")
+    # the 65-way explode sits on the CHECKPOINTED |users|-row rollup —
+    # the event fact is scanned once, inside the eager checkpoint, and
+    # never appears in the final plan
+    assert "Generate explode" in plan
+    assert plan.count("FileScan parquet") == 0
+    assert "Scan ExistingRDD" in plan
+
+
+def test_poisson_gof_single_pass_and_broadcast_bins(spark):
+    plan = _plan(spark, "q_poisson_gof")
+    # the order/lineitem scans happen once, inside the eager
+    # k-histogram checkpoint; λ̂ and the binned counts both read the
+    # checkpointed ≤|max k|-row table; the 14-row bin frame and the
+    # 1-row λ side ride broadcasts
+    assert plan.count("FileScan parquet") == 0
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
