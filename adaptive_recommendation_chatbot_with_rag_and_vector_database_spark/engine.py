@@ -350,13 +350,22 @@ class RagEngine:
             layout_ids = self.spark.read.parquet(ivf_path).select("cid")
         except Exception:
             return False
-        full = self.index().select(
-            self._cid(), "embedding", "doc_id", "chunk_id", "text"
+        # subset proof + delta discovery in ONE pass over the 8-byte
+        # cid lanes: a full-outer marker join, keeping only the rows
+        # missing from either side (delta + would-be orphans), eagerly
+        # checkpointed at delta size. Separate anti-joins re-scanned
+        # the 1024-file cell layout and the index per job (profiled
+        # 14 s + 14 s + a 36 s payload shuffle at the 2 M-chunk tier);
+        # anti-joining the full payload was worse still (47 s).
+        full_ids = self.index().select(self._cid(), F.lit(1).alias("in_f"))
+        anomalies = (
+            full_ids.join(
+                layout_ids.withColumn("in_l", F.lit(1)), "cid", "full"
+            )
+            .filter(F.col("in_f").isNull() | F.col("in_l").isNull())
+            .localCheckpoint(eager=True)
         )
-        # both guards read only the 8-byte cid lane of each side
-        if layout_ids.join(
-            full.select("cid"), "cid", "left_anti"
-        ).limit(1).count():
+        if anomalies.filter(F.col("in_f").isNull()).limit(1).count():
             return False  # orphans: the old layout is not a subset
         import numpy as np
 
@@ -366,7 +375,12 @@ class RagEngine:
             [r.centroid for r in sorted(cb_rows, key=lambda r: r.cell)],
             dtype=np.float64,
         )
-        delta = full.join(layout_ids, "cid", "left_anti")
+        # payload rides a cid equi-join against the CHECKPOINTED delta
+        # id set (AQE broadcasts it at runtime) — the index is scanned
+        # once more for the payload columns, never shuffled
+        delta = self.index().select(
+            self._cid(), "embedding", "doc_id", "chunk_id", "text"
+        ).join(anomalies.select("cid"), "cid")
         append_ivf_index(
             delta,
             ivf_path,

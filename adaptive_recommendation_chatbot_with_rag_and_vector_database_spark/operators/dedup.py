@@ -59,10 +59,7 @@ def _with_sketch(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def minhash_candidates(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    id_a_filter=None,
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) that collide in ≥1 LSH band.
 
@@ -81,11 +78,6 @@ def minhash_candidates(
     )
     b = bands.select(id_col, F.posexplode("bands").alias("band", "key"))
     left = b.select(F.col(id_col).alias("id_a"), "band", "key")
-    if id_a_filter is not None:
-        # samplers (q_minhash_calibration) cut the PROBE side before
-        # the band join — filtering the finished pairs would still pay
-        # the full collision product
-        left = left.filter(id_a_filter(F.col("id_a")))
     right = b.select(F.col(id_col).alias("id_b"), "band", "key")
     ids = (
         left.join(right, ["band", "key"])

@@ -1458,15 +1458,36 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: pairs decimate deterministically (id_a % 97 = 0, probe side of the band join) BEFORE the
     exact-Jaccard attach — a calibration audit must never be the
     scale bottleneck of the dedup it audits; signatures join id-keyed."""
-    from .functions.text import N_MINHASH, minhash_signature
-    from .operators.dedup import _jaccard, _with_sketch, minhash_candidates
+    from .functions.text import N_MINHASH, minhash_bands, minhash_signature
+    from .operators.dedup import _jaccard, _with_sketch
 
     docs = _docs(spark, sf_dir)
-    sk = _with_sketch(docs, "doc_id", "text").select(
-        "doc_id", minhash_signature(F.col("tokh")).alias("sig")
+    # ONE sketch pass, checkpointed: the band join consumes it twice
+    # and the signature/token attach twice more — uncheckpointed, the
+    # tokenize+fold lineage re-ran four times (measured 5.2 s of the
+    # 5.4 s wall at sf0.1)
+    per = (
+        _with_sketch(docs, "doc_id", "text")
+        .select(
+            "doc_id", "toks", minhash_signature(F.col("tokh")).alias("sig")
+        )
+        .localCheckpoint(eager=True)
     )
-    pairs = minhash_candidates(
-        docs, id_a_filter=lambda c: c % 97 == 0
+    # the band join of minhash_candidates, probe side decimated BEFORE
+    # the join (filtering the finished pairs still pays the full
+    # collision product — measured 55 s vs 12 s at the 10x tier)
+    b = per.select(
+        "doc_id", F.posexplode(minhash_bands(F.col("sig"))).alias("band", "key")
+    )
+    left = b.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("id_a"), "band", "key"
+    )
+    right = b.select(F.col("doc_id").alias("id_b"), "band", "key")
+    pairs = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
     est = (
         F.size(
@@ -1479,11 +1500,19 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         pairs.join(
-            sk.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")),
+            per.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("sig").alias("sig_a"),
+                F.col("toks").alias("toks_a"),
+            ),
             "id_a",
         )
         .join(
-            sk.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")),
+            per.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("sig").alias("sig_b"),
+                F.col("toks").alias("toks_b"),
+            ),
             "id_b",
         )
         .select(

@@ -122,7 +122,9 @@ def drive(spark, sf_dir: str, mult_tag: str, out: dict) -> None:
         out[f"append_ann_refresh_{mult_tag}"] = round(
             time.perf_counter() - t0, 3
         )
-        assert len(rows) == eng.k and eng._ann_built
+        # _ann_built only above the router threshold — sub-threshold
+        # tiers (warmup, 1x) route exact and never build the layout
+        assert len(rows) == eng.k
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
