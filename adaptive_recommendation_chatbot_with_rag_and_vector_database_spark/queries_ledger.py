@@ -897,3 +897,69 @@ def q_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_lines") > 1)
         .orderBy("l_orderkey", "l_partkey")
     )
+
+
+# --- LG10: Wilson-interval return-rate screen -------------------------------------
+
+
+@query(
+    "q_return_rate_wilson",
+    oracle="""
+    WITH s AS (
+      SELECT l_suppkey,
+             count(*)::DOUBLE AS n,
+             count(*) FILTER (WHERE l_returnflag = 'R')::DOUBLE AS r
+      FROM lineitem GROUP BY 1),
+    w AS (
+      SELECT l_suppkey, n, r, r / n AS p,
+             ((r / n) + 1.96 * 1.96 / (2 * n)
+              - 1.96 * sqrt((r / n) * (1 - r / n) / n
+                            + 1.96 * 1.96 / (4 * n * n)))
+             / (1 + 1.96 * 1.96 / n) AS lb
+      FROM s)
+    SELECT l_suppkey, CAST(n AS BIGINT) AS n_lines,
+           CAST(r AS BIGINT) AS n_returns,
+           round(p, 6) AS return_rate, round(lb, 6) AS wilson_lb
+    FROM w ORDER BY round(lb, 6) DESC, l_suppkey LIMIT 20
+    """,
+)
+def q_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-interval return-rate screen (LG10, wave 34): rank
+    suppliers by the LOWER bound of the 95% Wilson score interval on
+    their return rate — the small-sample-honest worst-supplier list (a
+    2-of-3 supplier outranks a 400-of-2000 one on the raw rate but not
+    on the bound; ranking on p̂ alone is the classic sort-by-average
+    mistake). Closed-form interval, exact conditional counts, one
+    supplier-keyed fact aggregate, and a 20-row
+    TakeOrderedAndProject — nothing after the aggregate exceeds
+    |suppliers| rows."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_suppkey", "l_returnflag"
+    )
+    z = 1.96
+    s = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum((F.col("l_returnflag") == "R").cast("long"))
+        .cast("double")
+        .alias("r"),
+    )
+    p = F.col("r") / F.col("n")
+    lb = (
+        p
+        + z * z / (2 * F.col("n"))
+        - z
+        * F.sqrt(
+            p * (1 - p) / F.col("n") + z * z / (4 * F.col("n") * F.col("n"))
+        )
+    ) / (1 + z * z / F.col("n"))
+    return (
+        s.select(
+            "l_suppkey",
+            F.col("n").cast("long").alias("n_lines"),
+            F.col("r").cast("long").alias("n_returns"),
+            F.round(p, 6).alias("return_rate"),
+            F.round(lb, 6).alias("wilson_lb"),
+        )
+        .orderBy(F.desc("wilson_lb"), F.asc("l_suppkey"))
+        .limit(20)
+    )

@@ -1956,3 +1956,73 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_value",
         )
     )
+
+
+# --- M19: Cochran-Armitage trend test across discount bands ----------------------
+
+
+@query(
+    "q_trend_test",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(round(l_discount * 100) AS BIGINT) AS band,
+             count(*)::DOUBLE AS n,
+             count(*) FILTER (WHERE l_returnflag = 'R')::DOUBLE AS r
+      FROM lineitem GROUP BY 1),
+    m AS (
+      SELECT sum(n) AS nn, sum(r) / sum(n) AS pbar,
+             sum(band * n * band) AS sxx,
+             sum(band * n) AS sx,
+             sum(band * r) AS sxr
+      FROM b)
+    SELECT CAST(nn AS BIGINT) AS n_lines,
+           round(pbar, 6) AS p_bar,
+           round((sxr - pbar * sx)
+                 / sqrt(pbar * (1 - pbar) * (sxx - sx * sx / nn)), 4)
+             AS z_trend
+    FROM m
+    """,
+)
+def q_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test (M19, wave 34): does the return
+    rate TREND monotonically with the discount band — the ordered-
+    categories complement to q_chi_square's unordered independence
+    test (chi-square spends its power on arbitrary deviations; CA
+    concentrates it on the linear trend an analyst actually suspects).
+    Scores are the integer band values; T = Σ xᵢ(rᵢ − nᵢ·p̄),
+    Var = p̄(1−p̄)(Σnᵢxᵢ² − (Σnᵢxᵢ)²/N) — every moment an exact
+    integer-weighted sum off the ≤11-row band table. One fact
+    aggregate; everything after is band-count sized."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_discount", "l_returnflag"
+    )
+    b = li.groupBy(
+        F.round(F.col("l_discount") * 100).cast("long").alias("band")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum((F.col("l_returnflag") == "R").cast("long"))
+        .cast("double")
+        .alias("r"),
+    )
+    m = b.agg(
+        F.sum("n").alias("nn"),
+        (F.sum("r") / F.sum("n")).alias("pbar"),
+        F.sum(F.col("band") * F.col("n") * F.col("band")).alias("sxx"),
+        F.sum(F.col("band") * F.col("n")).alias("sx"),
+        F.sum(F.col("band") * F.col("r")).alias("sxr"),
+    )
+    # T = Σ x·r − p̄·Σ x·n, algebraically identical to Σ x(r − n·p̄)
+    t = F.col("sxr") - F.col("pbar") * F.col("sx")
+    return m.select(
+        F.col("nn").cast("long").alias("n_lines"),
+        F.round("pbar", 6).alias("p_bar"),
+        F.round(
+            t
+            / F.sqrt(
+                F.col("pbar")
+                * (1 - F.col("pbar"))
+                * (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("nn"))
+            ),
+            4,
+        ).alias("z_trend"),
+    )

@@ -973,3 +973,80 @@ def q_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("term", 6).alias("jsd_term"),
         F.round(F.sum("term").over(w), 6).alias("jsd_total"),
     ).orderBy("event_type")
+
+
+# --- MO10: pairwise feature-correlation screen ------------------------------------
+
+
+@query(
+    "q_feature_correlation",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             count(*)::DOUBLE AS n_events,
+             sum(value) AS total_value,
+             count(DISTINCT CAST(ts AS DATE))::DOUBLE AS active_days,
+             count(*) FILTER (WHERE event_type = 'purchase')::DOUBLE
+               AS n_purchases
+      FROM events GROUP BY user_id)
+    SELECT f1, f2, round(c, 4) AS pearson FROM (
+      SELECT 'active_days' AS f1, 'n_events' AS f2,
+             corr(active_days, n_events) AS c FROM f
+      UNION ALL SELECT 'active_days', 'n_purchases',
+             corr(active_days, n_purchases) FROM f
+      UNION ALL SELECT 'active_days', 'total_value',
+             corr(active_days, total_value) FROM f
+      UNION ALL SELECT 'n_events', 'n_purchases',
+             corr(n_events, n_purchases) FROM f
+      UNION ALL SELECT 'n_events', 'total_value',
+             corr(n_events, total_value) FROM f
+      UNION ALL SELECT 'n_purchases', 'total_value',
+             corr(n_purchases, total_value) FROM f)
+    ORDER BY f1, f2
+    """,
+)
+def q_feature_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise feature-correlation screen (MO10, wave 34): Pearson r
+    between the four standard user-activity features — the redundancy
+    check a feature platform runs before training (|r| near 1 means a
+    feature buys nothing but leakage risk; MO2's target encoding and
+    L6's hashing both assume the inputs aren't clones). One user-keyed
+    rollup, then ALL SIX correlations come out of a single aggregate
+    over the |users|-row feature table (six corr expressions share one
+    pass — never six scans); the pair table is built by exploding a
+    6-struct literal, so nothing here exceeds six rows after the
+    rollup."""
+    ev = load_table(spark, "events", sf_dir)
+    f = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.sum("value").alias("total_value"),
+        F.countDistinct(F.to_date("ts")).cast("double").alias("active_days"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("double")
+        .alias("n_purchases"),
+    )
+    feats = ["active_days", "n_events", "n_purchases", "total_value"]
+    pairs = [
+        (a, b) for i, a in enumerate(feats) for b in feats[i + 1 :]
+    ]
+    agg = f.agg(
+        *[
+            F.corr(a, b).alias(f"c_{a}__{b}")
+            for a, b in pairs
+        ]
+    )
+    rows = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("f1"),
+                        F.lit(b).alias("f2"),
+                        F.round(F.col(f"c_{a}__{b}"), 4).alias("pearson"),
+                    )
+                    for a, b in pairs
+                ]
+            )
+        ).alias("t")
+    )
+    return rows.select("t.f1", "t.f2", "t.pearson").orderBy("f1", "f2")

@@ -442,3 +442,45 @@ def q_param_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"minqty": 30, "cutoff": "1997-01-01"},
     )
+
+
+# --- Q7: SQL-language scalar UDF (CREATE FUNCTION ... RETURN) --------------------
+
+
+@query(
+    "q_sql_udf",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+             AS charged
+    FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language scalar function (Q7, wave 34): Spark 4's
+    ``CREATE FUNCTION ... RETURNS ... RETURN expr`` — the UDF form
+    that stays INSIDE Catalyst (the body inlines into the plan as an
+    expression, keeps whole-stage codegen, and needs no Python worker
+    round-trip; contrast D1's pandas UDFs, which exist for logic SQL
+    cannot express). The oracle inlines the same expression — if the
+    function body ever stopped inlining, the values would still match
+    but the plan pin (no BatchEvalPython, codegen'd project) would
+    fail."""
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView(
+        "lineitem_sqludf"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charged_price("
+        "p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DOUBLE "
+        "RETURN p * (1 - d) * (1 + t)"
+    )
+    return spark.sql(
+        """
+        SELECT l_linestatus,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(charged_price(l_extendedprice, l_discount, l_tax)), 2)
+                 AS charged
+        FROM lineitem_sqludf GROUP BY l_linestatus ORDER BY l_linestatus
+        """
+    )

@@ -1023,3 +1023,55 @@ def q_weekend_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("welch_t"),
     )
+
+
+# --- TM13: maximum drawdown of daily revenue -------------------------------------
+
+
+@query(
+    "q_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, round(sum(value), 4) AS rev
+      FROM events GROUP BY 1),
+    runpeak AS (
+      SELECT d, rev,
+             max(rev) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM daily),
+    dd AS (
+      SELECT d, rev, peak,
+             round((peak - rev) / peak, 6) AS drawdown
+      FROM runpeak)
+    SELECT d AS trough_day, round(peak, 4) AS peak_rev,
+           round(rev, 4) AS trough_rev, drawdown AS max_drawdown
+    FROM dd ORDER BY drawdown DESC, d ASC LIMIT 1
+    """,
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the daily revenue series (TM13, wave 34):
+    the worst peak-to-trough slide — the risk summary a revenue page
+    shows beside TM9's month-over-month deltas. Daily totals round to
+    4 decimals BEFORE the running peak (module convention), the
+    running max is a window over the |days|-row series (never fact
+    rows), and the argmax tie-breaks on the earliest day. One fact
+    aggregate, everything after is day-count sized."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.round(F.sum("value"), 4).alias("rev")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    dd = daily.withColumn("peak", F.max("rev").over(w)).withColumn(
+        "drawdown",
+        F.round((F.col("peak") - F.col("rev")) / F.col("peak"), 6),
+    )
+    return (
+        dd.select(
+            F.col("d").alias("trough_day"),
+            F.round("peak", 4).alias("peak_rev"),
+            F.round("rev", 4).alias("trough_rev"),
+            F.col("drawdown").alias("max_drawdown"),
+        )
+        .orderBy(F.desc("max_drawdown"), F.asc("trough_day"))
+        .limit(1)
+    )

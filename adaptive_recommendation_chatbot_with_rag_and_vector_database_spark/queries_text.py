@@ -1533,3 +1533,85 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("max_err") <= 0.75).alias("max_err_ok"),
         ((F.col("bias") > -0.01) & (F.col("bias") < 0.125)).alias("bias_ok"),
     )
+
+
+# --- Z12: source stopword-profile similarity matrix -------------------------------
+
+
+@query(
+    "q_stopword_profile",
+    oracle="""
+    WITH stops AS (
+      SELECT unnest(['a','and','das','de','der','des','die','ein','el',
+                     'es','et','in','is','ist','it','la','las','le',
+                     'les','los','nicht','of','que','the','to','un',
+                     'und','une','y']) AS word),
+    w AS (
+      SELECT source, word, count(*)::DOUBLE AS c FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+      WHERE word IN (SELECT word FROM stops)
+      GROUP BY source, word),
+    tot AS (SELECT source, sum(c) AS t FROM w GROUP BY source),
+    p AS (
+      SELECT w.source, w.word, w.c / tot.t AS p
+      FROM w JOIN tot ON w.source = tot.source),
+    nrm AS (SELECT source, sqrt(sum(p * p)) AS nn FROM p GROUP BY source),
+    dots AS (
+      SELECT a.source AS src_a, b.source AS src_b, sum(a.p * b.p) AS dot
+      FROM p a JOIN p b ON a.word = b.word AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT src_a, src_b,
+           round(dot / (na.nn * nb.nn), 6) AS cosine
+    FROM dots
+    JOIN nrm na ON na.source = src_a
+    JOIN nrm nb ON nb.source = src_b
+    ORDER BY src_a, src_b
+    """,
+)
+def q_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source stopword-profile similarity (Z12, wave 34): cosine
+    between each pair of sources' stopword DISTRIBUTIONS (share of the
+    source's stopword mass per function word) — the cheap stylometric
+    fingerprint a curation pipeline uses to spot near-identical feeds
+    and machine-translated mirrors before any content hashing (function
+    words survive paraphrase; content words don't). The profile axis is
+    the fixed 29-word engine stopword list, so every table after the
+    one token-filtering aggregate is (sources × 29)-sized, and the pair
+    join is word-keyed over that table — never a document pair space."""
+    from .functions.text import STOPWORDS
+
+    stops = sorted({w for ws in STOPWORDS.values() for w in ws})
+    docs = _docs(spark, sf_dir)
+    w = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word").isin(stops))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    tot = w.groupBy("source").agg(F.sum("c").alias("t"))
+    p = w.join(tot, "source").select(
+        "source", "word", (F.col("c") / F.col("t")).alias("p")
+    )
+    nrm = p.groupBy("source").agg(F.sqrt(F.sum(F.col("p") * F.col("p"))).alias("nn"))
+    a = p.select(F.col("source").alias("src_a"), "word", F.col("p").alias("pa"))
+    b = p.select(F.col("source").alias("src_b"), F.col("word").alias("wb"), F.col("p").alias("pb"))
+    dots = (
+        a.join(b, (F.col("word") == F.col("wb")) & (F.col("src_a") < F.col("src_b")))
+        .groupBy("src_a", "src_b")
+        .agg(F.sum(F.col("pa") * F.col("pb")).alias("dot"))
+    )
+    na = nrm.select(F.col("source").alias("src_a"), F.col("nn").alias("na"))
+    nb = nrm.select(F.col("source").alias("src_b"), F.col("nn").alias("nb"))
+    return (
+        dots.join(na, "src_a")
+        .join(nb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -1604,3 +1604,70 @@ def q_discount_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("g") / F.sum("g").over(Window.partitionBy()), 6
         ).alias("gross_share"),
     ).orderBy("disc_pct")
+
+
+# --- W28: per-nation top-supplier revenue share ---------------------------------
+
+
+@query(
+    "q_top_supplier_share",
+    oracle="""
+    WITH rev AS (
+      SELECT n_name, s_name,
+             sum(l_extendedprice * (1 - l_discount)) AS rev
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY 1, 2),
+    tot AS (SELECT n_name, sum(rev) AS tot FROM rev GROUP BY 1),
+    rk AS (
+      SELECT rev.n_name, s_name, rev, tot,
+             row_number() OVER (
+               PARTITION BY rev.n_name ORDER BY rev DESC, s_name) AS rn
+      FROM rev JOIN tot ON rev.n_name = tot.n_name)
+    SELECT n_name, s_name, CAST(rn AS BIGINT) AS rn,
+           round(rev, 2) AS revenue, round(rev / tot, 6) AS share
+    FROM rk WHERE rn <= 3 ORDER BY n_name, rn
+    """,
+)
+def q_top_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation top-3 suppliers with their revenue share (W28, wave
+    34): the concentration drill-down under W24's scorecard — who
+    actually carries each nation's volume, and how dominant are they.
+    Scale shape: one fact aggregate with both dims broadcast; the
+    nation totals come from a second rollup of the (nation, supplier)
+    table JOINED back (never a whole-nation window over fact rows);
+    the rn <= 3 cut runs as WindowGroupLimit below the exchange
+    (plan-pinned)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name", "s_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("rev")
+        )
+    )
+    tot = rev.groupBy("n_name").agg(F.sum("rev").alias("tot"))
+    w = Window.partitionBy("n_name").orderBy(F.desc("rev"), F.asc("s_name"))
+    return (
+        rev.join(tot, "n_name")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "n_name",
+            "s_name",
+            F.col("rn").cast("long").alias("rn"),
+            F.round("rev", 2).alias("revenue"),
+            F.round(F.col("rev") / F.col("tot"), 6).alias("share"),
+        )
+        .orderBy("n_name", "rn")
+    )

@@ -998,3 +998,28 @@ def test_poisson_gof_single_pass_and_broadcast_bins(spark):
     assert "Scan ExistingRDD" in plan
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_top_supplier_share_windowgrouplimit_and_broadcast_dims(spark):
+    plan = _plan(spark, "q_top_supplier_share")
+    # rn<=3 runs as partial top-k below the exchange; both dims broadcast;
+    # nation totals come from an aggregate join (post-agg row counts —
+    # AQE broadcasts it at runtime), never a fact-row window
+    assert "WindowGroupLimit" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_sql_udf_inlines_into_codegen(spark):
+    plan = _plan(spark, "q_sql_udf")
+    # the SQL-language function body must inline as a Catalyst
+    # expression — no Python worker boundary anywhere
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "partial_sum" in plan  # map-side combine on the inlined expr
+
+
+def test_feature_correlation_single_rollup_pass(spark):
+    plan = _plan(spark, "q_feature_correlation")
+    # all six correlations share ONE aggregate over the user rollup
+    assert plan.count("FileScan parquet") == 1
+    assert "corr" in plan
