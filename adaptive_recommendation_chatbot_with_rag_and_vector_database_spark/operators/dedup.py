@@ -315,6 +315,48 @@ def passjoin_candidates(
     return long_cands.unionByName(short_cands).distinct()
 
 
+def _inverted_pair_counts(
+    grams: DataFrame,
+    id_col: str,
+    block_col: str,
+    grams_col: str,
+    probe_pred,
+    max_df: int | None,
+) -> DataFrame:
+    """Shared candidate-pair substrate for the inverted-index set
+    similarities: explode grams, equi-join on (block, gram) so ONLY
+    pairs sharing ≥1 gram ever materialize, count shared grams per
+    pair. Returns (id_a, id_b, _sz_a, _sz_b, _inter) with id_a < id_b.
+    See ``inverted_index_jaccard`` for the max_df / probe_pred
+    semantics."""
+    sized = grams.select(
+        F.col(id_col),
+        F.col(block_col).alias("_blk"),
+        F.col(grams_col).alias("_grams"),
+        F.size(grams_col).alias("_sz"),
+    )
+    ex = sized.select(id_col, "_blk", "_sz", F.explode("_grams").alias("_gram"))
+    if max_df is not None:
+        df_counts = ex.groupBy("_blk", "_gram").agg(F.count(F.lit(1)).alias("_df"))
+        ex = ex.join(
+            df_counts.filter(F.col("_df") <= max_df).drop("_df"), ["_blk", "_gram"]
+        )
+    a = ex.select(
+        F.col(id_col).alias("id_a"), "_blk", "_gram", F.col("_sz").alias("_sz_a")
+    )
+    if probe_pred is not None:
+        a = a.filter(probe_pred(F.col("id_a")))
+    b = ex.select(
+        F.col(id_col).alias("id_b"), "_blk", "_gram", F.col("_sz").alias("_sz_b")
+    )
+    return (
+        a.join(b, ["_blk", "_gram"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "_sz_a", "_sz_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("_inter"))
+    )
+
+
 def inverted_index_jaccard(
     grams: DataFrame,
     id_col: str = "doc_id",
@@ -338,31 +380,8 @@ def inverted_index_jaccard(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
-    sized = grams.select(
-        F.col(id_col),
-        F.col(block_col).alias("_blk"),
-        F.col(grams_col).alias("_grams"),
-        F.size(grams_col).alias("_sz"),
-    )
-    ex = sized.select(id_col, "_blk", "_sz", F.explode("_grams").alias("_gram"))
-    if max_df is not None:
-        df_counts = ex.groupBy("_blk", "_gram").agg(F.count(F.lit(1)).alias("_df"))
-        ex = ex.join(
-            df_counts.filter(F.col("_df") <= max_df).drop("_df"), ["_blk", "_gram"]
-        )
-    a = ex.select(
-        F.col(id_col).alias("id_a"), "_blk", "_gram", F.col("_sz").alias("_sz_a")
-    )
-    if probe_pred is not None:
-        a = a.filter(probe_pred(F.col("id_a")))
-    b = ex.select(
-        F.col(id_col).alias("id_b"), "_blk", "_gram", F.col("_sz").alias("_sz_b")
-    )
-    inter = (
-        a.join(b, ["_blk", "_gram"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "_sz_a", "_sz_b")
-        .agg(F.count(F.lit(1)).cast("double").alias("_inter"))
+    inter = _inverted_pair_counts(
+        grams, id_col, block_col, grams_col, probe_pred, max_df
     )
     jac = F.round(
         F.col("_inter")
@@ -372,6 +391,41 @@ def inverted_index_jaccard(
     return (
         inter.select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def inverted_index_overlap(
+    grams: DataFrame,
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+    grams_col: str = "bigrams",
+    probe_pred=None,
+    threshold: float = 0.0,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Overlap coefficient (asymmetric-containment dedup, X19):
+    ``|A ∩ B| / min(|A|, |B|)`` over the same inverted-index candidate
+    substrate as ``inverted_index_jaccard``. The min-size denominator is
+    the subset-detection form: a short document wholly contained in a
+    longer one scores 1.0 where Jaccard dilutes toward |A|/|B| — the
+    screen that catches quote-expansion and boilerplate-wrapped copies
+    in an LLM corpus (the case MinHash/Jaccard near-dup structurally
+    under-scores).
+
+    Returns (id_a, id_b, containment) with id_a < id_b,
+    containment ≥ threshold. Same scale posture as the Jaccard form:
+    pair space bounded by gram co-occurrence, gram-keyed shuffle,
+    optional ``max_df`` stop-shingle cap.
+    """
+    inter = _inverted_pair_counts(
+        grams, id_col, block_col, grams_col, probe_pred, max_df
+    )
+    ov = F.round(
+        F.col("_inter") / F.least("_sz_a", "_sz_b").cast("double"), 6
+    )
+    return (
+        inter.select("id_a", "id_b", ov.alias("containment"))
+        .filter(F.col("containment") >= threshold)
     )
 
 

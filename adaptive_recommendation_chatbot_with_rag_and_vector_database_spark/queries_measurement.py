@@ -2026,3 +2026,75 @@ def q_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z_trend"),
     )
+
+
+# --- M21: Cohen's kappa inter-rater agreement --------------------------------
+
+
+@query(
+    "q_cohens_kappa",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag,
+             CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS ra,
+             CASE WHEN l_extendedprice >= 53000.0 THEN 1 ELSE 0 END AS rb
+      FROM lineitem),
+    cnt AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+             CAST(sum(ra) AS BIGINT) AS a1,
+             CAST(sum(rb) AS BIGINT) AS b1
+      FROM r GROUP BY 1)
+    SELECT l_returnflag, n, agree,
+           round(agree / CAST(n AS DOUBLE), 6) AS po,
+           round((a1 * b1 + (n - a1) * (n - b1)) / (CAST(n AS DOUBLE) * n), 6) AS pe,
+           round((agree / CAST(n AS DOUBLE)
+                  - (a1 * b1 + (n - a1) * (n - b1)) / (CAST(n AS DOUBLE) * n))
+                 / (1.0 - (a1 * b1 + (n - a1) * (n - b1)) / (CAST(n AS DOUBLE) * n)),
+                 6) AS kappa
+    FROM cnt ORDER BY l_returnflag
+    """,
+)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa inter-rater agreement (M21, wave 35): do two
+    independent row-classification rules — a discount-based flag and a
+    price-based flag — agree beyond chance, per return-flag stratum?
+    κ = (p_o − p_e)/(1 − p_e), the standard screen before trusting two
+    labeling heuristics (or two model versions) as interchangeable
+    annotators in a training-data pipeline.
+
+    One fact scan, one keyed aggregate: both raters are scan-side
+    codegen CASE expressions, the per-stratum contingency reduces to
+    four exact int64 counters (n, agree, a1, b1), and every κ term is
+    closed-form integer arithmetic with the final divisions the only
+    float ops — bit-portable across engines. At 100 TB the exchange
+    carries 3 strata × 4 counters."""
+    li = load_table(spark, "lineitem", sf_dir)
+    r = li.select(
+        "l_returnflag",
+        F.when(F.col("l_discount") >= 0.05, 1).otherwise(0).alias("ra"),
+        F.when(F.col("l_extendedprice") >= 53000.0, 1).otherwise(0).alias("rb"),
+    )
+    cnt = r.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), 1).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+        F.sum("ra").cast("long").alias("a1"),
+        F.sum("rb").cast("long").alias("b1"),
+    )
+    nd = F.col("n").cast("double")
+    pe = (
+        F.col("a1") * F.col("b1")
+        + (F.col("n") - F.col("a1")) * (F.col("n") - F.col("b1"))
+    ) / (nd * F.col("n"))
+    po = F.col("agree") / nd
+    return cnt.select(
+        "l_returnflag",
+        "n",
+        "agree",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+    ).orderBy("l_returnflag")

@@ -1050,3 +1050,111 @@ def q_feature_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t")
     )
     return rows.select("t.f1", "t.f2", "t.pearson").orderBy("f1", "f2")
+
+
+# --- MO11: ROC AUC via the rank-sum identity --------------------------------
+
+
+@query(
+    "q_roc_auc",
+    oracle="""
+    WITH lab AS (
+      SELECT o.o_orderkey, o.o_totalprice AS score,
+             max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2),
+    cls AS (
+      SELECT score,
+             CAST(sum(pos) AS BIGINT) AS pos_cnt,
+             CAST(sum(1 - pos) AS BIGINT) AS neg_cnt
+      FROM lab GROUP BY 1),
+    ranked AS (
+      SELECT pos_cnt, neg_cnt,
+             CAST(coalesce(sum(neg_cnt) OVER (ORDER BY score
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS cum_neg
+      FROM cls),
+    tot AS (
+      SELECT CAST(sum(pos_cnt) AS BIGINT) AS n_pos,
+             CAST(sum(neg_cnt) AS BIGINT) AS n_neg,
+             sum(pos_cnt * (cum_neg + 0.5 * neg_cnt)) AS u
+      FROM ranked)
+    SELECT n_pos, n_neg,
+           round(u / (n_pos * CAST(n_neg AS DOUBLE)), 6) AS auc,
+           round(2.0 * u / (n_pos * CAST(n_neg AS DOUBLE)) - 1.0, 6) AS gini
+    FROM tot
+    """,
+)
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC + accuracy-Gini (MO11, wave 35): does order value
+    predict returns? AUC computed through the Mann-Whitney rank-sum
+    identity — AUC = P(score⁺ > score⁻) + ½·P(tie) — over per-score
+    tie classes, never a per-row rank: group scores into (score,
+    pos_cnt, neg_cnt) classes, prefix-sum the negatives below each
+    class, and AUC is Σ pos·(neg_below + ½·neg_in_class) / (P·N). All
+    counts are exact int64; only the two final divisions are floats.
+
+    Scale shape: one fact join (orders⋈lineitem on orderkey) for the
+    label, one score-keyed class aggregate, and the prefix sum runs
+    over score CLASSES using the two-phase floor-bucket idiom (the
+    q_decile_lift / q_concurrency_sweep pattern) — bucket offsets are
+    a |buckets|-row window, within-bucket sums window per bucket — so
+    no single-partition sort ever sees fact rows even when every score
+    is distinct."""
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    lab = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", F.col("o_totalprice").alias("score"))
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("pos")
+        )
+    )
+    cls = lab.groupBy("score").agg(
+        F.sum("pos").cast("long").alias("pos_cnt"),
+        F.sum(1 - F.col("pos")).cast("long").alias("neg_cnt"),
+    )
+    # two-phase prefix sum of negatives strictly below each score class:
+    # bucket offsets (|buckets| rows, driver-scale) + within-bucket window.
+    # The class table is eagerly checkpointed (the tie-class idiom): both
+    # the bucket-count side and the rank side consume it, and without the
+    # barrier each consumer re-runs the fact join.
+    b = (
+        cls.withColumn("bkt", F.floor(F.col("score") / 10000.0).cast("long"))
+        .localCheckpoint()
+    )
+    bc = b.groupBy("bkt").agg(F.sum("neg_cnt").cast("long").alias("bn"))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bc.select(
+        "bkt",
+        F.coalesce(F.sum("bn").over(w_off), F.lit(0)).cast("long").alias("off"),
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = b.join(boff, "bkt").select(
+        "pos_cnt",
+        "neg_cnt",
+        (
+            F.col("off") + F.coalesce(F.sum("neg_cnt").over(w_in), F.lit(0))
+        ).cast("long").alias("cum_neg"),
+    )
+    tot = ranked.agg(
+        F.sum("pos_cnt").cast("long").alias("n_pos"),
+        F.sum("neg_cnt").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("pos_cnt") * (F.col("cum_neg") + 0.5 * F.col("neg_cnt"))
+        ).alias("u"),
+    )
+    return tot.select(
+        "n_pos",
+        "n_neg",
+        F.round(F.col("u") / (F.col("n_pos") * F.col("n_neg").cast("double")), 6).alias("auc"),
+        F.round(
+            2.0 * F.col("u") / (F.col("n_pos") * F.col("n_neg").cast("double")) - 1.0, 6
+        ).alias("gini"),
+    )

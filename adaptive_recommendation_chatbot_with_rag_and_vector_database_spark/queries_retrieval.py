@@ -948,3 +948,118 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("t").cast("long").alias("n_tokens"),
     )
     return hits.filter(F.col("n_matches") > 0).orderBy("doc_id")
+
+
+# --- R11: rank-biased overlap between two top-k rankings ---------------------
+
+_RBO_P = 0.9
+_RBO_K = 20
+
+
+@query(
+    "q_rbo_rank_overlap",
+    oracle=f"""
+    WITH rev AS (
+      SELECT CASE WHEN year(l_shipdate) <= 1997 THEN 'a' ELSE 'b' END AS period,
+             l_partkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev
+      FROM lineitem GROUP BY 1, 2),
+    ranked AS (
+      SELECT period, l_partkey,
+             row_number() OVER (PARTITION BY period
+                                ORDER BY rev DESC, l_partkey) AS rnk
+      FROM rev),
+    la AS (SELECT l_partkey, rnk AS ra FROM ranked
+           WHERE period = 'a' AND rnk <= {_RBO_K}),
+    lb AS (SELECT l_partkey, rnk AS rb FROM ranked
+           WHERE period = 'b' AND rnk <= {_RBO_K}),
+    both_r AS (
+      SELECT la.l_partkey, greatest(ra, rb) AS dmin
+      FROM la JOIN lb USING (l_partkey)),
+    depths AS (
+      SELECT unnest(generate_series(1, {_RBO_K})) AS d),
+    xd AS (
+      SELECT d, CAST(count(both_r.dmin) AS BIGINT) AS x_d,
+             pow({_RBO_P}, d - 1) * count(both_r.dmin) / d AS term
+      FROM depths LEFT JOIN both_r ON both_r.dmin <= depths.d
+      GROUP BY d)
+    SELECT CAST({_RBO_K} AS BIGINT) AS k,
+           CAST({_RBO_P} AS DOUBLE) AS p,
+           max(CASE WHEN d = {_RBO_K} THEN x_d END) AS overlap_at_k,
+           round(list_aggregate(list(term ORDER BY d), 'sum')
+                 * (1 - {_RBO_P}) / (1 - pow({_RBO_P}, {_RBO_K})), 6) AS rbo
+    FROM xd
+    """,
+)
+def q_rbo_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap of two top-k rankings (R11, wave 35): how
+    similar are the top-20 revenue part rankings of 1995-97 vs
+    1998-2001, weighted so agreement at rank 1 counts more than at
+    rank 20 (Webber et al.'s RBO with p=0.9, truncated at k and
+    normalized by the perfect-agreement mass 1−p^k). The metric a
+    ranking team uses to compare retriever versions where Spearman
+    over-weights the tail.
+
+    Scale shape: ONE fact aggregate to (period, part) revenue, the
+    per-period rank window cuts to k via WindowGroupLimit (partial
+    top-k below the exchange), and everything after operates on ≤2k
+    rows. The RBO sum is a strict in-order fold over the 20 depth
+    terms (sorted-array aggregate on both engines) so float
+    accumulation order is pinned — the R8 integer-DCG lesson applied
+    to a float series."""
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = (
+        li.groupBy(
+            F.when(F.year("l_shipdate") <= 1997, "a").otherwise("b").alias("period"),
+            "l_partkey",
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+            .alias("rev")
+        )
+    )
+    w = Window.partitionBy("period").orderBy(F.desc("rev"), F.asc("l_partkey"))
+    # rnk<=k cuts as WindowGroupLimit below the exchange; the ≤2k-row
+    # list table is eagerly checkpointed so the two per-period consumers
+    # don't each re-scan the fact
+    ranked = (
+        rev.select("period", "l_partkey", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= _RBO_K)
+        .localCheckpoint()
+    )
+    la = ranked.filter(F.col("period") == "a").select(
+        "l_partkey", F.col("rnk").alias("ra")
+    )
+    lb = ranked.filter(F.col("period") == "b").select(
+        "l_partkey", F.col("rnk").alias("rb")
+    )
+    both = la.join(lb, "l_partkey").select(
+        F.greatest("ra", "rb").alias("dmin")
+    )
+    depths = spark.range(1, _RBO_K + 1).select(F.col("id").alias("d"))
+    xd = (
+        depths.join(both, F.col("dmin") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count("dmin").cast("long").alias("x_d"))
+        .withColumn(
+            "term",
+            F.pow(F.lit(_RBO_P), F.col("d") - 1) * F.col("x_d") / F.col("d"),
+        )
+    )
+    # strict in-order fold of the 20 depth terms (accumulation order pinned)
+    folded = xd.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("d", "term"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["term"],
+        ).alias("s"),
+        F.max(F.when(F.col("d") == _RBO_K, F.col("x_d"))).alias("overlap_at_k"),
+    )
+    return folded.select(
+        F.lit(_RBO_K).cast("long").alias("k"),
+        F.lit(_RBO_P).alias("p"),
+        "overlap_at_k",
+        F.round(
+            F.col("s") * (1 - _RBO_P) / (1 - _RBO_P ** _RBO_K), 6
+        ).alias("rbo"),
+    )

@@ -1152,3 +1152,121 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- ST16: MAD robust z-score outlier screen ---------------------------------
+
+
+@query(
+    "q_mad_outliers",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority,
+             round(quantile_cont(o_totalprice, 0.5), 4) AS med
+      FROM orders GROUP BY 1),
+    d AS (
+      SELECT o.o_orderpriority, o.o_totalprice, m.med
+      FROM orders o JOIN m USING (o_orderpriority)),
+    md AS (
+      SELECT o_orderpriority,
+             round(quantile_cont(abs(o_totalprice - med), 0.5), 4) AS mad
+      FROM d GROUP BY 1),
+    z AS (
+      SELECT d.o_orderpriority, d.med, md.mad,
+             round(0.6745 * (d.o_totalprice - d.med) / md.mad, 6) AS rz
+      FROM d JOIN md USING (o_orderpriority))
+    SELECT o_orderpriority, med, mad,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE abs(rz) > 3.5) AS BIGINT) AS n_outliers,
+           round(max(abs(rz)), 4) AS max_abs_z
+    FROM z GROUP BY 1, 2, 3 ORDER BY o_orderpriority
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation robust outlier screen (ST16, wave 35):
+    the heavy-tail-safe sibling of ST5's IQR fences and Y10's z-score —
+    robust z = 0.6745·(x − median)/MAD, flagged above the standard 3.5
+    cut (Iglewicz-Hoaglin). Unlike the mean/σ z-score, one corrupt
+    billion-dollar row cannot drag the screen's own center.
+
+    Scale shape: ONE fact scan total. The per-group tie-class table
+    (``grouped_ranked_tie_classes``, checkpointed) serves the value
+    median; deviations are then derived ON THE CLASSES — |v − med|
+    maps a (v, cnt) class to a (dev, cnt) class, so the deviation
+    median is a weighted re-rank of the class table (two-phase
+    floor-bucket prefix sum, the module's standard idiom), and the
+    outlier count folds cnt-weighted threshold checks over the same
+    classes. The fact never re-enters; every post-scan frame is
+    |distinct values| sized or smaller. The medians round to 4
+    decimals before the z arithmetic on both engines."""
+    from .queries_scale import (
+        grouped_quantiles_from_ranked,
+        grouped_ranked_tie_classes,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    ranked = grouped_ranked_tie_classes(o, "o_totalprice", "o_orderpriority")
+    med = (
+        grouped_quantiles_from_ranked(ranked, "o_orderpriority", [0.5])
+        .select(
+            "o_orderpriority", F.round("quantile", 4).alias("med")
+        )
+    )
+    # deviation classes: |v - med| per tie class, cnt carried through;
+    # re-rank the weighted classes with the same two-phase bucket idiom
+    dev = (
+        ranked.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority", "med", F.abs(F.col("v") - F.col("med")).alias("dv"))
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    b = dev.withColumn("bkt", F.floor(F.col("dv") / 1000.0).cast("long"))
+    bc = b.groupBy("o_orderpriority", "bkt").agg(
+        F.sum("cnt").cast("long").alias("bn")
+    )
+    w_off = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = bc.select(
+        "o_orderpriority",
+        "bkt",
+        F.coalesce(F.sum("bn").over(w_off), F.lit(0)).cast("long").alias("off"),
+    )
+    w_in = (
+        Window.partitionBy("o_orderpriority", "bkt")
+        .orderBy("dv")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked_dev = (
+        b.join(boff, ["o_orderpriority", "bkt"])
+        .select(
+            "o_orderpriority",
+            F.col("dv").alias("v"),
+            "cnt",
+            (
+                F.col("off")
+                + F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
+            ).cast("long").alias("cum"),
+        )
+    )
+    mad = (
+        grouped_quantiles_from_ranked(ranked_dev, "o_orderpriority", [0.5])
+        .select("o_orderpriority", F.round("quantile", 4).alias("mad"))
+    )
+    rz = F.round(
+        0.6745 * (F.col("v") - F.col("med")) / F.col("mad"), 6
+    )
+    return (
+        ranked.join(F.broadcast(med), "o_orderpriority")
+        .join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority", "med", "mad")
+        .agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum(F.when(F.abs(rz) > 3.5, F.col("cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_outliers"),
+            F.round(F.max(F.abs(rz)), 4).alias("max_abs_z"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1075,3 +1075,107 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("max_drawdown"), F.asc("trough_day"))
         .limit(1)
     )
+
+
+# --- TM14: Kendall tau-b rank correlation ------------------------------------
+
+
+@query(
+    "q_kendall_tau",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             round(sum(o_totalprice), 4) AS rev
+      FROM orders GROUP BY 1),
+    pairs AS (
+      SELECT CASE WHEN (a.n_orders - b.n_orders) * (a.rev - b.rev) > 0
+                  THEN 1 ELSE 0 END AS conc,
+             CASE WHEN (a.n_orders - b.n_orders) * (a.rev - b.rev) < 0
+                  THEN 1 ELSE 0 END AS disc,
+             CASE WHEN a.n_orders = b.n_orders AND a.rev <> b.rev
+                  THEN 1 ELSE 0 END AS tx,
+             CASE WHEN a.rev = b.rev AND a.n_orders <> b.n_orders
+                  THEN 1 ELSE 0 END AS ty
+      FROM daily a JOIN daily b ON a.d < b.d),
+    agg AS (
+      SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+             CAST(sum(conc) AS BIGINT) AS concordant,
+             CAST(sum(disc) AS BIGINT) AS discordant,
+             CAST(sum(tx) AS BIGINT) AS ties_x,
+             CAST(sum(ty) AS BIGINT) AS ties_y
+      FROM pairs)
+    SELECT n_days, concordant, discordant, ties_x, ties_y,
+           round((concordant - discordant) /
+                 sqrt((concordant + discordant + ties_x)
+                      * CAST(concordant + discordant + ties_y AS DOUBLE)),
+                 6) AS tau_b
+    FROM agg
+    """,
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation (TM14, wave 35): are busier order
+    days also higher-revenue days, measured by concordant/discordant
+    pair counts with the tie-corrected tau-b denominator — the
+    outlier-immune complement to ST2's Spearman (tau counts pair
+    inversions; one extreme day cannot move it more than its pairs).
+
+    Scale discipline is rollup-before-quadratic (the M7 Theil-Sen
+    lesson): ONE fact aggregate reduces orders to a |days|-row daily
+    series, and the pair self-join runs over days only — bounded by
+    |days|² (~3 M pairs for 7 years), never by fact rows. Revenue
+    rounds to 4 decimals at the day level before any comparison, so
+    equality (tie) checks agree across engines; all pair counts are
+    exact int64 and tau-b's one sqrt is the only float op."""
+    o = load_table(spark, "orders", sf_dir)
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("rev"),
+        )
+        .localCheckpoint()
+    )
+    a = daily.select(
+        F.col("d").alias("da"),
+        F.col("n_orders").alias("xa"),
+        F.col("rev").alias("ya"),
+    )
+    b = daily.select(
+        F.col("d").alias("db"),
+        F.col("n_orders").alias("xb"),
+        F.col("rev").alias("yb"),
+    )
+    pairs = a.join(b, F.col("da") < F.col("db"))
+    sgn = (F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb"))
+    agg = pairs.agg(
+        F.sum(F.when(sgn > 0, 1).otherwise(0)).cast("long").alias("concordant"),
+        F.sum(F.when(sgn < 0, 1).otherwise(0)).cast("long").alias("discordant"),
+        F.sum(
+            F.when(
+                (F.col("xa") == F.col("xb")) & (F.col("ya") != F.col("yb")), 1
+            ).otherwise(0)
+        ).cast("long").alias("ties_x"),
+        F.sum(
+            F.when(
+                (F.col("ya") == F.col("yb")) & (F.col("xa") != F.col("xb")), 1
+            ).otherwise(0)
+        ).cast("long").alias("ties_y"),
+    )
+    n_days = daily.count()
+    cd = F.col("concordant") + F.col("discordant")
+    return agg.select(
+        F.lit(n_days).cast("long").alias("n_days"),
+        "concordant",
+        "discordant",
+        "ties_x",
+        "ties_y",
+        F.round(
+            (F.col("concordant") - F.col("discordant"))
+            / F.sqrt(
+                (cd + F.col("ties_x"))
+                * (cd + F.col("ties_y")).cast("double")
+            ),
+            6,
+        ).alias("tau_b"),
+    )

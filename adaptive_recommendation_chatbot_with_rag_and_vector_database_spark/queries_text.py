@@ -44,6 +44,7 @@ from .operators.dedup import (
     embedding_near_dup,
     exact_dedup,
     inverted_index_jaccard,
+    inverted_index_overlap,
 )
 from .registry import query
 from .sources.loaders import load_table, scatter
@@ -231,6 +232,59 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index_jaccard(
         grams, probe_pred=lambda ida: ida % 10 == 0
     ).filter(F.col("jaccard") > 0)
+
+
+# --- containment / overlap-coefficient dedup (X19) -------------------------
+
+
+@query(
+    "q_containment_dedup",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang,
+             list_distinct(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+               ELSE [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+             END) AS bigrams
+      FROM tok
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.bigrams, b.bigrams))::DOUBLE /
+                 least(len(a.bigrams), len(b.bigrams)), 6) AS containment
+    FROM grams a JOIN grams b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id AND a.doc_id % 10 = 0
+    WHERE len(a.bigrams) > 0 AND len(b.bigrams) > 0
+      AND round(len(list_intersect(a.bigrams, b.bigrams))::DOUBLE /
+                least(len(a.bigrams), len(b.bigrams)), 6) >= 0.2
+    """,
+)
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (X19, wave 35): overlap coefficient
+    |A∩B| / min(|A|,|B|) over word-bigram shingle sets — the
+    subset-document screen (quote expansions, boilerplate-wrapped
+    copies) that symmetric Jaccard structurally under-scores: a chunk
+    fully contained in a 10x-longer page scores 1.0 here but ~0.1
+    Jaccard. The reference's LRU content cache (AI.py:89-96) is the
+    exact-identity degenerate case; this is its partial-containment
+    generalization.
+
+    Same inverted-index scale posture as q_dedup_ngram_jaccard: pairs
+    materialize only where a bigram is shared (gram-keyed shuffle, not
+    |block|² pairs), probe-side decimation mirrors the oracle's bound,
+    and the max_df stop-shingle cap is available for hot-gram corpora.
+    """
+    grams = scatter(
+        _docs(spark, sf_dir).select(
+            "doc_id",
+            "lang",
+            F.array_distinct(word_bigrams(tokens("text"))).alias("bigrams"),
+        )
+    ).filter(F.size("bigrams") > 0)
+    return inverted_index_overlap(
+        grams, probe_pred=lambda ida: ida % 10 == 0, threshold=0.2
+    )
 
 
 # --- embedding cosine near-dup (X2 semantic) -------------------------------

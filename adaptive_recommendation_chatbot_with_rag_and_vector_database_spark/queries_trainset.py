@@ -526,3 +526,104 @@ def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- L8: deterministic negative sampling for recommender training ------------
+
+_NEG_DRAWS = 15  # LCG candidate draws per customer
+_NEG_K = 5  # negatives kept per customer
+_NEG_A = 1103515245
+_NEG_C = 12345
+_NEG_M = 1048576  # 2^20: exact in a double; mod-first keeps int64 exact
+
+
+@query(
+    "q_negative_sampling",
+    oracle=f"""
+    WITH np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM part),
+    pos AS (
+      SELECT DISTINCT o.o_custkey, l.l_partkey
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    draws AS (
+      SELECT c.c_custkey, i.i,
+             ((c.c_custkey % {_NEG_M}) * {_NEG_A} + i.i * {_NEG_C} + 7)
+               % {_NEG_M} % (SELECT n FROM np) AS cand
+      FROM customer c,
+           (SELECT unnest(generate_series(1, {_NEG_DRAWS})) AS i) i),
+    dedup AS (
+      SELECT c_custkey, cand, CAST(min(i) AS BIGINT) AS mi
+      FROM draws GROUP BY 1, 2),
+    neg AS (
+      SELECT d.c_custkey, d.cand, d.mi
+      FROM dedup d ANTI JOIN pos p
+        ON d.c_custkey = p.o_custkey AND d.cand = p.l_partkey),
+    ranked AS (
+      SELECT c_custkey, cand AS neg_partkey, mi,
+             CAST(row_number() OVER (
+               PARTITION BY c_custkey ORDER BY mi) AS BIGINT) AS rnk
+      FROM neg)
+    SELECT c_custkey, neg_partkey, rnk
+    FROM ranked WHERE rnk <= {_NEG_K}
+    ORDER BY c_custkey, rnk
+    """,
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling (L8, wave 35): for every
+    customer, draw candidate parts with a seeded mod-first LCG, drop
+    the ones the customer actually bought (the positives), and keep the
+    first k as training negatives — the contrastive counterpart to
+    L3's retrieval triplets, and the sampler every implicit-feedback
+    recommender (ALS included, V6) trains against. A rand()-based
+    sampler is unreplayable across engines and task retries; the LCG
+    replays anywhere (the M1/M4/G4 discipline) and the mod-first form
+    keeps every intermediate < 2^51, exact in int64 on both engines.
+
+    Scale shape: candidates are draws×|customers| rows built by an
+    in-row sequence explode (no join against the part table — the
+    candidate IS arithmetic); the only fact-sized exchanges are the
+    positives' distinct and the (cust, part)-keyed anti-join, both
+    keyed on the pair. Rejection never starves k: draws are 3× k and
+    positives are sparse in the catalog at scale."""
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    n_parts = load_table(spark, "part", sf_dir).count()
+    pos = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    draws = cust.select(
+        "c_custkey",
+        F.explode(F.sequence(F.lit(1), F.lit(_NEG_DRAWS))).alias("i"),
+    ).select(
+        "c_custkey",
+        "i",
+        (
+            (
+                (F.col("c_custkey") % _NEG_M) * _NEG_A
+                + F.col("i") * _NEG_C
+                + 7
+            )
+            % _NEG_M
+            % n_parts
+        ).alias("cand"),
+    )
+    dedup = draws.groupBy("c_custkey", "cand").agg(
+        F.min("i").cast("long").alias("mi")
+    )
+    neg = dedup.join(
+        pos,
+        (dedup.c_custkey == pos.o_custkey) & (dedup.cand == pos.l_partkey),
+        "left_anti",
+    )
+    w = Window.partitionBy("c_custkey").orderBy("mi")
+    return (
+        neg.select(
+            "c_custkey",
+            F.col("cand").alias("neg_partkey"),
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= _NEG_K)
+        .orderBy("c_custkey", "rnk")
+    )

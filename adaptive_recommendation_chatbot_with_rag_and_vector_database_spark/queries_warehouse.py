@@ -1671,3 +1671,106 @@ def q_top_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name", "rn")
     )
+
+
+# --- W29: Lorenz curve deciles + Gini coefficient ----------------------------
+
+
+@query(
+    "q_lorenz_gini",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey, round(sum(o_totalprice), 4) AS rev
+      FROM orders GROUP BY 1),
+    b AS (SELECT *, CAST(floor(rev / 10000.0) AS BIGINT) AS bkt FROM cust),
+    bc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS bn FROM b GROUP BY 1),
+    boff AS (
+      SELECT bkt,
+             CAST(coalesce(sum(bn) OVER (ORDER BY bkt
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS off
+      FROM bc),
+    ranked AS (
+      SELECT b.rev,
+             boff.off + row_number() OVER (
+               PARTITION BY b.bkt ORDER BY b.rev, b.o_custkey) AS rnk
+      FROM b JOIN boff USING (bkt)),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, sum(rev) AS t,
+             sum(rnk * rev) AS rs
+      FROM ranked),
+    dec AS (
+      SELECT ((rnk - 1) * 10) // (SELECT n FROM tot) AS decile,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             round(sum(rev), 4) AS decile_rev
+      FROM ranked GROUP BY 1)
+    SELECT decile, n_customers, decile_rev,
+           round(decile_rev / (SELECT t FROM tot), 6) AS rev_share,
+           round(sum(decile_rev) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / (SELECT t FROM tot), 6) AS cum_share,
+           round(2.0 * (SELECT rs FROM tot)
+                   / ((SELECT n FROM tot) * (SELECT t FROM tot))
+                 - ((SELECT n FROM tot) + 1.0) / (SELECT n FROM tot),
+                 6) AS gini
+    FROM dec ORDER BY decile
+    """,
+)
+def q_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve deciles + Gini (W29, wave 35): customer revenue
+    concentration as the classic inequality curve — rank customers by
+    spend ascending, cut into population deciles, report each decile's
+    revenue share and the cumulative (Lorenz) share, plus the exact
+    rank-formula Gini G = 2·Σrᵢxᵢ/(n·Σxᵢ) − (n+1)/n. W21's Pareto/ABC
+    gives the top-heavy cut points; this gives the whole curve and the
+    single-number summary an exec dashboard tracks quarter over
+    quarter.
+
+    The ascending global rank uses the two-phase floor-bucket idiom
+    (q_decile_lift's exact-ntile): bucket offsets prefix-sum on a
+    |buckets|-row side, within-bucket row_number windows carry the
+    parallelism — no single-partition sort over customers. All counts
+    int64; revenue rounds at the customer rollup before ranking so
+    tie-breaks agree across engines."""
+    o = load_table(spark, "orders", sf_dir)
+    cust = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("rev")
+    )
+    b = cust.withColumn("bkt", F.floor(F.col("rev") / 10000.0).cast("long"))
+    bc = b.groupBy("bkt").agg(F.count(F.lit(1)).cast("long").alias("bn"))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bc.select(
+        "bkt",
+        F.coalesce(F.sum("bn").over(w_off), F.lit(0)).cast("long").alias("off"),
+    )
+    w_in = Window.partitionBy("bkt").orderBy("rev", "o_custkey")
+    ranked = (
+        b.join(boff, "bkt")
+        .select(
+            "rev",
+            (F.col("off") + F.row_number().over(w_in)).cast("long").alias("rnk"),
+        )
+        .localCheckpoint()
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rev").alias("t"),
+        F.sum(F.col("rnk") * F.col("rev")).alias("rs"),
+    ).collect()[0]
+    n, t, rs = tot["n"], tot["t"], tot["rs"]
+    gini = round(2.0 * rs / (n * t) - (n + 1.0) / n, 6)
+    dec = ranked.groupBy(
+        (((F.col("rnk") - 1) * 10) / F.lit(n)).cast("long").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(F.sum("rev"), 4).alias("decile_rev"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return dec.select(
+        "decile",
+        "n_customers",
+        "decile_rev",
+        F.round(F.col("decile_rev") / F.lit(t), 6).alias("rev_share"),
+        F.round(F.sum("decile_rev").over(w_cum) / F.lit(t), 6).alias("cum_share"),
+        F.lit(gini).alias("gini"),
+    ).orderBy("decile")

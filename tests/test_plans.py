@@ -1023,3 +1023,95 @@ def test_feature_correlation_single_rollup_pass(spark):
     # all six correlations share ONE aggregate over the user rollup
     assert plan.count("FileScan parquet") == 1
     assert "corr" in plan
+
+
+# --- wave 35 ----------------------------------------------------------------
+
+
+def test_roc_auc_serves_from_checkpointed_class_table(spark):
+    plan = _plan(spark, "q_roc_auc")
+    # the label join (orders+lineitem) runs ONCE inside the eager
+    # score-class checkpoint; bucket-count and rank consumers both read
+    # the ExistingRDD — no fact re-scan, no per-row global rank window,
+    # no percentile buffer
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "percentile" not in plan.lower()
+
+
+def test_cohens_kappa_single_scan_four_counters(spark):
+    plan = _plan(spark, "q_cohens_kappa")
+    # both raters are scan-side CASE codegen; one keyed aggregate with
+    # map-side combine carries 4 int64 counters per stratum
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_mad_reuses_checkpointed_class_table(spark):
+    plan = _plan(spark, "q_mad_outliers")
+    # value median, deviation median AND the outlier fold all derive
+    # from the eager tie-class checkpoint: the fact parquet never
+    # re-enters the final plan; no built-in percentile buffer
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "percentile" not in plan.lower()
+
+
+def test_containment_pairs_keyed_on_gram_not_cartesian(spark):
+    plan = _plan(spark, "q_containment_dedup")
+    # inverted index: the self-join is keyed on (block, gram) — pair
+    # space bounded by co-occurrence, never a cross product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kendall_pairs_run_over_checkpointed_day_rollup(spark):
+    plan = _plan(spark, "q_kendall_tau")
+    # rollup-before-quadratic: the |days|² pair join reads the eager
+    # day-rollup checkpoint, not the fact parquet
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_rbo_topk_cuts_below_exchange_then_checkpoints(spark):
+    # the ranked-list builder cuts rnk<=k as WindowGroupLimit below the
+    # exchange in ONE fact pass...
+    import adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_retrieval as qr
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.sources.loaders import load_table
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    li = load_table(spark, "lineitem", SF)
+    rev = li.groupBy(
+        F.when(F.year("l_shipdate") <= 1997, "a").otherwise("b").alias("period"),
+        "l_partkey",
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("rev"))
+    w = Window.partitionBy("period").orderBy(F.desc("rev"), F.asc("l_partkey"))
+    builder = rev.select("period", "l_partkey", F.row_number().over(w).alias("rnk")).filter(
+        F.col("rnk") <= qr._RBO_K
+    )
+    bplan = builder._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in bplan
+    assert bplan.count("FileScan parquet") == 1
+    # ...and the query itself serves both period lists from the eager
+    # ≤2k-row checkpoint — the fact never re-enters the final plan
+    plan = _plan(spark, "q_rbo_rank_overlap")
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_lorenz_serves_from_checkpointed_rank_table(spark):
+    plan = _plan(spark, "q_lorenz_gini")
+    # deciles, shares and the Gini scalar all ride the checkpointed
+    # exact-rank table — one fact scan inside the checkpoint, none after
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_negative_sampling_anti_join_and_inrow_candidates(spark):
+    plan = _plan(spark, "q_negative_sampling")
+    # candidates are in-row LCG arithmetic (sequence+explode — no join
+    # against part); positives removed with a keyed anti-join
+    assert "LeftAnti" in plan
+    assert plan.count("FileScan parquet") == 3  # orders, lineitem, customer
+    assert "BatchEvalPython" not in plan
