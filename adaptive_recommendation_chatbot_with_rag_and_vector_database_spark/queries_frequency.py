@@ -388,3 +388,119 @@ def q_decay_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("decayed_qty"), F.asc("l_partkey"))
         .limit(20)
     )
+
+
+# --- H6: count-min sketch calibration audit ----------------------------------
+
+_CMS_W = 512  # columns per row
+_CMS_ROWS = ((3, 17), (5, 29), (7, 43), (11, 61))  # (a_r, b_r) per row
+_CMS_P = 2147483647  # Mersenne 2^31-1, matches functions.text.MERSENNE_P
+_CMS_TOPK = 20
+
+
+@query(
+    "q_cms_calibration",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({SQL_TOKS}) AS tok FROM documents),
+    hashed AS (
+      SELECT tok,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT % {_CMS_P} AS h
+      FROM tok),
+    cells AS (
+      SELECT r.rid,
+             (r.a * h.h + r.b) % {_CMS_P} % {_CMS_W} AS col,
+             CAST(count(*) AS BIGINT) AS n
+      FROM hashed h,
+           (VALUES {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_CMS_ROWS))})
+             AS r(rid, a, b)
+      GROUP BY 1, 2),
+    exact AS (
+      SELECT tok, ('0x' || substr(md5(tok), 1, 8))::BIGINT % {_CMS_P} AS h,
+             CAST(count(*) AS BIGINT) AS exact_n
+      FROM hashed GROUP BY 1, 2
+      ORDER BY exact_n DESC, tok LIMIT {_CMS_TOPK}),
+    est AS (
+      SELECT e.tok, e.exact_n, CAST(min(c.n) AS BIGINT) AS cms_est
+      FROM exact e
+      JOIN (VALUES {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_CMS_ROWS))})
+             AS r(rid, a, b) ON true
+      JOIN cells c
+        ON c.rid = r.rid AND c.col = (r.a * e.h + r.b) % {_CMS_P} % {_CMS_W}
+      GROUP BY 1, 2)
+    SELECT tok, exact_n, cms_est,
+           CAST(cms_est - exact_n AS BIGINT) AS overcount,
+           CASE WHEN cms_est >= exact_n THEN 1 ELSE 0 END AS never_undercounts
+    FROM est ORDER BY exact_n DESC, tok
+    """,
+)
+def q_cms_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch calibration audit (H6, wave 36): build a
+    4x512-cell CMS over the corpus token stream with portable
+    md5-prefix hashing, then audit its estimates against exact counts
+    for the top-20 tokens — overcount per probe and the
+    one-sided-error invariant (CMS never undercounts). The streaming
+    complement to H2's Misra-Gries: MG bounds memory at O(k) and
+    undercounts; CMS bounds it at O(w·d) and overcounts — this audit
+    measures the eps·N overcount a 512-column sketch actually pays on a
+    Zipf-ish vocabulary, which is how one sizes w before deploying.
+
+    Scale shape: the sketch build is ONE (row, col)-keyed aggregate
+    whose exchange carries ≤ d·w = 2048 partial counters per
+    mapper regardless of corpus size — THE point of a CMS. The exact
+    side is the standard token aggregate with a TopK heap cut; the
+    probe join touches d rows per probe against the 2 K-cell sketch.
+    All hash arithmetic stays < 2^42 — int64-exact on both engines."""
+    toks = (
+        load_table(spark, "documents", sf_dir)
+        .select(F.explode(toks_col("text")).alias("tok"))
+        .select(
+            "tok",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+                % _CMS_P
+            ).alias("h"),
+        )
+    )
+    rows_df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(_CMS_ROWS)], "rid int, a int, b int"
+    )
+    cells = (
+        toks.join(F.broadcast(rows_df))
+        .groupBy(
+            "rid",
+            ((F.col("a") * F.col("h") + F.col("b")) % _CMS_P % _CMS_W).alias("col"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    exact = (
+        toks.groupBy("tok", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("tok"))
+        .limit(_CMS_TOPK)
+    )
+    probe_cells = cells.select(
+        F.col("rid").alias("crid"), F.col("col").alias("ccol"), "n"
+    )
+    est = (
+        F.broadcast(exact.join(F.broadcast(rows_df)))
+        .join(
+            probe_cells,
+            (F.col("rid") == F.col("crid"))
+            & (
+                ((F.col("a") * F.col("h") + F.col("b")) % _CMS_P % _CMS_W)
+                == F.col("ccol")
+            ),
+        )
+        .groupBy("tok", "exact_n")
+        .agg(F.min("n").cast("long").alias("cms_est"))
+    )
+    return est.select(
+        "tok",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).cast("long").alias("overcount"),
+        F.when(F.col("cms_est") >= F.col("exact_n"), 1).otherwise(0).alias(
+            "never_undercounts"
+        ),
+    ).orderBy(F.desc("exact_n"), F.asc("tok"))

@@ -2098,3 +2098,71 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("pe"),
         F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
     ).orderBy("l_returnflag")
+
+
+# --- M22: Gumbel extreme-value return levels ---------------------------------
+
+_EULER_GAMMA = 0.5772156649015329
+_GUMBEL_HORIZONS = (30, 90, 365)
+
+
+@query(
+    "q_evt_gumbel",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             round(max(o_totalprice), 4) AS mx
+      FROM orders GROUP BY 1),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+             avg(mx) AS m1,
+             stddev_samp(mx) AS s
+      FROM daily),
+    fit AS (
+      SELECT n_days,
+             round(s * sqrt(6) / pi(), 4) AS sigma,
+             round(m1 - {_EULER_GAMMA} * s * sqrt(6) / pi(), 4) AS mu
+      FROM mom)
+    SELECT n_days, mu, sigma,
+           round(mu - sigma * ln(-ln(1.0 - 1.0 / 30)), 4) AS rl_30,
+           round(mu - sigma * ln(-ln(1.0 - 1.0 / 90)), 4) AS rl_90,
+           round(mu - sigma * ln(-ln(1.0 - 1.0 / 365)), 4) AS rl_365
+    FROM fit
+    """,
+)
+def q_evt_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel extreme-value return levels (M22, wave 36): fit the
+    distribution of DAILY MAXIMUM order values by method of moments
+    (σ̂ = s·√6/π, μ̂ = x̄ − γσ̂) and report the 30/90/365-day return
+    levels x_T = μ − σ·ln(−ln(1−1/T)) — the "how big an order should we
+    expect once a quarter" capacity question, and the EVT complement to
+    Y10's z-score (which models the bulk, not the tail of maxima).
+
+    One fact aggregate to the |days|-row maxima series, closed-form
+    moments, zero iterations: scale cost is the day rollup's single
+    keyed exchange. Daily maxima round to 4 decimals before the
+    moments; μ/σ round before the return-level arithmetic so both
+    engines feed identical inputs to ln."""
+    o = load_table(spark, "orders", sf_dir)
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.round(F.max("o_totalprice"), 4).alias("mx")
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.avg("mx").alias("m1"),
+        F.stddev_samp("mx").alias("s"),
+    )
+    import math
+
+    fit = mom.select(
+        "n_days",
+        F.round(F.col("m1") - _EULER_GAMMA * F.col("s") * math.sqrt(6) / math.pi, 4).alias("mu"),
+        F.round(F.col("s") * math.sqrt(6) / math.pi, 4).alias("sigma"),
+    )
+    cols = [
+        F.round(
+            F.col("mu") - F.col("sigma") * math.log(-math.log(1.0 - 1.0 / t)), 4
+        ).alias(f"rl_{t}")
+        for t in _GUMBEL_HORIZONS
+    ]
+    return fit.select("n_days", "mu", "sigma", *cols)

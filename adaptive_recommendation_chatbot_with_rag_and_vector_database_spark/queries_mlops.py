@@ -1158,3 +1158,222 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             2.0 * F.col("u") / (F.col("n_pos") * F.col("n_neg").cast("double")) - 1.0, 6
         ).alias("gini"),
     )
+
+
+# --- MO12: precision-recall AUC (average precision) --------------------------
+
+
+@query(
+    "q_pr_auc",
+    oracle="""
+    WITH lab AS (
+      SELECT o.o_orderkey, o.o_totalprice AS score,
+             max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2),
+    cls AS (
+      SELECT score,
+             CAST(sum(pos) AS BIGINT) AS pos_cnt,
+             CAST(sum(1 - pos) AS BIGINT) AS neg_cnt
+      FROM lab GROUP BY 1),
+    ranked AS (
+      SELECT pos_cnt,
+             CAST(sum(pos_cnt) OVER (ORDER BY score DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tp,
+             CAST(sum(neg_cnt) OVER (ORDER BY score DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_fp
+      FROM cls),
+    tot AS (
+      SELECT CAST((SELECT sum(pos_cnt) FROM cls) AS BIGINT) AS n_pos,
+             CAST((SELECT sum(neg_cnt) FROM cls) AS BIGINT) AS n_neg,
+             sum((pos_cnt / CAST((SELECT sum(pos_cnt) FROM cls) AS DOUBLE))
+                 * (cum_tp / CAST(cum_tp + cum_fp AS DOUBLE))) AS ap
+      FROM ranked)
+    SELECT n_pos, n_neg,
+           round(ap, 6) AS pr_auc,
+           round(n_pos / CAST(n_pos + n_neg AS DOUBLE), 6) AS baseline
+    FROM tot
+    """,
+)
+def q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall AUC / average precision (MO12, wave 36): the
+    class-imbalance-honest companion to MO11's ROC AUC over the same
+    does-price-predict-returns label — AP = Σ_k ΔR_k · P_k stepped at
+    score-class granularity, compared against the random-classifier
+    baseline P/(P+N). ROC AUC looks healthy under heavy imbalance;
+    this is the curve reviewers actually ask for.
+
+    Same scale substrate as q_roc_auc: the label join reduces to score
+    tie classes (checkpointed), and the DESCENDING cumulative tp/fp
+    come from the two-phase floor-bucket prefix sum — bucket offsets on
+    a |buckets|-row side, within-bucket windows, no per-row global
+    rank. Counts exact int64; AP's per-class term is two divisions."""
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    lab = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", F.col("o_totalprice").alias("score"))
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("pos")
+        )
+    )
+    cls = lab.groupBy("score").agg(
+        F.sum("pos").cast("long").alias("pos_cnt"),
+        F.sum(1 - F.col("pos")).cast("long").alias("neg_cnt"),
+    )
+    b = (
+        cls.withColumn("bkt", F.floor(F.col("score") / 10000.0).cast("long"))
+        .localCheckpoint()
+    )
+    bc = b.groupBy("bkt").agg(
+        F.sum("pos_cnt").cast("long").alias("bp"),
+        F.sum("neg_cnt").cast("long").alias("bn"),
+    )
+    w_off = Window.orderBy(F.desc("bkt")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    boff = bc.select(
+        "bkt",
+        F.coalesce(F.sum("bp").over(w_off), F.lit(0)).cast("long").alias("offp"),
+        F.coalesce(F.sum("bn").over(w_off), F.lit(0)).cast("long").alias("offn"),
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy(F.desc("score"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = b.join(boff, "bkt").select(
+        "pos_cnt",
+        (F.col("offp") + F.sum("pos_cnt").over(w_in)).cast("long").alias("cum_tp"),
+        (F.col("offn") + F.sum("neg_cnt").over(w_in)).cast("long").alias("cum_fp"),
+    )
+    totals = b.agg(
+        F.sum("pos_cnt").cast("long").alias("n_pos"),
+        F.sum("neg_cnt").cast("long").alias("n_neg"),
+    ).collect()[0]
+    n_pos, n_neg = totals["n_pos"], totals["n_neg"]
+    ap = ranked.agg(
+        F.sum(
+            (F.col("pos_cnt") / F.lit(float(n_pos)))
+            * (F.col("cum_tp") / (F.col("cum_tp") + F.col("cum_fp")).cast("double"))
+        ).alias("ap")
+    )
+    return ap.select(
+        F.lit(n_pos).cast("long").alias("n_pos"),
+        F.lit(n_neg).cast("long").alias("n_neg"),
+        F.round(F.col("ap"), 6).alias("pr_auc"),
+        F.lit(round(n_pos / float(n_pos + n_neg), 6)).alias("baseline"),
+    )
+
+
+# --- MO13: precision/recall/F1 over a threshold grid -------------------------
+
+_THR_GRID = tuple(range(50_000, 500_000, 50_000))
+
+
+@query(
+    "q_threshold_metrics",
+    oracle=f"""
+    WITH lab AS (
+      SELECT o.o_orderkey, o.o_totalprice AS score,
+             max(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2),
+    cls AS (
+      SELECT score,
+             CAST(sum(pos) AS BIGINT) AS pos_cnt,
+             CAST(sum(1 - pos) AS BIGINT) AS neg_cnt
+      FROM lab GROUP BY 1),
+    grid AS (SELECT unnest([{", ".join(str(t) for t in _THR_GRID)}]) AS thr),
+    m AS (
+      SELECT thr,
+             CAST(sum(CASE WHEN score >= thr THEN pos_cnt ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN score >= thr THEN neg_cnt ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN score < thr THEN pos_cnt ELSE 0 END) AS BIGINT) AS fn
+      FROM grid, cls GROUP BY thr),
+    pr AS (
+      SELECT thr, tp, fp, fn,
+             CASE WHEN tp + fp = 0 THEN 0.0
+                  ELSE tp / CAST(tp + fp AS DOUBLE) END AS p,
+             CASE WHEN tp + fn = 0 THEN 0.0
+                  ELSE tp / CAST(tp + fn AS DOUBLE) END AS r
+      FROM m)
+    SELECT thr, tp, fp, fn,
+           round(p, 6) AS precision_,
+           round(r, 6) AS recall_,
+           round(CASE WHEN p + r = 0 THEN 0.0
+                      ELSE 2 * p * r / (p + r) END, 6) AS f1
+    FROM pr ORDER BY thr
+    """,
+)
+def q_threshold_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-grid classifier metrics (MO13, wave 36): precision,
+    recall and F1 for "flag orders above X as return-risks" at nine
+    operating points — the table that turns MO11/MO12's single-number
+    AUCs into a deployable threshold choice. Zero-denominator cells
+    pin to 0.0 identically on both engines.
+
+    The fact reduces to the same score tie-class table as its AUC
+    siblings; the 9-row threshold grid then cross-joins the CLASSES
+    (9×|classes| transient rows inside one aggregate), so the fact is
+    scanned once and nothing fact-sized is ever re-shuffled per
+    threshold."""
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    lab = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", F.col("o_totalprice").alias("score"))
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("pos")
+        )
+    )
+    cls = lab.groupBy("score").agg(
+        F.sum("pos").cast("long").alias("pos_cnt"),
+        F.sum(1 - F.col("pos")).cast("long").alias("neg_cnt"),
+    )
+    grid = spark.createDataFrame(
+        [(t,) for t in _THR_GRID], "thr int"
+    )
+    m = (
+        F.broadcast(grid)
+        .join(cls)
+        .groupBy("thr")
+        .agg(
+            F.sum(
+                F.when(F.col("score") >= F.col("thr"), F.col("pos_cnt")).otherwise(0)
+            ).cast("long").alias("tp"),
+            F.sum(
+                F.when(F.col("score") >= F.col("thr"), F.col("neg_cnt")).otherwise(0)
+            ).cast("long").alias("fp"),
+            F.sum(
+                F.when(F.col("score") < F.col("thr"), F.col("pos_cnt")).otherwise(0)
+            ).cast("long").alias("fn"),
+        )
+    )
+    p = F.when(F.col("tp") + F.col("fp") == 0, F.lit(0.0)).otherwise(
+        F.col("tp") / (F.col("tp") + F.col("fp")).cast("double")
+    )
+    r = F.when(F.col("tp") + F.col("fn") == 0, F.lit(0.0)).otherwise(
+        F.col("tp") / (F.col("tp") + F.col("fn")).cast("double")
+    )
+    pr = m.select("thr", "tp", "fp", "fn", p.alias("p"), r.alias("r"))
+    return pr.select(
+        "thr",
+        "tp",
+        "fp",
+        "fn",
+        F.round("p", 6).alias("precision_"),
+        F.round("r", 6).alias("recall_"),
+        F.round(
+            F.when(F.col("p") + F.col("r") == 0, F.lit(0.0)).otherwise(
+                2 * F.col("p") * F.col("r") / (F.col("p") + F.col("r"))
+            ),
+            6,
+        ).alias("f1"),
+    ).orderBy("thr")

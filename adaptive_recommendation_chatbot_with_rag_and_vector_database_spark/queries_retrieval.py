@@ -1063,3 +1063,92 @@ def q_rbo_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s") * (1 - _RBO_P) / (1 - _RBO_P ** _RBO_K), 6
         ).alias("rbo"),
     )
+
+
+# --- R12: best-window snippet extraction -------------------------------------
+
+_SNIPPET_TERMS = ("join", "hash", "scan")
+_SNIPPET_W = 8
+
+
+@query(
+    "q_snippet_extract",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {sql_toks("text")} AS toks FROM documents),
+    sized AS (
+      SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) >= {_SNIPPET_W}),
+    scored AS (
+      SELECT doc_id, toks,
+             [len(list_filter(toks[i:i+{_SNIPPET_W - 1}],
+                  t -> list_contains({list(_SNIPPET_TERMS)}, t)))
+              for i in range(1, n - {_SNIPPET_W - 2})] AS scores
+      FROM sized),
+    best AS (
+      SELECT doc_id, toks,
+             CAST(list_max(scores) AS BIGINT) AS hits,
+             CAST(list_position(scores, list_max(scores)) AS BIGINT) AS start_pos
+      FROM scored)
+    SELECT doc_id, start_pos, hits,
+           array_to_string(toks[start_pos:start_pos+{_SNIPPET_W - 1}], ' ') AS snippet
+    FROM best WHERE hits >= 3 ORDER BY doc_id
+    """,
+)
+def q_snippet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-window snippet extraction (R12, wave 36): for every
+    document matching a query, the 8-token window with the most query
+    -term hits (first such window on ties) plus the rendered snippet —
+    the result-page highlighting step downstream of BM25/hybrid
+    retrieval (R1/R2), which returns documents but not WHERE they
+    match.
+
+    Everything is in-row Catalyst HOF codegen: the per-start scores
+    come from transform(sequence) over slices (one linear pass per
+    window start — no per-position element_at, the R10 lesson), argmax
+    is array_position of array_max (deterministic first-max), and no
+    token ever leaves its row — zero exchanges besides the output
+    collect. A positional inverted index would shuffle the whole token
+    stream to answer the same ad-hoc query (the R10 trade, same
+    verdict)."""
+    from .functions.tokenize import toks_col
+
+    terms = F.array(*[F.lit(t) for t in _SNIPPET_TERMS])
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", toks_col("text").alias("toks"))
+        .filter(F.size("toks") >= _SNIPPET_W)
+    )
+    scored = docs.select(
+        "doc_id",
+        "toks",
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (_SNIPPET_W - 1)),
+            lambda i: F.size(
+                F.filter(
+                    F.slice("toks", i, _SNIPPET_W),
+                    lambda t: F.array_contains(terms, t),
+                )
+            ),
+        ).alias("scores"),
+    )
+    best = scored.select(
+        "doc_id",
+        "toks",
+        F.array_max("scores").cast("long").alias("hits"),
+        F.array_position(F.col("scores"), F.array_max("scores"))
+        .cast("long")
+        .alias("start_pos"),
+    )
+    return (
+        best.filter(F.col("hits") >= 3)
+        .select(
+            "doc_id",
+            "start_pos",
+            "hits",
+            F.concat_ws(
+                " ",
+                F.slice("toks", F.col("start_pos").cast("int"), _SNIPPET_W),
+            ).alias("snippet"),
+        )
+        .orderBy("doc_id")
+    )

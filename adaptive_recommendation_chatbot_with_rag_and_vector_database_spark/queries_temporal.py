@@ -1179,3 +1179,57 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("tau_b"),
     )
+
+
+# --- TM15: Holt linear-trend backtest via recursive CTE ----------------------
+
+_HOLT_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT d, rev, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+  FROM (
+    SELECT CAST(o_orderdate AS DATE) AS d, round(sum(o_totalprice), 4) AS rev
+    FROM orders GROUP BY 1
+    ORDER BY 1 DESC LIMIT 28
+  ) t
+),
+init AS (
+  SELECT a.i, a.rev AS l, round(b.rev - a.rev, 6) AS b
+  FROM daily a JOIN daily b ON b.i = 2 AND a.i = 1
+),
+holt(i, l, b, fc) AS (
+  SELECT i, l, b, CAST(NULL AS DOUBLE) FROM init
+  UNION ALL
+  SELECT x.i,
+         round(0.5 * x.rev + 0.5 * (h.l + h.b), 6),
+         round(0.3 * (round(0.5 * x.rev + 0.5 * (h.l + h.b), 6) - h.l)
+               + 0.7 * h.b, 6),
+         round(h.l + h.b, 6)
+  FROM holt h JOIN daily x ON x.i = h.i + 1
+)
+SELECT d.d, d.rev AS actual, h.fc AS forecast,
+       round(abs(d.rev - h.fc), 4) AS abs_err
+FROM holt h JOIN daily d ON d.i = h.i
+WHERE h.i > 21 ORDER BY d.d
+"""
+
+
+@query("q_holt_forecast", oracle=_HOLT_SQL)
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend one-step-ahead backtest (TM15, wave 36): the
+    level+trend double-exponential smoother (α=0.5, β=0.3) run over the
+    last 28 days of daily revenue, reporting the final week's
+    forecasts and absolute errors — the trended upgrade to V8's EWMA
+    (which has no trend term and lags every ramp) and the
+    short-horizon complement to TM4's seasonal-naive backtest.
+
+    The recursion is genuinely sequential, so it runs as a RECURSIVE
+    CTE — the SAME SQL text executes on both engines (Spark 4.1
+    iterate-until-empty frontier, the Q1 machinery), with the day
+    series bounded to 28 rows BEFORE the recursion: each of the 27
+    steps joins a 1-row frontier against the 28-row series, so
+    recursion cost is fixed regardless of corpus size, and the only
+    fact-scaled work is the one day-rollup aggregate underneath.
+    Level/trend round to 6 decimals at every step, pinning the float
+    trajectory bit-identically across engines."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    return spark.sql(_HOLT_SQL)

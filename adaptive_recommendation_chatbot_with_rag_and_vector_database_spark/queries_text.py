@@ -1669,3 +1669,74 @@ def q_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# --- X20: vocabulary capture-recapture (Chapman estimator) ------------------
+
+
+@query(
+    "q_capture_recapture",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_SQL_TOKS}) AS word
+      FROM documents WHERE source IN ('src0', 'src1')),
+    vocab AS (SELECT DISTINCT source, word FROM tok),
+    caps AS (
+      SELECT CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT) AS n1,
+             CAST(count(*) FILTER (WHERE source = 'src1') AS BIGINT) AS n2,
+             CAST(count(*) FILTER (WHERE source = 'src0')
+                  + count(*) FILTER (WHERE source = 'src1')
+                  - count(DISTINCT word) AS BIGINT) AS m,
+             CAST(count(DISTINCT word) AS BIGINT) AS observed_union
+      FROM vocab)
+    SELECT n1, n2, m, observed_union,
+           round((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0, 2) AS chapman_est,
+           round(((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0)
+                 / observed_union, 4) AS est_over_observed
+    FROM caps
+    """,
+)
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary capture-recapture (X20, wave 36): treat two sources'
+    vocabularies as two "captures" of the corpus's word population and
+    estimate the TOTAL vocabulary with the bias-corrected Chapman
+    estimator N̂ = (n₁+1)(n₂+1)/(m+1) − 1 — the unseen-species answer
+    to "how much vocabulary has our crawl not seen yet", which K1's
+    coverage report (what fraction of a FIXED vocab we hit) cannot ask.
+
+    One token explode over the two sampled sources (scan-pruned by the
+    source predicate), one distinct per source, and the estimator is
+    closed-form integer arithmetic over three counts. The m overlap
+    comes from |V1|+|V2|−|V1∪V2| — no word-level self-join at all, so
+    the exchange is keyed on the word only once (the distinct)."""
+    tok = (
+        _docs(spark, sf_dir)
+        .filter(F.col("source").isin("src0", "src1"))
+        .select("source", F.explode(tokens("text")).alias("word"))
+    )
+    vocab = tok.select("source", "word").distinct()
+    caps = vocab.agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.count_distinct(F.col("word")).cast("long").alias("observed_union"),
+    ).select(
+        "n1",
+        "n2",
+        (F.col("n1") + F.col("n2") - F.col("observed_union"))
+        .cast("long")
+        .alias("m"),
+        "observed_union",
+    )
+    est = (F.col("n1") + 1.0) * (F.col("n2") + 1.0) / (F.col("m") + 1.0) - 1.0
+    return caps.select(
+        "n1",
+        "n2",
+        "m",
+        "observed_union",
+        F.round(est, 2).alias("chapman_est"),
+        F.round(est / F.col("observed_union"), 4).alias("est_over_observed"),
+    )

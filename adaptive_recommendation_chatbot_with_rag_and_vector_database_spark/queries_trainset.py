@@ -627,3 +627,103 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _NEG_K)
         .orderBy("c_custkey", "rnk")
     )
+
+
+# --- L9: T5-style deterministic span-corruption masks -------------------------
+
+_SPAN_LEN = 3  # mean/fixed corrupted-span length (T5 mu=3)
+_SPAN_TOK_RATIO = 20  # one span per 20 tokens ~= 15% mask at len 3
+
+
+@query(
+    "q_span_corruption",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, len({SQL_TOKS}) AS n FROM documents),
+    plan AS (
+      SELECT doc_id, n,
+             greatest(1, n // {_SPAN_TOK_RATIO}) AS n_spans,
+             n // greatest(1, n // {_SPAN_TOK_RATIO}) AS stride
+      FROM tok WHERE n >= {_SPAN_LEN}),
+    spans AS (
+      SELECT doc_id, n, n_spans,
+             CAST(list_sum(
+               [least({_SPAN_LEN},
+                      n - (j * stride
+                           + ((doc_id % {_NEG_M}) * {_NEG_A} + j * {_NEG_C} + 13)
+                             % {_NEG_M} % (stride - {_SPAN_LEN - 1}) + 1) + 1)
+                for j in range(0, n_spans)]) AS BIGINT) AS masked
+      FROM plan)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_toks,
+           CAST(n_spans AS BIGINT) AS n_spans,
+           masked AS masked_tokens,
+           round(masked / CAST(n AS DOUBLE), 4) AS mask_ratio
+    FROM spans ORDER BY doc_id
+    """,
+)
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption mask plan (L9, wave 36): for every
+    document, place one length-3 corruption span per 20 tokens at a
+    seeded-LCG offset WITHIN its own stride segment (spans are
+    non-overlapping by construction — each lives in a disjoint
+    segment), and report the mask plan a denoising pretrain run
+    (T5/UL2) would execute: span count, masked tokens, realized mask
+    ratio. A rand()-placed mask is unreplayable across engines,
+    epochs, and task retries; this plan regenerates bit-identically
+    anywhere — the L8/M1/M4 seeded-decision discipline applied to the
+    pretraining objective itself.
+
+    Zero exchanges: token counts, span counts, offsets and the masked
+    sum are all in-row Catalyst arithmetic (sequence→transform→
+    aggregate); the output is one row per document off the scan. The
+    stride floor keeps every intermediate < 2^51 (int64-exact on both
+    engines)."""
+    tok = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", F.size(toks_col("text")).alias("n"))
+        .filter(F.col("n") >= _SPAN_LEN)
+    )
+    plan = tok.select(
+        "doc_id",
+        "n",
+        F.greatest(F.lit(1), (F.col("n") / _SPAN_TOK_RATIO).cast("long")).alias(
+            "n_spans"
+        ),
+    ).withColumn("stride", (F.col("n") / F.col("n_spans")).cast("long"))
+    span_len = lambda j: F.least(  # noqa: E731
+        F.lit(_SPAN_LEN),
+        F.col("n")
+        - (
+            j * F.col("stride")
+            + (
+                (F.col("doc_id") % _NEG_M) * _NEG_A
+                + j * _NEG_C
+                + 13
+            )
+            % _NEG_M
+            % (F.col("stride") - (_SPAN_LEN - 1))
+            + 1
+        )
+        + 1,
+    )
+    spans = plan.select(
+        "doc_id",
+        "n",
+        "n_spans",
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_spans") - 1), span_len
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("masked"),
+    )
+    return spans.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_toks"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("masked").alias("masked_tokens"),
+        F.round(F.col("masked") / F.col("n").cast("double"), 4).alias(
+            "mask_ratio"
+        ),
+    ).orderBy("doc_id")

@@ -1115,3 +1115,72 @@ def test_negative_sampling_anti_join_and_inrow_candidates(spark):
     assert "LeftAnti" in plan
     assert plan.count("FileScan parquet") == 3  # orders, lineitem, customer
     assert "BatchEvalPython" not in plan
+
+
+# --- wave 36 ----------------------------------------------------------------
+
+
+def test_evt_gumbel_single_scan_closed_form(spark):
+    plan = _plan(spark, "q_evt_gumbel")
+    # one fact aggregate to the day-maxima series; moments and return
+    # levels are closed-form — no iteration, no percentile buffer
+    assert plan.count("FileScan parquet") == 1
+    assert "percentile" not in plan.lower()
+
+
+def test_capture_recapture_pushes_source_filter(spark):
+    plan = _plan(spark, "q_capture_recapture")
+    # the two-source sample prunes at the scan; one scan feeds the
+    # per-source vocabulary distinct
+    assert plan.count("FileScan parquet") == 1
+    assert "PushedFilters: [" in plan and "In(source" in plan
+
+
+def test_pr_auc_serves_from_checkpointed_class_table(spark):
+    plan = _plan(spark, "q_pr_auc")
+    # same contract as q_roc_auc: the label join runs once inside the
+    # eager score-class checkpoint; descending cum tp/fp and AP read
+    # the ExistingRDD only
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_threshold_metrics_broadcast_grid_over_classes(spark):
+    plan = _plan(spark, "q_threshold_metrics")
+    # the 9-row grid broadcasts against the class table (inner
+    # cross-shape is grid×classes, never grid×facts); the fact pair
+    # join reads orders+lineitem once each
+    assert plan.count("FileScan parquet") == 2
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_cms_sketch_exchange_is_cell_bounded(spark):
+    plan = _plan(spark, "q_cms_calibration")
+    # sketch build: map-side partial counts into <= d*w cells; probe
+    # side is a TakeOrdered top-k heap cut, never a global sort
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_snippet_scoring_is_inrow_codegen(spark):
+    plan = _plan(spark, "q_snippet_extract")
+    # sliding-window scores, argmax and the rendered snippet are all
+    # in-row HOF codegen off one scan — no Python, no token shuffle
+    assert plan.count("FileScan parquet") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_span_corruption_is_inrow_codegen(spark):
+    plan = _plan(spark, "q_span_corruption")
+    assert plan.count("FileScan parquet") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_holt_recursion_bounded_before_loop(spark):
+    plan = _plan(spark, "q_holt_forecast")
+    # the recursion executes as UnionLoop steps over a day series cut
+    # to 28 rows BEFORE the loop (TakeOrdered heap cut, so the frontier
+    # join is 1x28 per step regardless of corpus size)
+    assert "UnionLoop" in plan
+    assert "TakeOrderedAndProject" in plan
