@@ -16,7 +16,7 @@ ROWS frames, deterministic tie-breaks on every top-k cut.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import query
@@ -522,4 +522,113 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.sum("c").cast("long").alias("n_bigrams"),
         F.round(F.sum(logp) / F.sum("c"), 4).alias("avg_logp"),
+    )
+
+
+# --- C8: DSIR-style importance resampling --------------------------------------
+
+_DSIR_K = 50  # resampled documents
+_DSIR_A = 1103515245
+_DSIR_C = 12345
+_DSIR_M = 1048576
+
+
+@query(
+    "q_importance_resampling",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({_SQL_TOKS}) AS w FROM documents),
+    vocab AS (
+      SELECT w,
+             CAST(count(*) AS BIGINT) AS c_p,
+             CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS c_t
+      FROM tok GROUP BY 1),
+    tot AS (
+      SELECT CAST(sum(c_p) AS BIGINT) AS n_p,
+             CAST(sum(c_t) AS BIGINT) AS n_t,
+             CAST(count(*) AS BIGINT) AS v
+      FROM vocab),
+    llr AS (
+      SELECT t.doc_id,
+             round(sum(ln((vocab.c_t + 1) / CAST(tot.n_t + tot.v AS DOUBLE))
+                       - ln((vocab.c_p + 1) / CAST(tot.n_p + tot.v AS DOUBLE))),
+                   4) AS llr
+      FROM tok t JOIN vocab ON vocab.w = t.w, tot
+      GROUP BY 1),
+    keyed AS (
+      SELECT l.doc_id, d.lang, l.llr,
+             round(l.llr - ln(-ln(
+               ((l.doc_id % {_DSIR_M}) * {_DSIR_A} + 17) % {_DSIR_M} / 
+                 CAST({_DSIR_M} AS DOUBLE) + 0.5 / {_DSIR_M})), 6) AS gumbel_key
+      FROM llr l JOIN documents d USING (doc_id))
+    SELECT CAST(row_number() OVER (ORDER BY gumbel_key DESC, doc_id) AS BIGINT)
+             AS rank,
+           doc_id, lang, llr, gumbel_key
+    FROM keyed
+    ORDER BY gumbel_key DESC, doc_id LIMIT {_DSIR_K}
+    """,
+)
+def q_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (C8, wave 37): score every
+    document by the unigram log-likelihood ratio between a TARGET
+    distribution (the English slice, standing in for "looks like the
+    eval domain") and the full-corpus PROPOSAL — add-1 smoothed over
+    the shared vocabulary — then draw a without-replacement sample of
+    the top-{_DSIR_K} via seeded Gumbel-top-k (key = llr + Gumbel(LCG
+    uniform)), the exp-weighted sampler Xie et al.'s DSIR uses to
+    up-weight domain-relevant documents in a pretraining mix. A rand()
+    Gumbel is unreplayable; the LCG form replays on any engine/retry
+    (the L1/L8 discipline).
+
+    Scale shape: BOTH language models come from ONE token aggregate
+    (the target is a filtered count of the same pass — no second
+    corpus scan); the per-document score is a token→vocab equi-join
+    (broadcast-able vocabulary) plus a doc-keyed sum; the final cut is
+    a TakeOrdered heap. ln is evaluated on identical double ratios on
+    both engines; the Gumbel key rounds to 6dp with a doc_id
+    tie-break."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id", "lang", F.explode(toks_col("text")).alias("w")
+    )
+    vocab = tok.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("c_p"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("c_t"),
+    )
+    tot = vocab.agg(
+        F.sum("c_p").cast("long").alias("n_p"),
+        F.sum("c_t").cast("long").alias("n_t"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    ).collect()[0]
+    n_p, n_t, v = tot["n_p"], tot["n_t"], tot["v"]
+    term = F.log((F.col("c_t") + 1) / F.lit(float(n_t + v))) - F.log(
+        (F.col("c_p") + 1) / F.lit(float(n_p + v))
+    )
+    llr = (
+        tok.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term), 4).alias("llr"))
+    )
+    u = (
+        ((F.col("doc_id") % _DSIR_M) * _DSIR_A + 17) % _DSIR_M
+    ) / F.lit(float(_DSIR_M)) + 0.5 / _DSIR_M
+    keyed = llr.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "llr",
+        F.round(F.col("llr") - F.log(-F.log(u)), 6).alias("gumbel_key"),
+    )
+    w = Window.orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
+    return (
+        keyed.orderBy(F.desc("gumbel_key"), F.asc("doc_id"))
+        .limit(_DSIR_K)
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "doc_id",
+            "lang",
+            "llr",
+            "gumbel_key",
+        )
     )

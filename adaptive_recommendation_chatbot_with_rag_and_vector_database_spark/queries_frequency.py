@@ -451,31 +451,39 @@ def q_cms_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is the standard token aggregate with a TopK heap cut; the
     probe join touches d rows per probe against the 2 K-cell sketch.
     All hash arithmetic stays < 2^42 — int64-exact on both engines."""
-    toks = (
+    # ONE fact pass: the token stream collapses to exact (tok, count)
+    # classes first, and the sketch is built from the CLASSES (cell
+    # count = sum of its tokens' exact counts — algebraically identical
+    # to per-occurrence increments, with md5 evaluated once per DISTINCT
+    # token instead of once per occurrence on each consumer)
+    vocab = (
         load_table(spark, "documents", sf_dir)
         .select(F.explode(toks_col("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
         .select(
             "tok",
+            "exact_n",
             (
                 F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
                 % _CMS_P
             ).alias("h"),
         )
+        .localCheckpoint()
     )
     rows_df = spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(_CMS_ROWS)], "rid int, a int, b int"
     )
     cells = (
-        toks.join(F.broadcast(rows_df))
+        vocab.join(F.broadcast(rows_df))
         .groupBy(
             "rid",
             ((F.col("a") * F.col("h") + F.col("b")) % _CMS_P % _CMS_W).alias("col"),
         )
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .agg(F.sum("exact_n").cast("long").alias("n"))
     )
     exact = (
-        toks.groupBy("tok", "h")
-        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        vocab.select("tok", "h", "exact_n")
         .orderBy(F.desc("exact_n"), F.asc("tok"))
         .limit(_CMS_TOPK)
     )

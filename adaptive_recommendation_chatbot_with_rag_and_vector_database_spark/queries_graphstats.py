@@ -411,3 +411,70 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("aa_score"), F.asc("ca"), F.asc("cb"))
         .limit(_CN_TOPK)
     )
+
+
+# --- I6: degree assortativity coefficient -------------------------------------
+
+
+@query(
+    "q_assortativity",
+    oracle=f"""
+    WITH {_GRAPH_SQL},
+    j AS (
+      SELECT da.d AS x, db.d AS y
+      FROM sym JOIN deg da ON da.v = sym.a
+               JOIN deg db ON db.v = sym.b),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM j)
+    SELECT m AS n_directed_edges,
+           round((m * sxy - sx * sy) /
+                 (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6)
+             AS assortativity
+    FROM s
+    """,
+)
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (I6, wave 37): the Pearson correlation of
+    endpoint degrees over the directed edge list of the co-purchase
+    graph — do hub parts co-occur with hubs (assortative, r>0) or with
+    leaves (disassortative, r<0)? The one-number structure summary
+    read beside I2's degree distribution: social graphs run positive,
+    catalog/co-purchase graphs typically negative, and a sign flip
+    after an ingest is a graph-corruption smell.
+
+    All five correlation sums are exact int64 over the symmetric edge
+    list (both directions, the standard convention); the only floats
+    are the final two sqrts. Scale shape: the checkpointed edge list
+    (shared with I1/I2) joins the |V|-row degree table twice — both
+    joins keyed on a vertex id — then one scalar aggregate; nothing
+    downstream of the degree join scales beyond |E|."""
+    e = _undirected_edges(spark, sf_dir)
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    j = (
+        sym.join(deg.select(F.col("v").alias("a"), F.col("d").alias("x")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("y")), "b")
+    )
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        F.col("m").alias("n_directed_edges"),
+        F.round(num / (F.sqrt(denx) * F.sqrt(deny)), 6).alias("assortativity"),
+    )

@@ -16,7 +16,7 @@ engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.tokenize import ASCII_WS_PATTERN
@@ -378,3 +378,66 @@ def q_embedding_dims_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("_std", 5).alias("std_x"),
         F.when(F.col("_std") < 0.001, 1).otherwise(0).alias("is_dead"),
     ).orderBy("dim")
+
+
+# --- K8: document-length percentile bands per language -----------------------
+
+
+@query(
+    "q_length_bands",
+    oracle="""
+    WITH b AS (
+      SELECT lang,
+             quantile_disc(n_chars, 0.10) AS p10,
+             quantile_disc(n_chars, 0.50) AS p50,
+             quantile_disc(n_chars, 0.90) AS p90,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1)
+    SELECT lang, CAST(p10 AS BIGINT) AS p10, CAST(p50 AS BIGINT) AS p50,
+           CAST(p90 AS BIGINT) AS p90, n_docs
+    FROM b ORDER BY lang
+    """,
+)
+def q_length_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length percentile bands per language (K8, wave 37):
+    p10/p50/p90 of character length per lang — the truncation-budget
+    table a tokenization pipeline reads before picking max sequence
+    length per language (K2's quality×length heatmap shows the joint
+    shape; this gives the three cut points engineering actually uses).
+
+    DISC percentiles (order statistics — actual data values, the ST16
+    convention: min v with cum ≥ ⌈q·n⌉) computed from a (lang, length)
+    class aggregate with one per-lang cumulative window over the
+    ~|distinct lengths| classes — no per-group value buffer, no
+    interpolation float to disagree on. Integer in, integer out."""
+    d = load_table(spark, "documents", sf_dir)
+    cls = d.groupBy(
+        F.col("lang"), F.col("n_chars").alias("v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("lang")
+    cum = cls.select(
+        "lang",
+        "v",
+        F.sum("cnt").over(wcum).alias("cw"),
+        F.sum("cnt").over(wtot).alias("tw"),
+    )
+    def _disc(q: float):
+        # min v with cum >= ceil(q * n): ceil via -floor(-x)
+        target = (-F.floor(-(F.lit(q) * F.col("tw")))).cast("long")
+        return F.min(F.when(F.col("cw") >= target, F.col("v")))
+
+    return (
+        cum.groupBy("lang")
+        .agg(
+            _disc(0.10).cast("long").alias("p10"),
+            _disc(0.50).cast("long").alias("p50"),
+            _disc(0.90).cast("long").alias("p90"),
+            F.max("tw").cast("long").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )

@@ -2166,3 +2166,177 @@ def q_evt_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in _GUMBEL_HORIZONS
     ]
     return fit.select("n_days", "mu", "sigma", *cols)
+
+
+# --- M23: Wald-Wolfowitz runs test -------------------------------------------
+
+
+@query(
+    "q_runs_test",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, round(sum(o_totalprice), 4) AS rev
+      FROM orders GROUP BY 1),
+    med AS (SELECT quantile_disc(rev, 0.5) AS m FROM daily),
+    signed AS (
+      SELECT d, CASE WHEN rev > med.m THEN 1 ELSE 0 END AS s
+      FROM daily, med WHERE rev <> med.m),
+    runs AS (
+      SELECT s,
+             CASE WHEN lag(s) OVER (ORDER BY d) IS NULL
+                  OR lag(s) OVER (ORDER BY d) <> s THEN 1 ELSE 0 END AS new_run
+      FROM signed),
+    agg AS (
+      SELECT CAST(sum(s) AS BIGINT) AS n1,
+             CAST(sum(1 - s) AS BIGINT) AS n2,
+             CAST(sum(new_run) AS BIGINT) AS r
+      FROM runs),
+    stat AS (
+      SELECT n1, n2, r,
+             1.0 + 2.0 * n1 * n2 / (n1 + n2) AS er,
+             (2.0 * n1 * n2) * (2.0 * n1 * n2 - n1 - n2)
+               / ((n1 + n2) * (n1 + n2) * CAST(n1 + n2 - 1 AS DOUBLE)) AS vr
+      FROM agg)
+    SELECT n1, n2, r AS runs, round(er, 4) AS expected_runs,
+           round((r - er) / sqrt(vr), 4) AS z,
+           round({_sql_p_two("((r - er) / sqrt(vr))")}, 6) AS p_value
+    FROM stat
+    """,
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test (M23, wave 37): is the daily-revenue
+    series random around its median, or does it cluster into
+    above/below streaks (momentum, regime shifts, weekly structure)?
+    Counts sign runs against the exact null moments E[R] =
+    1 + 2n₁n₂/n and Var[R], normal-approximated z with the shared
+    A&S-7.1.26 two-sided p — the randomness gate a forecasting team
+    runs BEFORE trusting TM4/TM15's backtests (a non-random residual
+    series invalidates their error bars).
+
+    One fact aggregate to the |days| series; the median is the DISC
+    median of days (a data value, tie rows dropped per the classic
+    test), run boundaries come from one lag window over days, and
+    every moment is exact integer arithmetic until the final z. Scale
+    cost is the day rollup's single keyed exchange."""
+    o = load_table(spark, "orders", sf_dir)
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("rev"))
+        .localCheckpoint()
+    )
+    wcum = Window.orderBy("rev").rowsBetween(Window.unboundedPreceding, 0)
+    med = (
+        daily.select(
+            "rev",
+            F.sum(F.lit(1)).over(wcum).alias("cw"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("tw"),
+        )
+        .groupBy()
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cw") >= ((F.col("tw") + 1) / 2).cast("long"),
+                    F.col("rev"),
+                )
+            ).alias("m")
+        )
+    )
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("rev") != F.col("m"))
+        .select("d", F.when(F.col("rev") > F.col("m"), 1).otherwise(0).alias("s"))
+    )
+    lag = F.lag("s").over(Window.orderBy("d"))
+    runs = signed.select(
+        "s",
+        F.when(lag.isNull() | (lag != F.col("s")), 1).otherwise(0).alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum("s").cast("long").alias("n1"),
+        F.sum(1 - F.col("s")).cast("long").alias("n2"),
+        F.sum("new_run").cast("long").alias("r"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    er = 1.0 + 2.0 * n1 * n2 / (n1 + n2)
+    vr = (
+        (2.0 * n1 * n2)
+        * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1).cast("double"))
+    )
+    z = (r - er) / F.sqrt(vr)
+    return agg.select(
+        "n1",
+        "n2",
+        F.col("r").alias("runs"),
+        F.round(er, 4).alias("expected_runs"),
+        F.round(z, 4).alias("z"),
+        F.round(_col_p_two(z), 6).alias("p_value"),
+    )
+
+
+# --- M24: McNemar paired-disagreement test -----------------------------------
+
+
+@query(
+    "q_mcnemar_flips",
+    oracle=f"""
+    WITH r AS (
+      SELECT l_returnflag,
+             CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS ra,
+             CASE WHEN l_extendedprice >= 53000.0 THEN 1 ELSE 0 END AS rb
+      FROM lineitem),
+    cnt AS (
+      SELECT l_returnflag,
+             CAST(sum(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+      FROM r GROUP BY 1),
+    stat AS (
+      SELECT l_returnflag, b, c,
+             (b - c) * (b - c) / CAST(b + c AS DOUBLE) AS chi2
+      FROM cnt)
+    SELECT l_returnflag, b AS flips_ab, c AS flips_ba,
+           round(chi2, 4) AS chi2,
+           round({_sql_p_two("sqrt((b - c) * (b - c) / CAST(b + c AS DOUBLE))")}, 6)
+             AS p_value,
+           CASE WHEN chi2 > 3.841 THEN 1 ELSE 0 END AS biased_at_5pct
+    FROM stat ORDER BY l_returnflag
+    """,
+)
+def q_mcnemar_flips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired-flip test (M24, wave 37): M21's kappa says how
+    much two classifiers agree; this tests whether their DISAGREEMENTS
+    are directionally biased — χ² = (b−c)²/(b+c) over the discordant
+    cells, the champion/challenger flip audit run before swapping a
+    scoring rule (symmetric flips = noise, one-sided flips = the new
+    rule systematically relabels a class). χ²₁'s p-value is the
+    two-sided normal p of √χ² (shared A&S erfc — exact same term
+    sequence on both engines).
+
+    One fact scan, one keyed aggregate of two int64 discordant
+    counters per stratum — the kappa scale shape with a different
+    closed form on top."""
+    li = load_table(spark, "lineitem", sf_dir)
+    r = li.select(
+        "l_returnflag",
+        F.when(F.col("l_discount") >= 0.05, 1).otherwise(0).alias("ra"),
+        F.when(F.col("l_extendedprice") >= 53000.0, 1).otherwise(0).alias("rb"),
+    )
+    cnt = r.groupBy("l_returnflag").agg(
+        F.sum(F.when((F.col("ra") == 1) & (F.col("rb") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when((F.col("ra") == 0) & (F.col("rb") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    chi2 = (F.col("b") - F.col("c")) * (F.col("b") - F.col("c")) / (
+        F.col("b") + F.col("c")
+    ).cast("double")
+    return cnt.select(
+        "l_returnflag",
+        F.col("b").alias("flips_ab"),
+        F.col("c").alias("flips_ba"),
+        F.round(chi2, 4).alias("chi2"),
+        F.round(_col_p_two(F.sqrt(chi2)), 6).alias("p_value"),
+        F.when(chi2 > 3.841, 1).otherwise(0).alias("biased_at_5pct"),
+    ).orderBy("l_returnflag")

@@ -1102,14 +1102,17 @@ def q_snippet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval (R1/R2), which returns documents but not WHERE they
     match.
 
-    Everything is in-row Catalyst HOF codegen: the per-start scores
-    come from transform(sequence) over slices (one linear pass per
-    window start — no per-position element_at, the R10 lesson), argmax
-    is array_position of array_max (deterministic first-max), and no
-    token ever leaves its row — zero exchanges besides the output
-    collect. A positional inverted index would shuffle the whole token
-    stream to answer the same ad-hoc query (the R10 trade, same
-    verdict)."""
+    Everything is in-row Catalyst HOF codegen, and the scoring is
+    LINEAR in document length: one pass marks a 0/1 hit bitmap, then
+    the window sums come from 8 shifted-slice zip_with adds (8 linear
+    array passes total) — NOT a per-start slice+filter, which
+    allocates an 8-element array per window start and measured 12x
+    slower and superlinear at the 10x tier (the R10 shifted-slices
+    lesson applied to sliding windows). Argmax is array_position of
+    array_max (deterministic first-max), and no token ever leaves its
+    row — zero exchanges besides the output sort. A positional
+    inverted index would shuffle the whole token stream to answer the
+    same ad-hoc query (the R10 trade, same verdict)."""
     from .functions.tokenize import toks_col
 
     terms = F.array(*[F.lit(t) for t in _SNIPPET_TERMS])
@@ -1118,19 +1121,23 @@ def q_snippet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", toks_col("text").alias("toks"))
         .filter(F.size("toks") >= _SNIPPET_W)
     )
-    scored = docs.select(
+    marked = docs.select(
         "doc_id",
         "toks",
         F.transform(
-            F.sequence(F.lit(1), F.size("toks") - (_SNIPPET_W - 1)),
-            lambda i: F.size(
-                F.filter(
-                    F.slice("toks", i, _SNIPPET_W),
-                    lambda t: F.array_contains(terms, t),
-                )
-            ),
-        ).alias("scores"),
+            "toks",
+            lambda t: F.when(F.array_contains(terms, t), 1).otherwise(0),
+        ).alias("hits"),
+        (F.size("toks") - (_SNIPPET_W - 1)).alias("m"),
     )
+    win_sum = F.slice("hits", 1, F.col("m"))
+    for k in range(1, _SNIPPET_W):
+        win_sum = F.zip_with(
+            win_sum,
+            F.slice("hits", k + 1, F.col("m")),
+            lambda a, b: a + b,
+        )
+    scored = marked.select("doc_id", "toks", win_sum.alias("scores"))
     best = scored.select(
         "doc_id",
         "toks",

@@ -1162,20 +1162,19 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
       SELECT o_orderpriority,
-             round(quantile_cont(o_totalprice, 0.5), 4) AS med
+             quantile_disc(o_totalprice, 0.5) AS med
       FROM orders GROUP BY 1),
-    d AS (
-      SELECT o.o_orderpriority, o.o_totalprice, m.med
-      FROM orders o JOIN m USING (o_orderpriority)),
     md AS (
-      SELECT o_orderpriority,
-             round(quantile_cont(abs(o_totalprice - med), 0.5), 4) AS mad
-      FROM d GROUP BY 1),
+      SELECT o.o_orderpriority,
+             quantile_disc(abs(o.o_totalprice - m.med), 0.5) AS mad
+      FROM orders o JOIN m USING (o_orderpriority)
+      GROUP BY 1),
     z AS (
-      SELECT d.o_orderpriority, d.med, md.mad,
-             round(0.6745 * (d.o_totalprice - d.med) / md.mad, 6) AS rz
-      FROM d JOIN md USING (o_orderpriority))
-    SELECT o_orderpriority, med, mad,
+      SELECT o.o_orderpriority, m.med, md.mad,
+             round(0.6745 * (o.o_totalprice - m.med) / md.mad, 6) AS rz
+      FROM orders o JOIN m USING (o_orderpriority)
+                    JOIN md USING (o_orderpriority))
+    SELECT o_orderpriority, round(med, 4) AS med, round(mad, 4) AS mad,
            CAST(count(*) AS BIGINT) AS n,
            CAST(count(*) FILTER (WHERE abs(rz) > 3.5) AS BIGINT) AS n_outliers,
            round(max(abs(rz)), 4) AS max_abs_z
@@ -1189,78 +1188,65 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut (Iglewicz-Hoaglin). Unlike the mean/σ z-score, one corrupt
     billion-dollar row cannot drag the screen's own center.
 
-    Scale shape: ONE fact scan total. The per-group tie-class table
-    (``grouped_ranked_tie_classes``, checkpointed) serves the value
-    median; deviations are then derived ON THE CLASSES — |v − med|
-    maps a (v, cnt) class to a (dev, cnt) class, so the deviation
-    median is a weighted re-rank of the class table (two-phase
-    floor-bucket prefix sum, the module's standard idiom), and the
-    outlier count folds cnt-weighted threshold checks over the same
-    classes. The fact never re-enters; every post-scan frame is
-    |distinct values| sized or smaller. The medians round to 4
-    decimals before the z arithmetic on both engines."""
-    from .queries_scale import (
-        grouped_quantiles_from_ranked,
-        grouped_ranked_tie_classes,
-    )
-
+    Both medians are the DISC (lower) median — an actual data value,
+    min v with cum ≥ ⌈n/2⌉ — so the z arithmetic consumes exact doubles
+    identical on both engines with no interpolation rounding anywhere
+    (the LG3 robust-center convention). Scale shape: ONE fact scan into
+    the eagerly-checkpointed (group, value) class table; the value
+    median, the deviation median (|v−med| maps a (v,cnt) class to a
+    (dev,cnt) class — the fact never re-enters), and the cnt-weighted
+    outlier fold all read that checkpoint. Each median is one
+    per-group cumulative window over the group's ~|distinct values|
+    classes (the ST11 weighted-median posture; the grouped tie-class
+    bucket idiom remains the documented upgrade path if a group's
+    value grid outgrows one task)."""
     o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
-    ranked = grouped_ranked_tie_classes(o, "o_totalprice", "o_orderpriority")
-    med = (
-        grouped_quantiles_from_ranked(ranked, "o_orderpriority", [0.5])
-        .select(
-            "o_orderpriority", F.round("quantile", 4).alias("med")
+    cls = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_totalprice").alias("v"),
         )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()
     )
-    # deviation classes: |v - med| per tie class, cnt carried through;
-    # re-rank the weighted classes with the same two-phase bucket idiom
+    wtot = Window.partitionBy("pri")
+
+    def _disc_median(classes: DataFrame, val: str) -> DataFrame:
+        cum = classes.select(
+            "pri",
+            F.col(val).alias("_v"),
+            F.sum("cnt").over(
+                Window.partitionBy("pri")
+                .orderBy(val)
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("cw"),
+            F.sum("cnt").over(wtot).alias("tw"),
+        )
+        return cum.groupBy("pri").agg(
+            F.min(
+                F.when(
+                    F.col("cw") >= ((F.col("tw") + 1) / 2).cast("long"),
+                    F.col("_v"),
+                )
+            ).alias(f"{val}_med")
+        )
+
+    med = _disc_median(cls, "v").select("pri", F.col("v_med").alias("med"))
     dev = (
-        ranked.join(F.broadcast(med), "o_orderpriority")
-        .groupBy("o_orderpriority", "med", F.abs(F.col("v") - F.col("med")).alias("dv"))
+        cls.join(F.broadcast(med), "pri")
+        .groupBy("pri", F.abs(F.col("v") - F.col("med")).alias("dv"))
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
-    b = dev.withColumn("bkt", F.floor(F.col("dv") / 1000.0).cast("long"))
-    bc = b.groupBy("o_orderpriority", "bkt").agg(
-        F.sum("cnt").cast("long").alias("bn")
-    )
-    w_off = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    boff = bc.select(
-        "o_orderpriority",
-        "bkt",
-        F.coalesce(F.sum("bn").over(w_off), F.lit(0)).cast("long").alias("off"),
-    )
-    w_in = (
-        Window.partitionBy("o_orderpriority", "bkt")
-        .orderBy("dv")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    ranked_dev = (
-        b.join(boff, ["o_orderpriority", "bkt"])
-        .select(
-            "o_orderpriority",
-            F.col("dv").alias("v"),
-            "cnt",
-            (
-                F.col("off")
-                + F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
-            ).cast("long").alias("cum"),
-        )
-    )
-    mad = (
-        grouped_quantiles_from_ranked(ranked_dev, "o_orderpriority", [0.5])
-        .select("o_orderpriority", F.round("quantile", 4).alias("mad"))
-    )
-    rz = F.round(
-        0.6745 * (F.col("v") - F.col("med")) / F.col("mad"), 6
-    )
+    mad = _disc_median(dev, "dv").select("pri", F.col("dv_med").alias("mad"))
+    rz = F.round(0.6745 * (F.col("v") - F.col("med")) / F.col("mad"), 6)
     return (
-        ranked.join(F.broadcast(med), "o_orderpriority")
-        .join(F.broadcast(mad), "o_orderpriority")
-        .groupBy("o_orderpriority", "med", "mad")
+        cls.join(F.broadcast(med), "pri")
+        .join(F.broadcast(mad), "pri")
+        .groupBy(
+            F.col("pri").alias("o_orderpriority"),
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+        )
         .agg(
             F.sum("cnt").cast("long").alias("n"),
             F.sum(F.when(F.abs(rz) > 3.5, F.col("cnt")).otherwise(F.lit(0)))
@@ -1270,3 +1256,84 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- ST17: Jarque-Bera normality screen ---------------------------------------
+
+
+@query(
+    "q_jarque_bera",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, avg(o_totalprice) AS mu
+      FROM orders GROUP BY 1),
+    cm AS (
+      SELECT o.o_orderstatus, m.n,
+             sum((o.o_totalprice - m.mu) * (o.o_totalprice - m.mu)) / m.n AS m2,
+             sum((o.o_totalprice - m.mu) * (o.o_totalprice - m.mu)
+                 * (o.o_totalprice - m.mu)) / m.n AS m3,
+             sum((o.o_totalprice - m.mu) * (o.o_totalprice - m.mu)
+                 * (o.o_totalprice - m.mu) * (o.o_totalprice - m.mu)) / m.n AS m4
+      FROM orders o JOIN m USING (o_orderstatus)
+      GROUP BY 1, 2),
+    stat AS (
+      SELECT o_orderstatus, n,
+             m3 / pow(m2, 1.5) AS skew,
+             m4 / (m2 * m2) - 3.0 AS kurt
+      FROM cm)
+    SELECT o_orderstatus, n,
+           round(skew, 4) AS skewness,
+           round(kurt, 4) AS kurtosis_excess,
+           round(n / 6.0 * (skew * skew + kurt * kurt / 4.0), 4) AS jb,
+           round(exp(-(n / 6.0 * (skew * skew + kurt * kurt / 4.0)) / 2.0), 6)
+             AS p_value,
+           CASE WHEN n / 6.0 * (skew * skew + kurt * kurt / 4.0) > 5.991
+                THEN 0 ELSE 1 END AS normal_at_5pct
+    FROM stat ORDER BY o_orderstatus
+    """,
+)
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality screen (ST17, wave 37): per order-status,
+    the moment-based normality test JB = n/6·(S² + K²/4) with its
+    exact χ²₂ p-value (survival of a 2-dof chi-square is the closed
+    form e^(−x/2) — no approximation needed). The gate before any
+    analysis that assumes Gaussian tails: M1's z-test and Y10's
+    z-score silently mislead on the skewed heavy-tailed distributions
+    this flags.
+
+    Two-pass central moments (mean broadcast back onto the scan, then
+    one aggregate of centered power sums): the one-pass raw-moment
+    identity cancels catastrophically at Σx⁴ ≈ 1e27 where doubles
+    carry ~1e11 of absolute granularity — centered terms keep every
+    partial ≤1e20 with relative error ~1e-15, far inside the 4-decimal
+    rounding. Exchange budget: one 3-row mean side + one aggregate of
+    three moment partials per stratum."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderstatus", "o_totalprice"
+    )
+    m = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("o_totalprice").alias("mu"),
+    )
+    d = F.col("o_totalprice") - F.col("mu")
+    cm = (
+        o.join(F.broadcast(m), "o_orderstatus")
+        .groupBy("o_orderstatus", "n")
+        .agg(
+            (F.sum(d * d) / F.col("n")).alias("m2"),
+            (F.sum(d * d * d) / F.col("n")).alias("m3"),
+            (F.sum(d * d * d * d) / F.col("n")).alias("m4"),
+        )
+    )
+    skew = F.col("m3") / F.pow("m2", F.lit(1.5))
+    kurt = F.col("m4") / (F.col("m2") * F.col("m2")) - 3.0
+    jb = F.col("n") / 6.0 * (skew * skew + kurt * kurt / 4.0)
+    return cm.select(
+        "o_orderstatus",
+        "n",
+        F.round(skew, 4).alias("skewness"),
+        F.round(kurt, 4).alias("kurtosis_excess"),
+        F.round(jb, 4).alias("jb"),
+        F.round(F.exp(-jb / 2.0), 6).alias("p_value"),
+        F.when(jb > 5.991, 0).otherwise(1).alias("normal_at_5pct"),
+    ).orderBy("o_orderstatus")

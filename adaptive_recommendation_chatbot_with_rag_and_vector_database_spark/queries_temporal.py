@@ -1213,6 +1213,16 @@ WHERE h.i > 21 ORDER BY d.d
 """
 
 
+def _round_half_away(x: float, nd: int) -> float:
+    """SQL-round semantics (half away from zero) for the driver-side
+    recursion — Python's banker's round would fork the trajectory from
+    the oracle at any midpoint."""
+    import math
+
+    q = 10.0**nd
+    return math.copysign(math.floor(abs(x) * q + 0.5), x) / q
+
+
 @query("q_holt_forecast", oracle=_HOLT_SQL)
 def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Holt linear-trend one-step-ahead backtest (TM15, wave 36): the
@@ -1222,14 +1232,120 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     (which has no trend term and lags every ramp) and the
     short-horizon complement to TM4's seasonal-naive backtest.
 
-    The recursion is genuinely sequential, so it runs as a RECURSIVE
-    CTE — the SAME SQL text executes on both engines (Spark 4.1
-    iterate-until-empty frontier, the Q1 machinery), with the day
-    series bounded to 28 rows BEFORE the recursion: each of the 27
-    steps joins a 1-row frontier against the 28-row series, so
-    recursion cost is fixed regardless of corpus size, and the only
-    fact-scaled work is the one day-rollup aggregate underneath.
-    Level/trend round to 6 decimals at every step, pinning the float
-    trajectory bit-identically across engines."""
-    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
-    return spark.sql(_HOLT_SQL)
+    The only fact-scaled work is the day-rollup aggregate + TakeOrdered
+    28-day cut. The smoother itself is genuinely sequential over a
+    CONSTANT-size window, so it runs as a bounded driver recursion over
+    the collected 28 rows (the engine.py bounded-collect discipline:
+    k is fixed by the operator, not the data). A distributed RECURSIVE
+    CTE computes the identical trajectory — the oracle IS that
+    recursion — but pays ~27 UnionLoop job rounds for 28 rows of state
+    (measured 14 s local / 25 s at the 100x tier vs 1-2 s here);
+    engine-side recursion stays the right tool where the frontier is
+    data-sized (Q1's hierarchy walk, CC) — not here. Level/trend round
+    to 6 decimals at every step with half-away semantics, pinning the
+    float trajectory bit-identically to the oracle."""
+    o = load_table(spark, "orders", sf_dir)
+    rows = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("rev"))
+        .orderBy(F.desc("d"))
+        .limit(28)
+        .collect()
+    )
+    series = sorted((r.d, r.rev) for r in rows)
+    xs = [v for _, v in series]
+    lvl, trd = xs[0], _round_half_away(xs[1] - xs[0], 6)
+    out = []
+    for i in range(2, len(xs) + 1):
+        fc = _round_half_away(lvl + trd, 6)
+        if i > 21:
+            actual = xs[i - 1]
+            out.append(
+                (
+                    series[i - 1][0],
+                    actual,
+                    fc,
+                    _round_half_away(abs(actual - fc), 4),
+                )
+            )
+        lvl_new = _round_half_away(0.5 * xs[i - 1] + 0.5 * (lvl + trd), 6)
+        trd = _round_half_away(0.3 * (lvl_new - lvl) + 0.7 * trd, 6)
+        lvl = lvl_new
+    return spark.createDataFrame(
+        out, "d date, actual double, forecast double, abs_err double"
+    ).orderBy("d")
+
+
+# --- TM16: weekday seasonality strength ---------------------------------------
+
+
+@query(
+    "q_seasonality_strength",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             dayofweek(CAST(o_orderdate AS DATE)) AS dow,
+             round(sum(o_totalprice), 4) AS rev
+      FROM orders GROUP BY 1, 2),
+    g AS (SELECT avg(rev) AS gmean FROM daily),
+    w AS (SELECT dow, avg(rev) AS wmean FROM daily GROUP BY 1),
+    ss AS (
+      SELECT sum((daily.rev - g.gmean) * (daily.rev - g.gmean)) AS ss_total,
+             sum((daily.rev - w.wmean) * (daily.rev - w.wmean)) AS ss_resid,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM daily JOIN w USING (dow), g)
+    SELECT n_days,
+           round(ss_total / 1e9, 4) AS ss_total_bn,
+           round(ss_resid / 1e9, 4) AS ss_resid_bn,
+           round(1.0 - ss_resid / ss_total, 6) AS strength
+    FROM ss
+    """,
+)
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality strength (TM16, wave 37): the fraction of
+    daily-revenue variance the weekday-mean model explains —
+    1 − SS_resid/SS_total, the single R²-style number behind TM8's
+    per-weekday profile that says whether weekday structure is worth
+    modeling at all (≈0: skip the seasonal term in TM4/TM15; →1:
+    mandatory).
+
+    One fact aggregate to the |days| series (checkpointed — the grand
+    mean, the 7-row weekday means and the sum-of-squares pass all read
+    it), then closed-form variance decomposition with both small sides
+    broadcast. Day revenue rounds to 4 decimals before any moment, so
+    the sums of squares agree across engines at the 2-decimal output
+    rounding."""
+    o = load_table(spark, "orders", sf_dir)
+    daily = (
+        o.groupBy(
+            F.to_date("o_orderdate").alias("d"),
+            F.dayofweek(F.to_date("o_orderdate")).alias("dow"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("rev"))
+        .localCheckpoint()
+    )
+    g = daily.agg(F.avg("rev").alias("gmean"))
+    w = daily.groupBy("dow").agg(F.avg("rev").alias("wmean"))
+    ss = (
+        daily.join(F.broadcast(w), "dow")
+        .crossJoin(F.broadcast(g))
+        .agg(
+            F.sum(
+                (F.col("rev") - F.col("gmean")) * (F.col("rev") - F.col("gmean"))
+            ).alias("ss_total"),
+            F.sum(
+                (F.col("rev") - F.col("wmean")) * (F.col("rev") - F.col("wmean"))
+            ).alias("ss_resid"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+    )
+    # SS magnitudes reach ~1e15 where a double ulp is 0.25 and the
+    # engines' summation orders differ by ~1e2 absolute (1e-13
+    # relative) — report in billions at 4dp so the rounding sits 7
+    # orders above the noise, and strength as the exact ratio
+    return ss.select(
+        "n_days",
+        F.round(F.col("ss_total") / 1e9, 4).alias("ss_total_bn"),
+        F.round(F.col("ss_resid") / 1e9, 4).alias("ss_resid_bn"),
+        F.round(1.0 - F.col("ss_resid") / F.col("ss_total"), 6).alias("strength"),
+    )

@@ -1740,3 +1740,102 @@ def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est, 2).alias("chapman_est"),
         F.round(est / F.col("observed_union"), 4).alias("est_over_observed"),
     )
+
+
+# --- L10: DPO preference pairs from quality ranking ---------------------------
+
+_QUALITY_SQL = f"""
+      SELECT doc_id, source,
+        round(0.4 * least(len({_SQL_TOKS}) / 100.0, 1.0)
+              + 0.4 * (CASE WHEN len({_SQL_DTOKS}) > 0
+                  THEN len(list_intersect({_SQL_DTOKS},
+                    [{', '.join(sorted(repr(w) for ws in STOPWORDS.values() for w in ws))}]
+                  ))::DOUBLE / len({_SQL_DTOKS}) ELSE 0.0 END)
+              + 0.2 * (1.0 - least((CASE WHEN length(text) > 0
+                  THEN len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::DOUBLE
+                       / length(text)
+                  ELSE 0.0 END) * 5.0, 1.0)), 6) AS quality
+      FROM documents
+"""
+
+
+@query(
+    "q_dpo_pairs",
+    oracle=f"""
+    WITH q AS ({_QUALITY_SQL}),
+    ranked AS (
+      SELECT source, doc_id, quality,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY quality DESC, doc_id) AS BIGINT) AS rnk,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      FROM q)
+    SELECT a.source, a.doc_id AS chosen_id, b.doc_id AS rejected_id,
+           a.rnk AS chosen_rank,
+           round(a.quality - b.quality, 6) AS margin
+    FROM ranked a JOIN ranked b
+      ON b.source = a.source AND b.rnk = a.rnk + (a.n + 1) // 2
+    WHERE a.rnk <= a.n // 2 AND a.quality - b.quality > 0
+    ORDER BY a.source, a.rnk
+    """,
+)
+def q_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference pairs (L10, wave 37): within each source,
+    rank documents by the X3 quality heuristic and pair rank r with
+    rank r+⌈n/2⌉ — top-half chosen, bottom-half rejected, the
+    maximal-margin non-overlapping pairing a preference-tuning run
+    (DPO, RLHF reward modeling) builds from scored corpora. Zero-margin
+    pairs are dropped (they teach the model nothing), and chosen and
+    rejected share a source so the pair differs in QUALITY, not domain
+    — the confound the naive cross-corpus pairing bakes in.
+
+    One scan scores quality (all Catalyst expressions, shared with
+    q_quality_score), one per-source rank window, and the pairing is a
+    rank-offset self-join of the ranked table against itself — exchange
+    keyed on source, pair count = ⌊n/2⌋ per source by construction
+    (never quadratic)."""
+    q = _docs(spark, sf_dir).select(
+        "doc_id", "source", quality_score("text").alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    ranked = q.select(
+        "source",
+        "doc_id",
+        "quality",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .cast("long")
+        .alias("n"),
+    ).localCheckpoint()
+    a = ranked.select(
+        "source",
+        F.col("doc_id").alias("chosen_id"),
+        F.col("quality").alias("qa"),
+        F.col("rnk").alias("chosen_rank"),
+        "n",
+    ).filter(F.col("chosen_rank") <= (F.col("n") / 2).cast("long"))
+    b = ranked.select(
+        F.col("source").alias("src_b"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("quality").alias("qb"),
+        F.col("rnk").alias("rnk_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("src_b") == F.col("source"))
+            & (
+                F.col("rnk_b")
+                == F.col("chosen_rank") + ((F.col("n") + 1) / 2).cast("long")
+            ),
+        )
+        .filter(F.col("qa") - F.col("qb") > 0)
+        .select(
+            "source",
+            "chosen_id",
+            "rejected_id",
+            "chosen_rank",
+            F.round(F.col("qa") - F.col("qb"), 6).alias("margin"),
+        )
+        .orderBy("source", "chosen_rank")
+    )

@@ -1156,9 +1156,13 @@ def test_threshold_metrics_broadcast_grid_over_classes(spark):
 
 def test_cms_sketch_exchange_is_cell_bounded(spark):
     plan = _plan(spark, "q_cms_calibration")
-    # sketch build: map-side partial counts into <= d*w cells; probe
-    # side is a TakeOrdered top-k heap cut, never a global sort
-    assert "partial_count" in plan
+    # the token stream collapses once into the checkpointed exact
+    # (tok, count) vocab; sketch cells are weighted partial sums over
+    # it (<= d*w cells) and the probe side is a TakeOrdered heap cut —
+    # the fact parquet never re-enters the final plan
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "partial_sum" in plan
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan
 
@@ -1177,10 +1181,97 @@ def test_span_corruption_is_inrow_codegen(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_holt_recursion_bounded_before_loop(spark):
+def test_holt_series_cut_is_takeordered_result_local(spark):
+    # the fact-scaled work (day rollup + 28-day cut) runs as a
+    # TakeOrdered heap cut at construction; the smoother itself is a
+    # bounded driver recursion, so the returned frame is local rows —
+    # no UnionLoop paying ~27 job rounds for 28 rows of state
+    import pyspark.sql.functions as F
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.sources.loaders import load_table
+
+    builder = (
+        load_table(spark, "orders", SF)
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("rev"))
+        .orderBy(F.desc("d"))
+        .limit(28)
+    )
+    bplan = builder._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in bplan
     plan = _plan(spark, "q_holt_forecast")
-    # the recursion executes as UnionLoop steps over a day series cut
-    # to 28 rows BEFORE the loop (TakeOrdered heap cut, so the frontier
-    # join is 1x28 per step regardless of corpus size)
-    assert "UnionLoop" in plan
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+    assert "UnionLoop" not in plan
+
+
+# --- wave 37 ----------------------------------------------------------------
+
+
+def test_runs_test_serves_from_day_checkpoint(spark):
+    plan = _plan(spark, "q_runs_test")
+    # median, signs and run boundaries all read the eager day-rollup
+    # checkpoint; no percentile buffer, no fact re-scan
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "percentile" not in plan.lower()
+
+
+def test_mcnemar_single_scan_two_counters(spark):
+    plan = _plan(spark, "q_mcnemar_flips")
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_sum" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_jarque_bera_two_pass_centered_moments(spark):
+    plan = _plan(spark, "q_jarque_bera")
+    # mean side broadcast back onto the scan (3 rows), one centered
+    # moment aggregate — exactly two scans, no variance/skew builtins
+    # whose bias corrections differ per engine
+    assert plan.count("FileScan parquet") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "skewness(" not in plan and "kurtosis(" not in plan
+
+
+def test_assortativity_joins_ride_checkpointed_edges(spark):
+    plan = _plan(spark, "q_assortativity")
+    # the edge list is the shared I1/I2 checkpoint; degree joins are
+    # vertex-keyed; one scalar aggregate of five int64 sums on top
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_seasonality_reads_day_rollup_once(spark):
+    plan = _plan(spark, "q_seasonality_strength")
+    # grand mean, weekday means and the SS pass all read the eager
+    # |days|-row checkpoint; both mean sides broadcast
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
+def test_length_bands_class_windows_no_percentile(spark):
+    plan = _plan(spark, "q_length_bands")
+    # disc order statistics from (lang, length) classes — no built-in
+    # percentile aggregate buffering a language's values in one task
+    assert "percentile" not in plan.lower()
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_count" in plan
+
+
+def test_dpo_pairing_is_rank_offset_join_on_checkpoint(spark):
+    plan = _plan(spark, "q_dpo_pairs")
+    # quality scoring + rank window run once into the checkpoint; the
+    # pairing is a source-keyed equi-join on the rank offset — never a
+    # per-source cross product
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_dsir_vocab_single_pass_topk_heap(spark):
+    plan = _plan(spark, "q_importance_resampling")
+    # one token aggregate feeds BOTH language models (target is a
+    # filtered count of the same pass); final cut is a TakeOrdered heap
     assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan

@@ -74,22 +74,26 @@ def test_cohens_kappa_matches_closed_form(spark):
         assert r.kappa == pytest.approx(round((po - pe) / (1 - pe), 6), abs=1e-9)
 
 
-def test_mad_outliers_matches_numpy(spark):
+def test_mad_outliers_matches_disc_median(spark):
     o = load_table(spark, "orders", SF).collect()
     by = defaultdict(list)
     for r in o:
         by[r.o_orderpriority].append(r.o_totalprice)
+
+    def disc_med(xs):
+        s = sorted(xs)
+        return s[(len(s) + 1) // 2 - 1]
+
     rows = {r.o_orderpriority: r for r in _Q["q_mad_outliers"](spark, SF).collect()}
     assert set(rows) == set(by)
     for pri, vals in by.items():
-        med = round(float(np.percentile(vals, 50, method="linear")), 4)
-        dev = [abs(v - med) for v in vals]
-        mad = round(float(np.percentile(dev, 50, method="linear")), 4)
+        med = disc_med(vals)  # exact data value, no interpolation
+        mad = disc_med([abs(v - med) for v in vals])
         rz = [round(0.6745 * (v - med) / mad, 6) for v in vals]
         n_out = sum(1 for z in rz if abs(z) > 3.5)
         r = rows[pri]
-        assert r.med == pytest.approx(med, abs=1e-9)
-        assert r.mad == pytest.approx(mad, abs=1e-9)
+        assert r.med == pytest.approx(round(med, 4), abs=1e-9)
+        assert r.mad == pytest.approx(round(mad, 4), abs=1e-9)
         assert r.n == len(vals)
         assert r.n_outliers == n_out
         assert r.max_abs_z == pytest.approx(round(max(abs(z) for z in rz), 4), abs=1e-9)
