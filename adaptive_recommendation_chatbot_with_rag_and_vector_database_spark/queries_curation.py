@@ -588,12 +588,20 @@ def q_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines; the Gumbel key rounds to 6dp with a doc_id
     tie-break."""
     docs = load_table(spark, "documents", sf_dir)
-    tok = docs.select(
-        "doc_id", "lang", F.explode(toks_col("text")).alias("w")
+    # ONE token explode into a (doc, lang, word, count) rollup that is
+    # eagerly checkpointed: the vocabulary LMs, the totals scalar AND
+    # the per-doc llr join all read it — the un-checkpointed form
+    # re-exploded the corpus three times (measured 4.8 s vs 2.2 s at
+    # the 10x docs tier)
+    dw = (
+        docs.select("doc_id", "lang", F.explode(toks_col("text")).alias("w"))
+        .groupBy("doc_id", "lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()
     )
-    vocab = tok.groupBy("w").agg(
-        F.count(F.lit(1)).cast("long").alias("c_p"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+    vocab = dw.groupBy("w").agg(
+        F.sum("cnt").cast("long").alias("c_p"),
+        F.sum(F.when(F.col("lang") == "en", F.col("cnt")).otherwise(0))
         .cast("long")
         .alias("c_t"),
     )
@@ -607,9 +615,9 @@ def q_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_p") + 1) / F.lit(float(n_p + v))
     )
     llr = (
-        tok.join(vocab, "w")
+        dw.join(vocab, "w")
         .groupBy("doc_id")
-        .agg(F.round(F.sum(term), 4).alias("llr"))
+        .agg(F.round(F.sum(term * F.col("cnt")), 4).alias("llr"))
     )
     u = (
         ((F.col("doc_id") % _DSIR_M) * _DSIR_A + 17) % _DSIR_M
