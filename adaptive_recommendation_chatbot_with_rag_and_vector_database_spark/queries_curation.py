@@ -529,7 +529,6 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DSIR_K = 50  # resampled documents
 _DSIR_A = 1103515245
-_DSIR_C = 12345
 _DSIR_M = 1048576
 
 

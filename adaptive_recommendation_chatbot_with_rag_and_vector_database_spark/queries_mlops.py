@@ -1266,7 +1266,7 @@ def q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_pos).cast("long").alias("n_pos"),
         F.lit(n_neg).cast("long").alias("n_neg"),
         F.round(F.col("ap"), 6).alias("pr_auc"),
-        F.lit(round(n_pos / float(n_pos + n_neg), 6)).alias("baseline"),
+        F.round(F.lit(n_pos) / F.lit(float(n_pos + n_neg)), 6).alias("baseline"),
     )
 
 

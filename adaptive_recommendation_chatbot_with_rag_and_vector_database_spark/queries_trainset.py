@@ -547,7 +547,7 @@ _NEG_M = 1048576  # 2^20: exact in a double; mod-first keeps int64 exact
     draws AS (
       SELECT c.c_custkey, i.i,
              ((c.c_custkey % {_NEG_M}) * {_NEG_A} + i.i * {_NEG_C} + 7)
-               % {_NEG_M} % (SELECT n FROM np) AS cand
+               % {_NEG_M} % (SELECT n FROM np) + 1 AS cand
       FROM customer c,
            (SELECT unnest(generate_series(1, {_NEG_DRAWS})) AS i) i),
     dedup AS (
@@ -583,7 +583,9 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate IS arithmetic); the only fact-sized exchanges are the
     positives' distinct and the (cust, part)-keyed anti-join, both
     keyed on the pair. Rejection never starves k: draws are 3× k and
-    positives are sparse in the catalog at scale."""
+    positives are sparse in the catalog at scale. The +1 after the
+    modulo maps draws onto the 1-based partkey range [1, n]: without
+    it, partkey 0 (nonexistent) could be drawn and partkey n never."""
     o = load_table(spark, "orders", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
     cust = load_table(spark, "customer", sf_dir)
@@ -607,6 +609,7 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             % _NEG_M
             % n_parts
+            + 1
         ).alias("cand"),
     )
     dedup = draws.groupBy("c_custkey", "cand").agg(

@@ -1758,7 +1758,7 @@ def q_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("rnk") * F.col("rev")).alias("rs"),
     ).collect()[0]
     n, t, rs = tot["n"], tot["t"], tot["rs"]
-    gini = round(2.0 * rs / (n * t) - (n + 1.0) / n, 6)
+    gini_raw = 2.0 * rs / (n * t) - (n + 1.0) / n
     dec = ranked.groupBy(
         (((F.col("rnk") - 1) * 10) / F.lit(n)).cast("long").alias("decile")
     ).agg(
@@ -1772,5 +1772,5 @@ def q_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decile_rev",
         F.round(F.col("decile_rev") / F.lit(t), 6).alias("rev_share"),
         F.round(F.sum("decile_rev").over(w_cum) / F.lit(t), 6).alias("cum_share"),
-        F.lit(gini).alias("gini"),
+        F.round(F.lit(gini_raw), 6).alias("gini"),
     ).orderBy("decile")

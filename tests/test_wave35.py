@@ -247,7 +247,7 @@ def test_negative_sampling_matches_python_lcg(spark):
     for c in sorted(custs):
         cands = {}
         for i in range(1, _NEG_DRAWS + 1):
-            cand = ((c % _NEG_M) * _NEG_A + i * _NEG_C + 7) % _NEG_M % n_parts
+            cand = ((c % _NEG_M) * _NEG_A + i * _NEG_C + 7) % _NEG_M % n_parts + 1
             cands.setdefault(cand, i)
         keep = sorted(
             ((mi, cand) for cand, mi in cands.items() if (c, cand) not in pos)

@@ -16,7 +16,6 @@ import pytest
 import __spark_entry__ as E
 from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_curation import (
     _DSIR_A,
-    _DSIR_C,
     _DSIR_K,
     _DSIR_M,
 )
