@@ -208,6 +208,46 @@ _RECALL_PANEL = 64
 #: still fixed-size — see q_ann_batch_parity)
 _PARITY_PANEL = 512
 
+#: exact ground-truth panel shared by q_ann_recall and the three
+#: q_ann_*_quality twins, keyed by (applicationId, sf_dir): each of the
+#: four queries needs the IDENTICAL brute-force top-K over the same
+#: fixed probe panel, so computing it once per session and
+#: localCheckpointing the tiny (panel x k) result removes three
+#: duplicate full-index Arrow passes from any run that executes them
+#: together (the round-8 bench's single largest duplication). Sharing
+#: is semantics-free: every consumer read bit-identical rows before.
+_GT_PANEL_CACHE: dict = {}
+
+
+def _exact_panel(spark: SparkSession, sf_dir: str):
+    """(exact_df, panel_query_ids): the brute-force (query_id, vec_id)
+    top-{_K} over the fixed {_RECALL_PANEL}-probe panel via the Arrow
+    top-k kernel (one linear index pass, k-row partials per batch),
+    computed once per (session, sf_dir)."""
+    from .operators.similarity import brute_topk_partials
+    from .sources.loaders import scatter
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _GT_PANEL_CACHE.get(key)
+    if hit is not None:
+        return hit
+    probes = _probes(spark, sf_dir).orderBy("query_id").limit(_RECALL_PANEL)
+    panel = [(r.query_id, r.qvec) for r in probes.collect()]
+    dim = len(panel[0][1])
+    partials = brute_topk_partials(
+        scatter(_emb(spark, sf_dir)), panel, k=_K, dims=[dim]
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    exact = (
+        partials.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _K)
+        .select("query_id", "vec_id")
+        .localCheckpoint()
+    )
+    out = (exact, [q for q, _ in panel])
+    _GT_PANEL_CACHE[key] = out
+    return out
+
 
 @query(
     "q_ann_recall",
@@ -241,25 +281,15 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan fraction — 0.975 measured at sf0.001/sf0.01 with this budget.
     On a real clustered corpus the same 0.9 recall needs far fewer
     probes; the probe budget is the caller's recall/cost dial."""
-    from .operators.similarity import brute_topk_partials, ivf_knn, lsh_knn
-    from .sources.loaders import scatter
+    from .operators.similarity import ivf_knn, lsh_knn
 
     emb = _emb(spark, sf_dir)
     probes = _probes(spark, sf_dir).orderBy("query_id").limit(_RECALL_PANEL)
-    # ground truth through the Arrow top-k kernel (one linear pass,
-    # k-row partials per batch — see q_matryoshka_recall); the exact
-    # panel top-k feeds three consumers (totals + one semi-join per
-    # method), so persist the tiny (panel × k) result
-    panel = [(r.query_id, r.qvec) for r in probes.collect()]
-    dim = len(panel[0][1])
-    partials = brute_topk_partials(scatter(emb), panel, k=_K, dims=[dim])
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
-    exact = (
-        partials.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _K)
-        .select("query_id", "vec_id")
-        .persist()
-    )
+    # ground truth through the shared session-cached panel (one linear
+    # Arrow pass serves this query AND the three q_ann_*_quality twins;
+    # the checkpointed (panel x k) result feeds three consumers here:
+    # totals + one semi-join per method)
+    exact, _panel_ids = _exact_panel(spark, sf_dir)
     totals = exact.agg(
         F.count(F.lit(1)).alias("tot"),
         F.countDistinct("query_id").alias("n_probes"),
@@ -584,9 +614,6 @@ def _ann_quality_row(
     bounded (probes x k) result, never the index; the recall ground
     truth is one linear Arrow pass over the index for the fixed
     {_RECALL_PANEL}-probe panel (never probes x index)."""
-    from .operators.similarity import brute_topk_partials
-    from .sources.loaders import scatter
-
     emb = _emb(spark, sf_dir)
     ann = ann.persist()
     w = Window.partitionBy("query_id").orderBy("rank")
@@ -622,20 +649,12 @@ def _ann_quality_row(
     unknown = ann.join(
         emb.select("vec_id"), "vec_id", "left_anti"
     ).agg((F.count(F.lit(1)) == 0).alias("ids_known"))
-    # recall over the fixed panel: exact ground truth via the Arrow
-    # top-k kernel (q_ann_recall's construction), ANN side filtered
-    # from the already-computed result
-    probes = _probes(spark, sf_dir).orderBy("query_id").limit(_RECALL_PANEL)
-    panel = [(r.query_id, r.qvec) for r in probes.collect()]
-    dim = len(panel[0][1])
-    partials = brute_topk_partials(scatter(emb), panel, k=_K, dims=[dim])
-    wg = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
-    exact = (
-        partials.withColumn("g_rnk", F.row_number().over(wg))
-        .filter(F.col("g_rnk") <= _K)
-        .select("query_id", "vec_id")
-    )
-    panel_ids = {q for q, _ in panel}
+    # recall over the fixed panel: exact ground truth from the shared
+    # session-cached panel (q_ann_recall's construction, computed once
+    # for all four quality/recall queries), ANN side filtered from the
+    # already-computed result
+    exact, panel_list = _exact_panel(spark, sf_dir)
+    panel_ids = set(panel_list)
     hits = (
         ann.filter(F.col("query_id").isin(list(panel_ids)))
         .select("query_id", "vec_id")
