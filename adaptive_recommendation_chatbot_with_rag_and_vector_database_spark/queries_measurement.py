@@ -2143,10 +2143,9 @@ def q_evt_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed exchange. Daily maxima round to 4 decimals before the
     moments; μ/σ round before the return-level arithmetic so both
     engines feed identical inputs to ln."""
-    o = load_table(spark, "orders", sf_dir)
-    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
-        F.round(F.max("o_totalprice"), 4).alias("mx")
-    )
+    from .sources.loaders import daily_orders
+
+    daily = daily_orders(spark, sf_dir).select("d", "mx")
     mom = daily.agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
         F.avg("mx").alias("m1"),
@@ -2218,12 +2217,9 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     test), run boundaries come from one lag window over days, and
     every moment is exact integer arithmetic until the final z. Scale
     cost is the day rollup's single keyed exchange."""
-    o = load_table(spark, "orders", sf_dir)
-    daily = (
-        o.groupBy(F.to_date("o_orderdate").alias("d"))
-        .agg(F.round(F.sum("o_totalprice"), 4).alias("rev"))
-        .localCheckpoint()
-    )
+    from .sources.loaders import daily_orders
+
+    daily = daily_orders(spark, sf_dir).select("d", "rev")
     wcum = Window.orderBy("rev").rowsBetween(Window.unboundedPreceding, 0)
     med = (
         daily.select(

@@ -1102,47 +1102,97 @@ def q_snippet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval (R1/R2), which returns documents but not WHERE they
     match.
 
-    Everything is in-row Catalyst HOF codegen, and the scoring is
-    LINEAR in document length: one pass marks a 0/1 hit bitmap, then
-    the window sums come from 8 shifted-slice zip_with adds (8 linear
-    array passes total) — NOT a per-start slice+filter, which
-    allocates an 8-element array per window start and measured 12x
-    slower and superlinear at the 10x tier (the R10 shifted-slices
-    lesson applied to sliding windows). Argmax is array_position of
-    array_max (deterministic first-max), and no token ever leaves its
-    row — zero exchanges besides the output sort. A positional
-    inverted index would shuffle the whole token stream to answer the
-    same ad-hoc query (the R10 trade, same verdict)."""
+    Scoring is positions-based, O(tokens + hits^2) per document and
+    in-row: one indexed transform+filter extracts the 1-based hit
+    positions, and only the CANDIDATE window starts can achieve the
+    max — start 1 plus p-W+1 for each hit p (the earliest maximizer
+    must either be start 1 or end exactly on a hit: sliding one left
+    from it strictly drops the count, which requires a hit at its last
+    slot). That replaces the former full sliding-window scoring (a
+    hit-bitmap + W-1 shifted zip_with adds over EVERY start — HOFs are
+    interpreted, not codegen, so the per-start work dominated: 19 s vs
+    3 s measured at the 10x docs tier, DuckDB 4.9 s). Tie-break is
+    preserved exactly: among candidates achieving the max the minimum
+    start is returned, and no non-candidate start can beat them (full
+    result equality vs the sliding form verified at sf0.01). Documents
+    with <3 hit positions are dropped up front — they cannot reach the
+    hits >= 3 output bar. The candidate/count stage is
+    localCheckpointed: hits (array_max) and the argmin-over-ties both
+    consume ``counts``, and without the barrier CollapseProject inlines
+    the count transform into each consumer (and the array_max into
+    every zip_with lane), re-running the interpreted HOFs per
+    reference. No token ever leaves its row; the only exchange is the
+    output sort."""
     from .functions.tokenize import toks_col
 
     terms = F.array(*[F.lit(t) for t in _SNIPPET_TERMS])
-    docs = (
+    base = (
         load_table(spark, "documents", sf_dir)
         .select("doc_id", toks_col("text").alias("toks"))
         .filter(F.size("toks") >= _SNIPPET_W)
-    )
-    marked = docs.select(
-        "doc_id",
-        "toks",
-        F.transform(
+        .select(
+            "doc_id",
             "toks",
-            lambda t: F.when(F.array_contains(terms, t), 1).otherwise(0),
-        ).alias("hits"),
-        (F.size("toks") - (_SNIPPET_W - 1)).alias("m"),
-    )
-    win_sum = F.slice("hits", 1, F.col("m"))
-    for k in range(1, _SNIPPET_W):
-        win_sum = F.zip_with(
-            win_sum,
-            F.slice("hits", k + 1, F.col("m")),
-            lambda a, b: a + b,
+            F.filter(
+                F.transform(
+                    "toks",
+                    lambda t, i: F.when(
+                        F.array_contains(terms, t), i + 1
+                    ).otherwise(F.lit(-1)),
+                ),
+                lambda x: x > 0,
+            ).alias("pos"),
         )
-    scored = marked.select("doc_id", "toks", win_sum.alias("scores"))
-    best = scored.select(
+        .filter(F.size("pos") >= 3)
+    )
+    counted = (
+        base.select(
+            "doc_id",
+            "toks",
+            F.array_union(
+                F.array(F.lit(1)),
+                F.transform(
+                    "pos", lambda p: F.greatest(p - (_SNIPPET_W - 1), F.lit(1))
+                ),
+            ).alias("cands"),
+            "pos",
+        )
+        .select(
+            "doc_id",
+            "toks",
+            "cands",
+            F.transform(
+                "cands",
+                lambda st: F.size(
+                    F.filter(
+                        "pos",
+                        lambda p: (p >= st) & (p <= st + (_SNIPPET_W - 1)),
+                    )
+                ),
+            ).alias("counts"),
+        )
+        .localCheckpoint()
+    )
+    best = counted.select(
         "doc_id",
         "toks",
-        F.array_max("scores").cast("long").alias("hits"),
-        F.array_position(F.col("scores"), F.array_max("scores"))
+        "cands",
+        "counts",
+        F.array_max("counts").cast("long").alias("hits"),
+    ).select(
+        "doc_id",
+        "toks",
+        "hits",
+        F.array_min(
+            F.filter(
+                F.zip_with(
+                    "cands",
+                    "counts",
+                    lambda st, c: F.when(c == F.col("hits"), st),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        )
         .cast("long")
         .alias("start_pos"),
     )

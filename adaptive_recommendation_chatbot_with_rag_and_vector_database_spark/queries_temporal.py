@@ -1127,15 +1127,9 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds to 4 decimals at the day level before any comparison, so
     equality (tie) checks agree across engines; all pair counts are
     exact int64 and tau-b's one sqrt is the only float op."""
-    o = load_table(spark, "orders", sf_dir)
-    daily = (
-        o.groupBy(F.to_date("o_orderdate").alias("d"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("rev"),
-        )
-        .localCheckpoint()
-    )
+    from .sources.loaders import daily_orders
+
+    daily = daily_orders(spark, sf_dir).select("d", "n_orders", "rev")
     a = daily.select(
         F.col("d").alias("da"),
         F.col("n_orders").alias("xa"),
@@ -1244,10 +1238,11 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-sized (Q1's hierarchy walk, CC) — not here. Level/trend round
     to 6 decimals at every step with half-away semantics, pinning the
     float trajectory bit-identically to the oracle."""
-    o = load_table(spark, "orders", sf_dir)
+    from .sources.loaders import daily_orders
+
     rows = (
-        o.groupBy(F.to_date("o_orderdate").alias("d"))
-        .agg(F.round(F.sum("o_totalprice"), 4).alias("rev"))
+        daily_orders(spark, sf_dir)
+        .select("d", "rev")
         .orderBy(F.desc("d"))
         .limit(28)
         .collect()
@@ -1315,14 +1310,10 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast. Day revenue rounds to 4 decimals before any moment, so
     the sums of squares agree across engines at the 2-decimal output
     rounding."""
-    o = load_table(spark, "orders", sf_dir)
-    daily = (
-        o.groupBy(
-            F.to_date("o_orderdate").alias("d"),
-            F.dayofweek(F.to_date("o_orderdate")).alias("dow"),
-        )
-        .agg(F.round(F.sum("o_totalprice"), 4).alias("rev"))
-        .localCheckpoint()
+    from .sources.loaders import daily_orders
+
+    daily = daily_orders(spark, sf_dir).select(
+        "d", F.dayofweek("d").alias("dow"), "rev"
     )
     g = daily.agg(F.avg("rev").alias("gmean"))
     w = daily.groupBy("dow").agg(F.avg("rev").alias("wmean"))

@@ -64,6 +64,46 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     return df
 
 
+#: session-cached day-level orders rollup, keyed by (applicationId,
+#: sf_dir): five temporal/measurement queries (q_kendall_tau,
+#: q_runs_test, q_holt_forecast, q_evt_gumbel,
+#: q_seasonality_strength) each consume the SAME orders->day
+#: aggregate, so computing it once per session and localCheckpointing
+#: the |days|-row result replaces four duplicate fact scans+exchanges
+#: in any run that executes them together (VERDICT r8 #4). Per-day
+#: values (count / 4-dp-rounded sum / 4-dp-rounded max) are exactly
+#: what each consumer computed standalone, so sharing changes no
+#: result and no oracle.
+_DAILY_ORDERS_CACHE: dict = {}
+
+
+def daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(d, n_orders, rev, mx) per order day — d = to_date(o_orderdate),
+    n_orders = count, rev = round(sum(o_totalprice), 4),
+    mx = round(max(o_totalprice), 4) — eagerly checkpointed once per
+    (session, sf_dir). The module rounding convention (4 decimals at
+    the day level BEFORE any downstream moment/comparison) is applied
+    here so every consumer inherits cross-engine-stable inputs."""
+    from pyspark.sql import functions as F
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _DAILY_ORDERS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    daily = (
+        load_table(spark, "orders", sf_dir)
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("rev"),
+            F.round(F.max("o_totalprice"), 4).alias("mx"),
+        )
+        .localCheckpoint()
+    )
+    _DAILY_ORDERS_CACHE[key] = daily
+    return daily
+
+
 def scatter(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Guarantee minimum parallelism for a per-row expensive downstream
     stage (Python UDFs, sketch expressions): repartition ONLY when the

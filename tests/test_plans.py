@@ -1122,9 +1122,12 @@ def test_negative_sampling_anti_join_and_inrow_candidates(spark):
 
 def test_evt_gumbel_single_scan_closed_form(spark):
     plan = _plan(spark, "q_evt_gumbel")
-    # one fact aggregate to the day-maxima series; moments and return
-    # levels are closed-form — no iteration, no percentile buffer
-    assert plan.count("FileScan parquet") == 1
+    # day maxima come from the shared checkpointed daily_orders rollup
+    # (one fact aggregate per session, not per query); moments and
+    # return levels are closed-form — no iteration, no percentile
+    # buffer, no fact re-scan
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
     assert "percentile" not in plan.lower()
 
 
@@ -1169,9 +1172,13 @@ def test_cms_sketch_exchange_is_cell_bounded(spark):
 
 def test_snippet_scoring_is_inrow_codegen(spark):
     plan = _plan(spark, "q_snippet_extract")
-    # sliding-window scores, argmax and the rendered snippet are all
-    # in-row HOF codegen off one scan — no Python, no token shuffle
-    assert plan.count("FileScan parquet") == 1
+    # positions-based candidate scoring runs in-row up to the
+    # localCheckpoint barrier (which protects the interpreted-HOF
+    # counts from CollapseProject duplication); the final plan consumes
+    # the checkpointed rows — no Python, no token shuffle, and the
+    # parquet scan happens exactly once (inside the checkpoint)
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
