@@ -594,11 +594,16 @@ class RagEngine:
         # question-side normalization (lowercase, punctuation strip):
         # doc tokens follow the engine-wide whitespace contract, so a
         # trailing '?' on a question word would otherwise never match
-        terms = [
-            t.strip("?.,!")
-            for t in question.lower().split()
-            if t.strip("?.,!") and t.strip("?.,!") not in _STOPWORDS
-        ][:5]
+        # dedupe BEFORE the [:5] slice (order-preserving): a question
+        # like "spark spark streaming joins state windows" must not
+        # waste question-term slots on duplicates
+        terms = list(
+            dict.fromkeys(
+                t.strip("?.,!")
+                for t in question.lower().split()
+                if t.strip("?.,!") and t.strip("?.,!") not in _STOPWORDS
+            )
+        )[:5]
         if not terms:
             return self.retrieve(question, k, search_type="similarity")
         idx = self.index().withColumn(

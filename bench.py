@@ -9,6 +9,11 @@ Runs every registered query plus the flagship pipeline at
 Each query is forced with a ``noop`` write (full distributed execution,
 no driver-side collect), timed individually. ``value`` is the total
 wall-clock across all queries.
+
+Known environment waiver: the pytest suite's single skip is the
+protobuf-gated transformWithStateInPandas probe — permanent for this
+container per SURVEY.md §5.2 item 7 (the T1 operator itself is verified
+via its GroupState and relational twins).
 """
 
 from __future__ import annotations
@@ -164,6 +169,12 @@ def _timed(fn, runs: int) -> float:
 
 def main() -> None:
     spark = get_spark("bench")
+    # the deliberately-unpartitioned bounded-frame windows (TakeOrdered-
+    # limited lists, day/bucket rollups) each emit a WindowExec WARN;
+    # ~300 queries x several warns flood the driver's stdout tail and
+    # bury the final JSON line. ERROR level keeps the tail clean; the
+    # warns are audited harmless (bounded frames by construction).
+    spark.sparkContext.setLogLevel("ERROR")
     queries = registry.queries()
     _warmup(spark)
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
@@ -192,10 +203,10 @@ def main() -> None:
     with open(full_path, "w") as f:
         json.dump(full, f)
     # final stdout line stays ONE compact parseable JSON object well
-    # under the capture window: headline totals + the slowest 25
-    slow = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:25]
-    )
+    # under the capture window: headline totals + the slowest 10 + the
+    # full-map file pointer (self-contained: value/n_queries are the
+    # totals; per-query detail lives in the file)
+    slow = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {

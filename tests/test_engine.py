@@ -124,6 +124,38 @@ def test_hybrid_search_type_fuses_lexical_and_vector(engine):
     assert "priority" in rows[0].text.lower()
 
 
+def test_hybrid_dedupes_question_terms_before_slice(engine, monkeypatch):
+    """A repeated-term question must not waste the 5 question-term
+    slots on duplicates: dedupe happens BEFORE the [:5] slice, so all
+    5 distinct non-stopword terms reach the lexical leg."""
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators import (
+        ranking,
+    )
+
+    captured = {}
+    real = ranking.bm25_scores
+
+    def spy(df, terms, *a, **kw):
+        captured["terms"] = list(terms)
+        return real(df, terms, *a, **kw)
+
+    monkeypatch.setattr(ranking, "bm25_scores", spy)
+    q = (
+        "priority priority priority freight freight shipments "
+        "urgent maritime cargo"
+    )
+    rows = engine.retrieve(q, k=2, search_type="hybrid").collect()
+    assert len(rows) == 2
+    assert captured["terms"] == [
+        "priority",
+        "freight",
+        "shipments",
+        "urgent",
+        "maritime",
+    ]
+    assert len(set(captured["terms"])) == 5
+
+
 def test_unknown_search_type_rejected(engine):
     import pytest as _pytest
 
