@@ -512,3 +512,98 @@ def q_cms_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "never_undercounts"
         ),
     ).orderBy(F.desc("exact_n"), F.asc("tok"))
+
+
+# --- H7: heavy-change detection between corpus slices --------------------------
+
+_HC_K = 20
+
+
+@query(
+    "q_heavy_change",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang = 'en' AS is_en, unnest({SQL_TOKS}) AS term
+      FROM documents),
+    cnt AS (
+      SELECT term,
+             CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN is_en THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      FROM tok GROUP BY 1),
+    tot AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb
+      FROM cnt),
+    scored AS (
+      SELECT c.term, c.ca, c.cb,
+             abs(c.ca * t.tb - c.cb * t.ta) AS xdelta,
+             t.ta, t.tb
+      FROM cnt c, tot t)
+    SELECT term, ca AS count_en, cb AS count_rest,
+           round(ca / CAST(ta AS DOUBLE) - cb / CAST(tb AS DOUBLE), 6)
+             AS freq_delta
+    FROM scored ORDER BY xdelta DESC, term LIMIT {_HC_K}
+    """,
+)
+def q_heavy_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-change detection (H7, wave 38): the {_HC_K} terms whose
+    relative frequency differs most between the English slice and the
+    rest of the corpus — the CHANGE-oriented sibling of H2's heavy
+    hitters (Cormode & Muthukrishnan's heavy-change primitive: what a
+    drift monitor actually wants is not what is frequent, but what
+    MOVED). Language slices stand in for time slices; the identical
+    plan serves day-over-day crawl deltas.
+
+    Exactness: ranking by |f_a − f_b| compares float ratios — the
+    classic cross-engine trap. The sort key is instead the exact
+    int64 cross product |c_a·T_b − c_b·T_a| (equivalent ordering:
+    multiply both frequencies by T_a·T_b > 0), so the top-k cut and
+    tie-break (term asc) are integer-deterministic; the float delta is
+    display-only, rounded at 6. 100 TB shape: one token explode to a
+    (term)-keyed count pair, a 2-counter broadcast, and a TakeOrdered
+    {_HC_K}-row cut — never a rank window over the vocabulary."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        (F.col("lang") == "en").alias("is_en"), toks_col("text").alias("toks")
+    )
+    cnt = (
+        docs.select("is_en", F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("is_en"), 1).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(F.col("is_en"), 0).otherwise(1))
+            .cast("long")
+            .alias("cb"),
+        )
+        # vocab-sized; two consumers (totals + scored) — checkpoint so
+        # the token explode runs once
+        .localCheckpoint()
+    )
+    tot = cnt.agg(
+        F.sum("ca").cast("long").alias("ta"),
+        F.sum("cb").cast("long").alias("tb"),
+    )
+    scored = cnt.crossJoin(F.broadcast(tot)).select(
+        "term",
+        "ca",
+        "cb",
+        "ta",
+        "tb",
+        F.abs(F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta")).alias(
+            "xdelta"
+        ),
+    )
+    return (
+        scored.orderBy(F.desc("xdelta"), F.asc("term"))
+        .limit(_HC_K)
+        .select(
+            "term",
+            F.col("ca").alias("count_en"),
+            F.col("cb").alias("count_rest"),
+            F.round(
+                F.col("ca") / F.col("ta").cast("double")
+                - F.col("cb") / F.col("tb").cast("double"),
+                6,
+            ).alias("freq_delta"),
+        )
+    )

@@ -2336,3 +2336,328 @@ def q_mcnemar_flips(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(_col_p_two(F.sqrt(chi2)), 6).alias("p_value"),
         F.when(chi2 > 3.841, 1).otherwise(0).alias("biased_at_5pct"),
     ).orderBy("l_returnflag")
+
+
+# --- M25: G-test of independence (log-likelihood ratio) -----------------------
+
+
+@query(
+    "q_g_test",
+    oracle="""
+    WITH o AS (
+      SELECT l_returnflag AS rf, l_linestatus AS ls,
+             CAST(count(*) AS BIGINT) AS obs
+      FROM lineitem GROUP BY 1, 2),
+    m AS (
+      SELECT rf, ls, obs,
+             CAST(sum(obs) OVER (PARTITION BY rf) AS BIGINT) AS row_tot,
+             CAST(sum(obs) OVER (PARTITION BY ls) AS BIGINT) AS col_tot,
+             CAST(sum(obs) OVER () AS BIGINT) AS n
+      FROM o),
+    s AS (
+      SELECT max(n) AS n,
+             CAST((count(DISTINCT rf) - 1) * (count(DISTINCT ls) - 1)
+                  AS BIGINT) AS df,
+             2.0 * sum(obs * ln(obs
+                 / (row_tot * CAST(col_tot AS DOUBLE) / n))) AS g
+      FROM m)
+    SELECT n, df, round(g, 4) AS g_stat,
+           CASE WHEN g > (CASE df WHEN 1 THEN 3.841 WHEN 2 THEN 5.991
+                          WHEN 3 THEN 7.815 WHEN 4 THEN 9.488
+                          ELSE 11.070 END)
+                THEN 1 ELSE 0 END AS dependent_5pct
+    FROM s
+    """,
+)
+def q_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test of independence (M25, wave 38): the log-likelihood-ratio
+    twin of the chi-square test (M10) over the returnflag × linestatus
+    contingency table — G = 2·Σ O·ln(O/E) is additive across
+    partitions of the table (chi-square is not), which is why corpus
+    pipelines prefer it (Dunning's LLR for collocations, Z8's PMI
+    sibling). Zero cells contribute zero by the O·ln(O/E) → 0 limit
+    (no cell here is zero; the groupBy emits only observed cells,
+    matching the oracle).
+
+    100 TB shape: ONE hash aggregate to the r×c observed cells;
+    marginals and the statistic are windows/arithmetic over those ≤6
+    rows. ln association written identically on both sides; critical
+    value picked by df from the observed table."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = li.groupBy(
+        F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls")
+    ).agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    m = o.select(
+        "rf",
+        "ls",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("rf")).cast("long").alias("row_tot"),
+        F.sum("obs").over(Window.partitionBy("ls")).cast("long").alias("col_tot"),
+        F.sum("obs").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    s = m.agg(
+        F.max("n").alias("n"),
+        (
+            (F.countDistinct("rf") - 1) * (F.countDistinct("ls") - 1)
+        ).cast("long").alias("df"),
+        (
+            2.0
+            * F.sum(
+                F.col("obs")
+                * F.log(
+                    F.col("obs")
+                    / (
+                        F.col("row_tot")
+                        * F.col("col_tot").cast("double")
+                        / F.col("n")
+                    )
+                )
+            )
+        ).alias("g"),
+    )
+    crit = (
+        F.when(F.col("df") == 1, 3.841)
+        .when(F.col("df") == 2, 5.991)
+        .when(F.col("df") == 3, 7.815)
+        .when(F.col("df") == 4, 9.488)
+        .otherwise(11.070)
+    )
+    return s.select(
+        "n",
+        "df",
+        F.round("g", 4).alias("g_stat"),
+        F.when(F.col("g") > crit, 1).otherwise(0).alias("dependent_5pct"),
+    )
+
+
+# --- M26: sequential probability ratio test (SPRT) ---------------------------
+
+_SPRT_T = 300_000.0  # "high-value order" threshold
+_SPRT_P0 = 0.38
+_SPRT_P1 = 0.42
+_SPRT_LN19 = 2.9444389791664403  # ln(19): alpha = beta = 0.05
+
+
+@query(
+    "q_sprt_boundary",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_totalprice > {_SPRT_T} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hi
+      FROM orders GROUP BY 1),
+    cum AS (
+      SELECT d,
+             sum(hi * ln({_SPRT_P1} / {_SPRT_P0})
+                 + (n - hi) * ln((1.0 - {_SPRT_P1}) / (1.0 - {_SPRT_P0})))
+               OVER (ORDER BY d) AS llr
+      FROM daily),
+    hit AS (
+      SELECT min(d) FILTER (WHERE llr >= {_SPRT_LN19}) AS d_h1,
+             min(d) FILTER (WHERE llr <= -{_SPRT_LN19}) AS d_h0,
+             CAST(count(*) AS BIGINT) AS n_days,
+             round(max_by(llr, d), 4) AS final_llr
+      FROM cum)
+    SELECT n_days,
+           CASE WHEN d_h1 IS NOT NULL AND (d_h0 IS NULL OR d_h1 <= d_h0)
+                  THEN 'accept_h1'
+                WHEN d_h0 IS NOT NULL THEN 'accept_h0'
+                ELSE 'continue' END AS decision,
+           CASE WHEN d_h1 IS NOT NULL AND (d_h0 IS NULL OR d_h1 <= d_h0)
+                  THEN d_h1
+                WHEN d_h0 IS NOT NULL THEN d_h0 END AS decision_day,
+           final_llr
+    FROM hit
+    """,
+)
+def q_sprt_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SPRT (M26, wave 38): sequential test of the high-value-
+    order rate — H0: p = 0.38 vs H1: p = 0.42, α = β = 0.05 — walked
+    day by day over the order stream; report the decision, the first
+    boundary-crossing day, and the final cumulative log-likelihood
+    ratio. The always-valid sequential monitor an experimentation
+    platform runs BEFORE the fixed-horizon tests (M1/M15): it may stop
+    months earlier on a strong effect.
+
+    100 TB shape: one fact aggregate to (day, n, hi); the cumulative
+    LLR is a window over the |days|-row series in date order (both
+    engines accumulate in the identical order, so the float trajectory
+    is pinned), and the decision is a one-row min/filter over it."""
+    o = load_table(spark, "orders", sf_dir)
+    import math
+
+    la = math.log(_SPRT_P1 / _SPRT_P0)
+    lb = math.log((1.0 - _SPRT_P1) / (1.0 - _SPRT_P0))
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("o_totalprice") > _SPRT_T, 1).otherwise(0))
+        .cast("long")
+        .alias("hi"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "d",
+        F.sum(
+            F.col("hi") * F.lit(la) + (F.col("n") - F.col("hi")) * F.lit(lb)
+        )
+        .over(w)
+        .alias("llr"),
+    )
+    hit = cum.agg(
+        F.min(F.when(F.col("llr") >= _SPRT_LN19, F.col("d"))).alias("d_h1"),
+        F.min(F.when(F.col("llr") <= -_SPRT_LN19, F.col("d"))).alias("d_h0"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.max_by("llr", "d"), 4).alias("final_llr"),
+    )
+    h1_wins = F.col("d_h1").isNotNull() & (
+        F.col("d_h0").isNull() | (F.col("d_h1") <= F.col("d_h0"))
+    )
+    return hit.select(
+        "n_days",
+        F.when(h1_wins, "accept_h1")
+        .when(F.col("d_h0").isNotNull(), "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+        F.when(h1_wins, F.col("d_h1"))
+        .when(F.col("d_h0").isNotNull(), F.col("d_h0"))
+        .alias("decision_day"),
+        "final_llr",
+    )
+
+
+# --- M27: Friedman test (blocked rank ANOVA) ----------------------------------
+
+
+@query(
+    "q_friedman_test",
+    oracle="""
+    WITH wk AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    full_blocks AS (
+      SELECT week FROM wk GROUP BY week
+      HAVING count(*) = (SELECT count(DISTINCT event_type) FROM events)),
+    r AS (
+      SELECT w.week, w.event_type,
+             2 * rank() OVER (PARTITION BY w.week ORDER BY w.cnt)
+               + CAST(count(*) OVER (PARTITION BY w.week, w.cnt) AS BIGINT)
+               - 1 AS r2
+      FROM wk w JOIN full_blocks USING (week)),
+    pergrp AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum(r2) AS BIGINT) AS sr2
+      FROM r GROUP BY 1),
+    s0 AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(max(n_blocks) AS BIGINT) AS n
+      FROM pergrp),
+    s AS (
+      SELECT s0.k, s0.n,
+             sum((p.sr2 / 2.0 - s0.n * (s0.k + 1) / 2.0)
+                 * (p.sr2 / 2.0 - s0.n * (s0.k + 1) / 2.0)) AS ssq
+      FROM pergrp p, s0 GROUP BY s0.k, s0.n),
+    denom AS (
+      SELECT sum((r2 / 2.0) * (r2 / 2.0)) AS sumr2,
+             CAST(count(*) AS BIGINT) AS total_cells
+      FROM r)
+    SELECT s.k, s.n AS n_blocks,
+           CAST(s.k - 1 AS BIGINT) AS df,
+           round((s.k - 1) * s.ssq
+                 / (d.sumr2 - s.n * s.k * (s.k + 1.0) * (s.k + 1.0) / 4.0),
+                 4) AS fr_stat,
+           CASE WHEN (s.k - 1) * s.ssq
+                     / (d.sumr2 - s.n * s.k * (s.k + 1.0) * (s.k + 1.0)
+                        / 4.0)
+                     > (CASE s.k - 1 WHEN 1 THEN 3.841 WHEN 2 THEN 5.991
+                        WHEN 3 THEN 7.815 WHEN 4 THEN 9.488
+                        ELSE 11.070 END)
+                THEN 1 ELSE 0 END AS significant_5pct
+    FROM s, denom d
+    """,
+)
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test (M27, wave 38): do event types rank consistently
+    across weekly blocks? The repeated-measures rank ANOVA — blocks =
+    ISO weeks, treatments = event types, observations = weekly event
+    counts (exact integers, so within-block average ranks are .5-exact
+    and the whole rank pipeline is deterministic). Only weeks where
+    every treatment appears form blocks (balanced design). The
+    tie-adjusted statistic Fr = (k−1)·Σⱼ(R̄ⱼ − n(k+1)/2)² /
+    (Σᵢⱼ r̄ᵢⱼ² − nk(k+1)²/4), χ²_{k−1} under H0.
+
+    100 TB shape: one fact aggregate to (week, type) cells; ranks are
+    per-block windows over ≤k rows each (block-keyed exchange, never a
+    global sort); the statistic reduces k rows. DOUBLED ranks
+    (2·rank + ties − 1) keep every sum exact int64 until the one-row
+    float projection."""
+    ev = load_table(spark, "events", sf_dir)
+    wk = ev.groupBy(
+        F.to_date(F.date_trunc("week", "ts")).alias("week"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    k_types = ev.select("event_type").distinct().count()
+    full_blocks = (
+        wk.groupBy("week")
+        .agg(F.count(F.lit(1)).alias("n_types"))
+        .filter(F.col("n_types") == k_types)
+        .select("week")
+    )
+    w_rank = Window.partitionBy("week").orderBy("cnt")
+    w_tie = Window.partitionBy("week", "cnt")
+    r = wk.join(F.broadcast(full_blocks), "week").select(
+        "week",
+        "event_type",
+        (
+            2 * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_tie).cast("long")
+            - 1
+        ).alias("r2"),
+    )
+    pergrp = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("r2").cast("long").alias("sr2"),
+    )
+    w_all = Window.partitionBy()
+    s = pergrp.select(
+        F.count(F.lit(1)).over(w_all).alias("k"),
+        F.max("n_blocks").over(w_all).alias("n"),
+        "sr2",
+    ).select(
+        "k",
+        "n",
+        (
+            (F.col("sr2") / 2.0 - F.col("n") * (F.col("k") + 1) / 2.0)
+            * (F.col("sr2") / 2.0 - F.col("n") * (F.col("k") + 1) / 2.0)
+        ).alias("dev2"),
+    ).groupBy("k", "n").agg(F.sum("dev2").alias("ssq"))
+    denom = r.agg(
+        F.sum((F.col("r2") / 2.0) * (F.col("r2") / 2.0)).alias("sumr2")
+    )
+    joined = s.crossJoin(denom)
+    fr = (
+        (F.col("k") - 1)
+        * F.col("ssq")
+        / (
+            F.col("sumr2")
+            - F.col("n")
+            * F.col("k")
+            * (F.col("k") + 1.0)
+            * (F.col("k") + 1.0)
+            / 4.0
+        )
+    )
+    crit = (
+        F.when(F.col("k") - 1 == 1, 3.841)
+        .when(F.col("k") - 1 == 2, 5.991)
+        .when(F.col("k") - 1 == 3, 7.815)
+        .when(F.col("k") - 1 == 4, 9.488)
+        .otherwise(11.070)
+    )
+    return joined.select(
+        "k",
+        F.col("n").alias("n_blocks"),
+        (F.col("k") - 1).cast("long").alias("df"),
+        F.round(fr, 4).alias("fr_stat"),
+        F.when(fr > crit, 1).otherwise(0).alias("significant_5pct"),
+    )

@@ -1377,3 +1377,121 @@ def q_threshold_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f1"),
     ).orderBy("thr")
+
+
+# --- MO14: Brier score decomposition ------------------------------------------
+
+
+@query(
+    "q_brier_decomposition",
+    oracle=f"""
+    WITH scored AS (
+      SELECT least(CAST(floor({_SQL_EN_SHARE} * 10) AS BIGINT), 9) AS bin,
+             {_SQL_EN_SHARE} AS score,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS label
+      FROM documents),
+    b AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS nb,
+             avg(score) AS pb, avg(label) AS ob,
+             sum((score - label) * (score - label)) AS sq
+      FROM scored GROUP BY bin),
+    t AS (
+      SELECT CAST(sum(nb) AS BIGINT) AS n,
+             sum(nb * ob) / sum(nb) AS obar,
+             sum(sq) / sum(nb) AS brier,
+             sum(nb * (pb - ob) * (pb - ob)) / sum(nb) AS reliability
+      FROM b),
+    r AS (
+      SELECT t.n, t.brier, t.reliability, t.obar,
+             sum(b.nb * (b.ob - t.obar) * (b.ob - t.obar)) / t.n
+               AS resolution
+      FROM b, t GROUP BY t.n, t.brier, t.reliability, t.obar)
+    SELECT n,
+           round(brier, 6) AS brier,
+           round(reliability, 6) AS reliability,
+           round(resolution, 6) AS resolution,
+           round(obar * (1.0 - obar), 6) AS uncertainty,
+           round(reliability - resolution + obar * (1.0 - obar), 6)
+             AS decomposed_brier
+    FROM r
+    """,
+)
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score (MO14, wave 38):
+    brier = reliability − resolution + uncertainty, over the same
+    stopword-share "is English" classifier MO7's reliability diagram
+    bins. Reliability (want 0) is the calibration term MO7 plots;
+    resolution (want large) is what a diagram can't show — whether the
+    score SEPARATES the classes; uncertainty ō(1−ō) is the no-skill
+    floor. The one-number-per-term audit that says whether a corpus
+    classifier needs recalibrating (high reliability term) or
+    retraining (low resolution).
+
+    100 TB shape: one in-row scoring pass (exact integer-ratio scores,
+    the MO7 construction) to a 10-bin aggregate; the decomposition is
+    arithmetic over 10 rows. The within-bin approximation inherent to
+    the binned decomposition is the standard one (Murphy 1973); the
+    identity column recomputes rel − res + unc so the driver hash
+    locks all three terms against the directly-summed Brier."""
+    from .functions.tokenize import toks_col
+
+    en = _STOPWORDS["en"]
+    toks = toks_col()
+    hits = F.size(F.filter(toks, lambda x: x.isin(*en)))
+    score = hits / F.greatest(F.size(toks), F.lit(1)).cast("double")
+    scored = load_table(spark, "documents", sf_dir).select(
+        F.least(F.floor(score * 10), F.lit(9)).cast("long").alias("bin"),
+        score.alias("score"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("label"),
+    )
+    b = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.avg("score").alias("pb"),
+        F.avg("label").alias("ob"),
+        F.sum(
+            (F.col("score") - F.col("label"))
+            * (F.col("score") - F.col("label"))
+        ).alias("sq"),
+    ).localCheckpoint()  # 10 rows, three consumers — tokenize once
+    t = b.agg(
+        F.sum("nb").cast("long").alias("n"),
+        (F.sum(F.col("nb") * F.col("ob")) / F.sum("nb")).alias("obar"),
+        (F.sum("sq") / F.sum("nb")).alias("brier"),
+        (
+            F.sum(
+                F.col("nb")
+                * (F.col("pb") - F.col("ob"))
+                * (F.col("pb") - F.col("ob"))
+            )
+            / F.sum("nb")
+        ).alias("reliability"),
+    )
+    r = (
+        b.crossJoin(F.broadcast(t))
+        .groupBy("n", "brier", "reliability", "obar")
+        .agg(
+            (
+                F.sum(
+                    F.col("nb")
+                    * (F.col("ob") - F.col("obar"))
+                    * (F.col("ob") - F.col("obar"))
+                )
+                / F.max("n")
+            ).alias("resolution")
+        )
+    )
+    return r.select(
+        "n",
+        F.round("brier", 6).alias("brier"),
+        F.round("reliability", 6).alias("reliability"),
+        F.round("resolution", 6).alias("resolution"),
+        F.round(F.col("obar") * (1.0 - F.col("obar")), 6).alias(
+            "uncertainty"
+        ),
+        F.round(
+            F.col("reliability")
+            - F.col("resolution")
+            + F.col("obar") * (1.0 - F.col("obar")),
+            6,
+        ).alias("decomposed_brier"),
+    )

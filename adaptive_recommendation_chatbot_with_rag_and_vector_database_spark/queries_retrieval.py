@@ -1209,3 +1209,91 @@ def q_snippet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- R13: Dirichlet-smoothed query-likelihood retrieval ------------------------
+
+_QL_TERMS = ("join", "hash", "scan")
+_QL_MU = 500.0
+_QL_K = 10
+
+
+@query(
+    "q_query_likelihood",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {sql_toks('text')} AS toks FROM documents),
+    corpus AS (
+      SELECT CAST(sum(len(toks)) AS BIGINT) AS total,
+             CAST(sum(len(list_filter(toks, x -> x = 'join'))) AS BIGINT)
+               AS c_join,
+             CAST(sum(len(list_filter(toks, x -> x = 'hash'))) AS BIGINT)
+               AS c_hash,
+             CAST(sum(len(list_filter(toks, x -> x = 'scan'))) AS BIGINT)
+               AS c_scan
+      FROM tok),
+    scored AS (
+      SELECT t.doc_id,
+             ln((len(list_filter(t.toks, x -> x = 'join'))
+                 + {_QL_MU} * (c.c_join / CAST(c.total AS DOUBLE)))
+                / (len(t.toks) + {_QL_MU}))
+             + ln((len(list_filter(t.toks, x -> x = 'hash'))
+                   + {_QL_MU} * (c.c_hash / CAST(c.total AS DOUBLE)))
+                  / (len(t.toks) + {_QL_MU}))
+             + ln((len(list_filter(t.toks, x -> x = 'scan'))
+                   + {_QL_MU} * (c.c_scan / CAST(c.total AS DOUBLE)))
+                  / (len(t.toks) + {_QL_MU})) AS score
+      FROM tok t, corpus c
+      WHERE len(t.toks) > 0)
+    SELECT doc_id, round(score, 6) AS ql_score
+    FROM scored ORDER BY score DESC, doc_id LIMIT {_QL_K}
+    """,
+)
+def q_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (R13, wave 38):
+    rank documents by P(query | doc language model) with Bayesian
+    Dirichlet smoothing toward the corpus model — score(d) =
+    Σ_t ln((tf_{t,d} + μ·P(t|C)) / (|d| + μ)), μ = 500 (Zhai &
+    Lafferty). The other classical lexical ranker beside BM25 (R1):
+    where BM25 is a TF-saturation heuristic, QL is the generative-LM
+    scoring that modern dense retrievers are trained to approximate —
+    and unlike BM25 it scores EVERY document (smoothing mass), so the
+    top-k cut is the only output bound.
+
+    100 TB shape: corpus term statistics are ONE aggregate reduced to
+    a 4-counter row broadcast onto a second in-row scoring pass
+    (per-doc tf/len are array ops, no token explode, no shuffle);
+    TakeOrdered cuts the global top-{_QL_K}. The three ln terms sum in
+    FIXED query order on both engines, pinning float association."""
+    from .functions.tokenize import toks_col
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", toks_col("text").alias("toks")
+    )
+    tf = lambda t: F.size(F.filter("toks", lambda x: x == t))  # noqa: E731
+    corpus = docs.agg(
+        F.sum(F.size("toks")).cast("long").alias("total"),
+        *[
+            F.sum(tf(t)).cast("long").alias(f"c_{t}")
+            for t in _QL_TERMS
+        ],
+    )
+    scored = docs.filter(F.size("toks") > 0).crossJoin(F.broadcast(corpus))
+    term_ln = [
+        F.log(
+            (
+                tf(t)
+                + _QL_MU
+                * (F.col(f"c_{t}") / F.col("total").cast("double"))
+            )
+            / (F.size("toks") + _QL_MU)
+        )
+        for t in _QL_TERMS
+    ]
+    score = term_ln[0] + term_ln[1] + term_ln[2]
+    return (
+        scored.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_QL_K)
+        .select("doc_id", F.round("score", 6).alias("ql_score"))
+    )

@@ -1337,3 +1337,263 @@ def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(-jb / 2.0), 6).alias("p_value"),
         F.when(jb > 5.991, 0).otherwise(1).alias("normal_at_5pct"),
     ).orderBy("o_orderstatus")
+
+
+# --- ST18: Kruskal-Wallis H test ----------------------------------------------
+
+
+@query(
+    "q_kruskal_wallis",
+    oracle="""
+    WITH vc AS (
+      SELECT o_totalprice AS v,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cf,
+             CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS co,
+             CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cp
+      FROM orders GROUP BY 1),
+    r AS (
+      SELECT cnt, cf, co, cp,
+             2 * COALESCE(sum(cnt) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + cnt + 1 AS r2
+      FROM vc),
+    g AS (
+      SELECT * FROM (
+        SELECT 'F' AS grp, CAST(sum(cf) AS BIGINT) AS n,
+               CAST(sum(cf * r2) AS BIGINT) AS sr2,
+               CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3
+        FROM r
+        UNION ALL
+        SELECT 'O', CAST(sum(co) AS BIGINT), CAST(sum(co * r2) AS BIGINT),
+               CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) FROM r
+        UNION ALL
+        SELECT 'P', CAST(sum(cp) AS BIGINT), CAST(sum(cp * r2) AS BIGINT),
+               CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) FROM r)),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS big_n,
+             CAST(max(tie3) AS BIGINT) AS tie3,
+             sum((sr2 / 2.0) * (sr2 / 2.0) / n) AS sq
+      FROM g)
+    SELECT CAST(3 AS BIGINT) AS k_groups,
+           big_n AS n,
+           CAST(2 AS BIGINT) AS df,
+           round(12.0 / (big_n * (big_n + 1.0)) * sq
+                 - 3.0 * (big_n + 1.0), 4) AS h_stat,
+           round((12.0 / (big_n * (big_n + 1.0)) * sq
+                  - 3.0 * (big_n + 1.0))
+                 / (1.0 - tie3 / (CAST(big_n AS DOUBLE) * big_n * big_n
+                                  - big_n)), 4) AS h_corrected,
+           CASE WHEN (12.0 / (big_n * (big_n + 1.0)) * sq
+                      - 3.0 * (big_n + 1.0))
+                     / (1.0 - tie3 / (CAST(big_n AS DOUBLE) * big_n * big_n
+                                      - big_n)) > 5.991
+                THEN 1 ELSE 0 END AS significant_5pct
+    FROM tot
+    """,
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test (ST18, wave 38): does order value differ
+    across the three order statuses, nonparametrically — the k-group
+    extension of Mann-Whitney (M9) and the rank twin of the ANOVA F
+    (ST1). H = 12/(N(N+1))·Σ R̄ₘ²·nₘ... computed tie-corrected.
+
+    Rank arithmetic is the M9 discipline: never rank rows — collapse
+    to per-value tie classes (one hash aggregate carrying per-group
+    subcounts), build each class's DOUBLED average rank 2·cum+cnt+1
+    with the bucketed two-phase prefix sum, and take per-group rank
+    sums as exact-int64 Σ cnt_g·r2 (doubled ranks are .5-exact, and
+    the doubled products stay < 2^63 through the 1000x tier). Floats
+    appear only in the final one-row H projection, association written
+    identically in the oracle. Tie correction 1 − Σ(t³−t)/(N³−N)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    vc = o.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("cf"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+        .cast("long")
+        .alias("co"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0))
+        .cast("long")
+        .alias("cp"),
+    )
+    # tie-class table feeds both the offset rollup and the rank join —
+    # checkpoint so the fact aggregate runs once (the ranked_tie_classes
+    # convention)
+    b = vc.withColumn(
+        "bkt", F.floor(F.col("v") / 50000.0).cast("long")
+    ).localCheckpoint()
+    bc = b.groupBy("bkt").agg(F.sum("cnt").cast("long").alias("bn"))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bc.select(
+        "bkt",
+        F.coalesce(F.sum("bn").over(w_off), F.lit(0)).cast("long").alias("off"),
+    )
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = b.join(F.broadcast(boff), "bkt").select(
+        "cnt",
+        "cf",
+        "co",
+        "cp",
+        (
+            2 * (F.col("off") + F.coalesce(F.sum("cnt").over(w_in), F.lit(0)))
+            + F.col("cnt")
+            + 1
+        ).alias("r2"),
+    )
+    agg = r.agg(
+        F.sum("cf").cast("long").alias("nf"),
+        F.sum("co").cast("long").alias("no"),
+        F.sum("cp").cast("long").alias("np"),
+        F.sum(F.col("cf") * F.col("r2")).cast("long").alias("sf"),
+        F.sum(F.col("co") * F.col("r2")).cast("long").alias("so"),
+        F.sum(F.col("cp") * F.col("r2")).cast("long").alias("sp"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("tie3"),
+    )
+    big_n = F.col("nf") + F.col("no") + F.col("np")
+    sq = (
+        (F.col("sf") / 2.0) * (F.col("sf") / 2.0) / F.col("nf")
+        + (F.col("so") / 2.0) * (F.col("so") / 2.0) / F.col("no")
+        + (F.col("sp") / 2.0) * (F.col("sp") / 2.0) / F.col("np")
+    )
+    h = 12.0 / (big_n * (big_n + 1.0)) * sq - 3.0 * (big_n + 1.0)
+    hc = h / (
+        1.0
+        - F.col("tie3")
+        / (big_n.cast("double") * big_n * big_n - big_n)
+    )
+    return agg.select(
+        F.lit(3).cast("long").alias("k_groups"),
+        big_n.alias("n"),
+        F.lit(2).cast("long").alias("df"),
+        F.round(h, 4).alias("h_stat"),
+        F.round(hc, 4).alias("h_corrected"),
+        F.when(hc > 5.991, 1).otherwise(0).alias("significant_5pct"),
+    )
+
+
+# --- ST19: Brown-Forsythe (median-centered Levene) variance-homogeneity test --
+
+
+@query(
+    "q_brown_forsythe",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderstatus, quantile_disc(o_totalprice, 0.5) AS med
+      FROM orders GROUP BY 1),
+    z AS (
+      SELECT o.o_orderstatus, abs(o.o_totalprice - m.med) AS z
+      FROM orders o JOIN med m USING (o_orderstatus)),
+    g AS (
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             sum(z) AS s1, sum(z * z) AS s2
+      FROM z GROUP BY 1),
+    s AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM g) AS k,
+             (SELECT CAST(sum(n) AS BIGINT) FROM g) AS big_n,
+             (SELECT sum(s1) FROM g) / (SELECT sum(n) FROM g) AS gm),
+    parts AS (
+      SELECT s.k, s.big_n,
+             sum(g.n * (g.s1 / g.n - s.gm) * (g.s1 / g.n - s.gm)) AS ssb,
+             sum(g.s2 - g.s1 * g.s1 / g.n) AS ssw
+      FROM g, s GROUP BY s.k, s.big_n)
+    SELECT k AS k_groups,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(big_n - k AS BIGINT) AS df_within,
+           round((ssb / (k - 1)) / (ssw / (big_n - k)), 4) AS f_stat,
+           CASE WHEN (ssb / (k - 1)) / (ssw / (big_n - k)) > 2.9957
+                THEN 0 ELSE 1 END AS variances_equal_5pct
+    FROM parts
+    """,
+)
+def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test (ST19, wave 38): are order-value variances
+    homogeneous across order statuses? Levene's test with the
+    median-centered absolute deviations (the robust variant) — the
+    assumption gate in front of the ANOVA F (ST1), completing the
+    parametric-test battery. z = |x − med_g| with med_g the exact DISC
+    median (a real data value, the LG3 convention — no interpolated
+    float for engines to disagree on), then the one-way ANOVA moment
+    form over z (ST1's sufficient-statistics shape).
+
+    100 TB shape: per-group disc medians come from the grouped
+    tie-class substrate (hash agg + per-group running cut, k rows
+    out), broadcast back onto one fact pass that accumulates (n, Σz,
+    Σz²) map-side; the F statistic is closed-form over k rows. The
+    5%% critical value for (2, large) df is 2.9957."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    gv = o.groupBy("o_orderstatus", F.col("o_totalprice").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("o_orderstatus")
+    med = (
+        gv.select(
+            "o_orderstatus",
+            "v",
+            F.sum("cnt").over(w_cum).alias("cum"),
+            F.sum("cnt").over(w_tot).alias("ng"),
+        )
+        .filter(F.col("cum") >= F.ceil(F.col("ng") / 2.0))
+        .groupBy("o_orderstatus")
+        .agg(F.min("v").alias("med"))
+    )
+    z = o.join(F.broadcast(med), "o_orderstatus").select(
+        "o_orderstatus",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("z"),
+    )
+    g = z.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("z").alias("s1"),
+        F.sum(F.col("z") * F.col("z")).alias("s2"),
+    )
+    w = Window.partitionBy()
+    parts = g.select(
+        F.count(F.lit(1)).over(w).alias("k"),
+        F.sum("n").over(w).alias("big_n"),
+        (F.sum("s1").over(w) / F.sum("n").over(w)).alias("gm"),
+        "n",
+        "s1",
+        "s2",
+    ).select(
+        "k",
+        "big_n",
+        (
+            F.col("n")
+            * (F.col("s1") / F.col("n") - F.col("gm"))
+            * (F.col("s1") / F.col("n") - F.col("gm"))
+        ).alias("sb"),
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")).alias("sw"),
+    )
+    agg = parts.groupBy("k", "big_n").agg(
+        F.sum("sb").alias("ssb"), F.sum("sw").alias("ssw")
+    )
+    f_stat = (F.col("ssb") / (F.col("k") - 1)) / (
+        F.col("ssw") / (F.col("big_n") - F.col("k"))
+    )
+    return agg.select(
+        F.col("k").alias("k_groups"),
+        (F.col("k") - 1).cast("long").alias("df_between"),
+        (F.col("big_n") - F.col("k")).cast("long").alias("df_within"),
+        F.round(f_stat, 4).alias("f_stat"),
+        F.when(f_stat > 2.9957, 0).otherwise(1).alias("variances_equal_5pct"),
+    )

@@ -1340,3 +1340,268 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ss_resid") / 1e9, 4).alias("ss_resid_bn"),
         F.round(1.0 - F.col("ss_resid") / F.col("ss_total"), 6).alias("strength"),
     )
+
+
+# --- TM17: Hurst exponent via rescaled range (R/S) analysis -------------------
+
+_HURST_WINDOWS = (8, 16, 32)
+
+
+@query(
+    "q_hurst_rs",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             round(sum(o_totalprice), 4) AS rev
+      FROM orders GROUP BY 1),
+    idx AS (
+      SELECT d, rev,
+             CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+      FROM daily),
+    ws AS (SELECT unnest(ARRAY{list(_HURST_WINDOWS)}) AS w),
+    blk AS (
+      SELECT ws.w, idx.rev, idx.d,
+             CAST(floor((idx.i - 1) / CAST(ws.w AS DOUBLE)) AS BIGINT) AS b
+      FROM idx, ws),
+    full_blk AS (
+      SELECT w, b FROM blk GROUP BY w, b HAVING count(*) = w),
+    dev AS (
+      SELECT blk.w, blk.b, blk.rev, blk.d,
+             avg(blk.rev) OVER (PARTITION BY blk.w, blk.b) AS mb
+      FROM blk JOIN full_blk USING (w, b)),
+    cum AS (
+      SELECT w, b,
+             sum(rev - mb) OVER (PARTITION BY w, b ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+             (rev - mb) * (rev - mb) AS sq
+      FROM dev),
+    rs AS (
+      SELECT w, b,
+             max(c) - min(c) AS r,
+             sqrt(sum(sq) / w) AS s
+      FROM cum GROUP BY w, b),
+    mrs AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n_blocks,
+             avg(r / s) AS mean_rs
+      FROM rs WHERE s > 0 GROUP BY w),
+    fit AS (
+      SELECT (count(*) * sum(ln(w) * ln(mean_rs))
+              - sum(ln(w)) * sum(ln(mean_rs)))
+             / (count(*) * sum(ln(w) * ln(w)) - sum(ln(w)) * sum(ln(w)))
+               AS hurst
+      FROM mrs)
+    SELECT m.w AS window_size, m.n_blocks,
+           round(m.mean_rs, 4) AS mean_rs,
+           round(f.hurst, 4) AS hurst
+    FROM mrs m, fit f ORDER BY m.w
+    """,
+)
+def q_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled-range analysis (TM17, wave 38): is
+    the daily revenue series trending (H > 0.5), mean-reverting
+    (H < 0.5), or a random walk (H = 0.5)? For block sizes 8/16/32,
+    split the day series into complete blocks, compute each block's
+    rescaled range R/S (range of cumulative mean deviations over the
+    population std), and fit ln(R/S) ~ ln(w) by closed-form OLS — the
+    slope is H. The long-memory diagnostic that tells a forecaster
+    whether TM15's Holt trend or TM4's seasonal-naive is even
+    plausible.
+
+    Rides the shared checkpointed daily_orders substrate (one fact
+    aggregate per session across TM14/TM15/TM16/M22/M23/TM17). All
+    windows run over the |days|-row series: the block partitions carry
+    ≤32 rows each and the cumulative deviations accumulate in date
+    order on both engines, pinning the float trajectory. The final
+    fit is 3 rows."""
+    from .sources.loaders import daily_orders
+
+    import math
+
+    daily = daily_orders(spark, sf_dir).select("d", "rev")
+    w_idx = Window.orderBy("d")
+    idx = daily.select(
+        "d", "rev", F.row_number().over(w_idx).cast("long").alias("i")
+    )
+    ws = spark.createDataFrame([(w,) for w in _HURST_WINDOWS], "w long")
+    blk = idx.crossJoin(F.broadcast(ws)).select(
+        "w", "rev", "d", ((F.col("i") - 1) / F.col("w")).cast("long").alias("b")
+    )
+    full_blk = (
+        blk.groupBy("w", "b")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") == F.col("w"))
+        .select("w", "b")
+    )
+    w_blk = Window.partitionBy("w", "b")
+    dev = blk.join(full_blk, ["w", "b"]).select(
+        "w",
+        "b",
+        "rev",
+        "d",
+        F.avg("rev").over(w_blk).alias("mb"),
+    )
+    w_cum = (
+        Window.partitionBy("w", "b")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = dev.select(
+        "w",
+        "b",
+        F.sum(F.col("rev") - F.col("mb")).over(w_cum).alias("c"),
+        ((F.col("rev") - F.col("mb")) * (F.col("rev") - F.col("mb"))).alias(
+            "sq"
+        ),
+    )
+    rs = cum.groupBy("w", "b").agg(
+        (F.max("c") - F.min("c")).alias("r"),
+        F.sqrt(F.sum("sq") / F.col("w")).alias("s"),
+    )
+    mrs = (
+        rs.filter(F.col("s") > 0)
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.avg(F.col("r") / F.col("s")).alias("mean_rs"),
+        )
+        .localCheckpoint()
+    )
+    lw = F.log(F.col("w"))
+    lr = F.log(F.col("mean_rs"))
+    fit = mrs.agg(
+        (
+            (F.count(F.lit(1)) * F.sum(lw * lr) - F.sum(lw) * F.sum(lr))
+            / (
+                F.count(F.lit(1)) * F.sum(lw * lw)
+                - F.sum(lw) * F.sum(lw)
+            )
+        ).alias("hurst")
+    )
+    return (
+        mrs.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("w").alias("window_size"),
+            "n_blocks",
+            F.round("mean_rs", 4).alias("mean_rs"),
+            F.round("hurst", 4).alias("hurst"),
+        )
+        .orderBy("window_size")
+    )
+
+
+# --- TM18: SAX symbolization of the revenue series ----------------------------
+
+
+@query(
+    "q_sax_symbols",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(round(round(sum(o_totalprice), 4) * 10000) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1),
+    wk AS (
+      SELECT CAST(floor((d - DATE '1970-01-01') / 7.0) AS BIGINT) AS wk,
+             CAST(sum(cents) AS BIGINT) AS s
+      FROM daily GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM wk),
+    q AS (
+      SELECT quantile_disc(s, 0.25) AS q1,
+             quantile_disc(s, 0.50) AS q2,
+             quantile_disc(s, 0.75) AS q3
+      FROM wk),
+    sym AS (
+      SELECT wk.wk,
+             CASE WHEN wk.s <= q.q1 THEN 'a'
+                  WHEN wk.s <= q.q2 THEN 'b'
+                  WHEN wk.s <= q.q3 THEN 'c' ELSE 'd' END AS sym,
+             year(DATE '1970-01-01' + CAST(wk.wk * 7 AS INTEGER)) AS yr,
+             quarter(DATE '1970-01-01' + CAST(wk.wk * 7 AS INTEGER)) AS qtr
+      FROM wk, q)
+    SELECT CAST(yr AS BIGINT) AS year,
+           CAST(qtr AS BIGINT) AS quarter,
+           CAST(count(*) AS BIGINT) AS n_weeks,
+           string_agg(sym, '' ORDER BY wk) AS sax
+    FROM sym GROUP BY yr, qtr ORDER BY year, quarter
+    """,
+)
+def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (TM18, wave 38): compress the weekly revenue
+    series into a 4-letter alphabet — each epoch-week's total mapped
+    to a/b/c/d by which DISC quartile of the weekly distribution it
+    falls in, emitted as one motif string per calendar quarter. The
+    symbolic-aggregate-approximation trick that turns time-series
+    motif mining into string matching (Lin et al.); a pattern index a
+    monitoring stack builds over thousands of metrics.
+
+    Exactness: the classic SAX z-normalizes against the series mean/
+    std — a cross-engine hash trap (float mean of 10^3 floats rounds
+    differently at symbol boundaries). This uses the DISC-quartile
+    variant: day revenue (already 4-dp by the daily_orders convention)
+    converts to EXACT integer cents, weekly sums stay int64, and the
+    quartile breakpoints are actual data values — the entire symbol
+    pipeline is integer comparisons, bit-stable on any engine. Rides
+    the shared daily_orders substrate; weeks are epoch-day/7 buckets
+    (engine-neutral, no ISO-week edge cases)."""
+    from .sources.loaders import daily_orders
+
+    daily = daily_orders(spark, sf_dir).select(
+        "d",
+        F.round(F.col("rev") * 10000).cast("long").alias("cents"),
+    )
+    wk = daily.groupBy(
+        F.floor(F.datediff("d", F.lit("1970-01-01")) / 7)
+        .cast("long")
+        .alias("wk")
+    ).agg(F.sum("cents").cast("long").alias("s"))
+    w_cum = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    ranked = wk.select(
+        "s",
+        F.sum(F.lit(1)).over(w_cum).alias("cum"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    q = ranked.agg(
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.col("n") * 0.25), F.col("s"))
+        ).alias("q1"),
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.col("n") * 0.50), F.col("s"))
+        ).alias("q2"),
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.col("n") * 0.75), F.col("s"))
+        ).alias("q3"),
+    )
+    base = F.expr("DATE '1970-01-01'")
+    sym = wk.crossJoin(F.broadcast(q)).select(
+        "wk",
+        F.when(F.col("s") <= F.col("q1"), "a")
+        .when(F.col("s") <= F.col("q2"), "b")
+        .when(F.col("s") <= F.col("q3"), "c")
+        .otherwise("d")
+        .alias("sym"),
+        F.year(F.date_add(base, (F.col("wk") * 7).cast("int"))).alias("yr"),
+        F.quarter(F.date_add(base, (F.col("wk") * 7).cast("int"))).alias(
+            "qtr"
+        ),
+    )
+    return (
+        sym.groupBy("yr", "qtr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_weeks"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("wk", "sym"))),
+                    lambda s: s["sym"],
+                ),
+                "",
+            ).alias("sax"),
+        )
+        .select(
+            F.col("yr").cast("long").alias("year"),
+            F.col("qtr").cast("long").alias("quarter"),
+            "n_weeks",
+            "sax",
+        )
+        .orderBy("year", "quarter")
+    )

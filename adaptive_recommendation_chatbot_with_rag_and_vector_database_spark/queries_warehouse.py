@@ -1774,3 +1774,252 @@ def q_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("decile_rev").over(w_cum) / F.lit(t), 6).alias("cum_share"),
         F.round(F.lit(gini_raw), 6).alias("gini"),
     ).orderBy("decile")
+
+
+# --- W30: Theil inequality index with between/within decomposition -----------
+
+
+@query(
+    "q_theil_index",
+    oracle="""
+    WITH cust AS (
+      SELECT o.o_custkey,
+             round(sum(o.o_totalprice), 4) AS rev
+      FROM orders o GROUP BY 1),
+    lab AS (
+      SELECT n.n_name AS nation, c2.rev
+      FROM cust c2
+      JOIN customer c ON c.c_custkey = c2.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS big_n, sum(rev) AS big_x
+      FROM lab),
+    mu AS (
+      SELECT nation, CAST(count(*) AS BIGINT) AS n_customers,
+             sum(rev) AS xg,
+             sum(rev) / count(*) AS mu_g
+      FROM lab GROUP BY nation),
+    g AS (
+      SELECT m.nation, m.n_customers, m.xg,
+             sum((l.rev / m.mu_g) * ln(l.rev / m.mu_g)) AS tsum
+      FROM lab l JOIN mu m USING (nation)
+      GROUP BY m.nation, m.n_customers, m.xg),
+    parts AS (
+      SELECT g.nation, g.n_customers,
+             g.xg / t.big_x AS share,
+             g.tsum / g.n_customers AS theil_g,
+             (g.xg / t.big_x)
+               * ln((g.xg / t.big_x) / (g.n_customers
+                                        / CAST(t.big_n AS DOUBLE)))
+               AS between_g
+      FROM g, tot t)
+    SELECT nation, n_customers,
+           round(share, 6) AS rev_share,
+           round(theil_g, 6) AS theil_within_g,
+           round(between_g, 6) AS between_contrib,
+           round(sum(share * theil_g) OVER () + sum(between_g) OVER (), 6)
+             AS theil_total
+    FROM parts ORDER BY nation
+    """,
+)
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index with exact between/within-nation
+    decomposition (W30, wave 38): how unequal is customer revenue, and
+    how much of the inequality lives BETWEEN nations vs WITHIN them —
+    the decomposition Gini cannot do (W29's Lorenz/Gini reports the
+    level; Theil attributes it). T_g = (1/n_g)·Σ (x/μ_g)·ln(x/μ_g),
+    between_g = s_g·ln(s_g/p_g), T = Σ s_g·T_g + Σ between_g.
+
+    100 TB shape: one orders aggregate to customer revenue, two
+    broadcast dimension hops to the nation label, per-nation windows
+    carry μ_g onto each row inside the nation-keyed exchange, and the
+    output is 25 rows. Customer revenue rounds to 4 decimals (module
+    convention) before any ratio; ln association identical on both
+    sides."""
+    o = load_table(spark, "orders", sf_dir)
+    cust = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("rev")
+    )
+    c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    n = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    lab = (
+        cust.join(F.broadcast(c), cust.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("nation", "rev")
+    )
+    w_g = Window.partitionBy("nation")
+    mu_g = F.sum("rev").over(w_g) / F.count(F.lit(1)).over(w_g)
+    g = (
+        lab.select(
+            "nation",
+            "rev",
+            ((F.col("rev") / mu_g) * F.log(F.col("rev") / mu_g)).alias("t_i"),
+        )
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("rev").alias("xg"),
+            F.sum("t_i").alias("tsum"),
+        )
+    )
+    tot = lab.agg(
+        F.count(F.lit(1)).cast("long").alias("big_n"),
+        F.sum("rev").alias("big_x"),
+    )
+    parts = g.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "n_customers",
+        (F.col("xg") / F.col("big_x")).alias("share"),
+        (F.col("tsum") / F.col("n_customers")).alias("theil_g"),
+        (
+            (F.col("xg") / F.col("big_x"))
+            * F.log(
+                (F.col("xg") / F.col("big_x"))
+                / (F.col("n_customers") / F.col("big_n").cast("double"))
+            )
+        ).alias("between_g"),
+    )
+    w_all = Window.partitionBy()
+    return parts.select(
+        "nation",
+        "n_customers",
+        F.round("share", 6).alias("rev_share"),
+        F.round("theil_g", 6).alias("theil_within_g"),
+        F.round("between_g", 6).alias("between_contrib"),
+        F.round(
+            F.sum(F.col("share") * F.col("theil_g")).over(w_all)
+            + F.sum("between_g").over(w_all),
+            6,
+        ).alias("theil_total"),
+    ).orderBy("nation")
+
+
+# --- W31: ABC-XYZ inventory classification -----------------------------------
+
+
+@query(
+    "q_abc_xyz",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey, round(sum(l_extendedprice), 4) AS rev
+      FROM lineitem GROUP BY 1),
+    abc AS (
+      SELECT l_partkey, rev,
+             sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / sum(rev) OVER () AS cum_share
+      FROM pr),
+    abc_c AS (
+      SELECT l_partkey, rev,
+             CASE WHEN cum_share <= 0.8 THEN 'A'
+                  WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc
+      FROM abc),
+    wk AS (
+      SELECT l_partkey,
+             CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1, 2),
+    cv AS (
+      SELECT l_partkey,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(qty) AS BIGINT) AS s1,
+             CAST(sum(qty * qty) AS BIGINT) AS s2
+      FROM wk GROUP BY 1),
+    xyz_c AS (
+      SELECT l_partkey,
+             CASE WHEN m = 1 THEN 'Z'
+                  WHEN sqrt(greatest(s2 / CAST(m AS DOUBLE)
+                            - (s1 / CAST(m AS DOUBLE))
+                              * (s1 / CAST(m AS DOUBLE)), 0.0))
+                       / (s1 / CAST(m AS DOUBLE)) <= 0.5 THEN 'X'
+                  WHEN sqrt(greatest(s2 / CAST(m AS DOUBLE)
+                            - (s1 / CAST(m AS DOUBLE))
+                              * (s1 / CAST(m AS DOUBLE)), 0.0))
+                       / (s1 / CAST(m AS DOUBLE)) <= 1.0 THEN 'Y'
+                  ELSE 'Z' END AS xyz
+      FROM cv),
+    tot AS (SELECT sum(rev) AS total_rev FROM pr)
+    SELECT a.abc, x.xyz,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(a.rev), 4) AS class_rev,
+           round(sum(a.rev) / max(t.total_rev), 6) AS rev_share
+    FROM abc_c a JOIN xyz_c x USING (l_partkey), tot t
+    GROUP BY a.abc, x.xyz ORDER BY a.abc, x.xyz
+    """,
+)
+def q_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ inventory classification (W31, wave 38): every part
+    classed by revenue contribution (A = first 80%% of cumulative
+    revenue, B = to 95%%, C = tail — W21's Pareto cut applied at the
+    part level) × demand regularity (weekly-demand coefficient of
+    variation: X ≤ 0.5 steady, Y ≤ 1.0, Z erratic or single-week),
+    reported as the 3×3 matrix of part counts and revenue share — the
+    planning grid every supply-chain text builds stocking policy on.
+
+    100 TB shape: two fact aggregates (part revenue; part×week
+    quantity, int64-exact so the CV moments are deterministic), one
+    revenue-ordered running-share window (single-partition but only
+    |parts| rows after the rollup — the W21 trade, documented there),
+    and a part-keyed join of two part-keyed rollups. Revenue rounds to
+    4 decimals before ranking (module convention)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    # part-revenue rollup feeds the ABC window, the join and the total —
+    # checkpoint so the fact aggregate runs once
+    pr = li.groupBy("l_partkey").agg(
+        F.round(F.sum("l_extendedprice"), 4).alias("rev")
+    ).localCheckpoint()
+    w_cum = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    abc = pr.select(
+        "l_partkey",
+        "rev",
+        (F.sum("rev").over(w_cum) / F.sum("rev").over(w_all)).alias(
+            "cum_share"
+        ),
+    ).select(
+        "l_partkey",
+        "rev",
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    wk = li.groupBy(
+        "l_partkey",
+        F.to_date(F.date_trunc("week", "l_shipdate")).alias("week"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"))
+    cv = wk.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("qty").cast("long").alias("s1"),
+        F.sum(F.col("qty") * F.col("qty")).cast("long").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("m").cast("double")
+    cv_val = F.sqrt(
+        F.greatest(
+            F.col("s2") / F.col("m").cast("double") - mean * mean, F.lit(0.0)
+        )
+    ) / mean
+    xyz = cv.select(
+        "l_partkey",
+        F.when(F.col("m") == 1, "Z")
+        .when(cv_val <= 0.5, "X")
+        .when(cv_val <= 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+    tot = pr.agg(F.sum("rev").alias("total_rev"))
+    return (
+        abc.join(xyz, "l_partkey")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("abc", "xyz")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.round(F.sum("rev"), 4).alias("class_rev"),
+            F.round(F.sum("rev") / F.max("total_rev"), 6).alias("rev_share"),
+        )
+        .orderBy("abc", "xyz")
+    )

@@ -1282,3 +1282,105 @@ def test_dsir_vocab_single_pass_topk_heap(spark):
     # filtered count of the same pass); final cut is a TakeOrdered heap
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan
+
+
+# --- wave 38 ----------------------------------------------------------------
+
+
+def test_kruskal_wallis_single_scan_tie_classes(spark):
+    plan = _plan(spark, "q_kruskal_wallis")
+    # the tie-class table is checkpointed (one fact aggregate feeds the
+    # offset rollup AND the rank join); rank sums are exact int64
+    # aggregates; bucket offsets broadcast
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_brown_forsythe_two_pass_broadcast_medians(spark):
+    plan = _plan(spark, "q_brown_forsythe")
+    # one pass for the grouped disc medians, one moment pass with the
+    # 3-row median table broadcast back — exactly two scans
+    assert plan.count("FileScan parquet") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "percentile" not in plan.lower()
+
+
+def test_g_test_single_scan(spark):
+    plan = _plan(spark, "q_g_test")
+    assert plan.count("FileScan parquet") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_sprt_single_scan_ordered_walk(spark):
+    plan = _plan(spark, "q_sprt_boundary")
+    # one fact aggregate to days; the LLR walk is a window over the
+    # day series
+    assert plan.count("FileScan parquet") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_friedman_blocked_ranks_no_global_sort(spark):
+    plan = _plan(spark, "q_friedman_test")
+    # ranks run per block (week-keyed windows over <=k rows); blocks
+    # broadcast back; no global Sort feeding a rank over all cells
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_theil_broadcast_dims(spark):
+    plan = _plan(spark, "q_theil_index")
+    # customer/nation hops broadcast; inequality terms ride the
+    # nation-keyed exchange
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hurst_rides_daily_checkpoint(spark):
+    plan = _plan(spark, "q_hurst_rs")
+    # day series from the shared daily_orders checkpoint; R/S blocks
+    # are (w, b)-keyed windows; the fit consumes 3 checkpointed rows
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_sax_rides_daily_checkpoint_integer_pipeline(spark):
+    plan = _plan(spark, "q_sax_symbols")
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_query_likelihood_topk_cut(spark):
+    plan = _plan(spark, "q_query_likelihood")
+    # corpus stats broadcast onto the in-row scoring pass; global
+    # top-k via TakeOrdered, never a full sort
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_heavy_change_integer_sort_key_topk(spark):
+    plan = _plan(spark, "q_heavy_change")
+    # vocab counts checkpointed (explode runs once); top-k cut is
+    # TakeOrdered on the exact int64 cross-product key
+    assert "Scan ExistingRDD" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_abc_xyz_two_rollups_keyed_join(spark):
+    plan = _plan(spark, "q_abc_xyz")
+    # the revenue rollup is checkpointed (ABC window + join + total all
+    # consume it); the CV rollup is the one remaining fact scan; the
+    # only single-partition window runs over |parts| rows post-rollup
+    assert plan.count("FileScan parquet") == 1
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_brier_decomposition_single_tokenize(spark):
+    plan = _plan(spark, "q_brier_decomposition")
+    # the 10-bin table is checkpointed: the document tokenize runs
+    # once however many decomposition terms consume it
+    assert "Scan ExistingRDD" in plan
+    assert "BatchEvalPython" not in plan
