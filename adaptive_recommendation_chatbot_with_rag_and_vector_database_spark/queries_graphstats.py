@@ -478,3 +478,171 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").alias("n_directed_edges"),
         F.round(num / (F.sqrt(denx) * F.sqrt(deny)), 6).alias("assortativity"),
     )
+
+
+# --- I7: Katz centrality (bounded 3-hop) ---------------------------------------
+
+_KATZ_ALPHA = 0.05
+_KATZ_K = 20
+
+
+@query(
+    "q_katz_centrality",
+    oracle=f"""
+    WITH {_GRAPH_SQL},
+    h1 AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS h FROM sym GROUP BY 1),
+    h2 AS (
+      SELECT s.a AS v, CAST(sum(h1.h) AS BIGINT) AS h
+      FROM sym s JOIN h1 ON h1.v = s.b GROUP BY 1),
+    h3 AS (
+      SELECT s.a AS v, CAST(sum(h2.h) AS BIGINT) AS h
+      FROM sym s JOIN h2 ON h2.v = s.b GROUP BY 1),
+    katz AS (
+      SELECT h1.v, h1.h AS walks_1, h2.h AS walks_2, h3.h AS walks_3,
+             CAST({_KATZ_ALPHA} AS DOUBLE) * (h1.h
+               + CAST({_KATZ_ALPHA} AS DOUBLE)
+               * (h2.h + CAST({_KATZ_ALPHA} AS DOUBLE) * h3.h)) AS score
+      FROM h1 JOIN h2 ON h2.v = h1.v JOIN h3 ON h3.v = h1.v)
+    SELECT v AS part, walks_1, walks_2, walks_3,
+           round(score, 6) AS katz
+    FROM katz ORDER BY score DESC, v LIMIT {_KATZ_K}
+    """,
+)
+def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality, 3-hop truncation (I7, wave 39): Σₖ αᵏ·(Aᵏ1)ᵥ
+    with α = 0.05 over the co-purchase graph — the walk-counting
+    centrality between degree (k=1, I2's view) and PageRank (k→∞,
+    G2's view). Truncating at 3 hops bounds the iteration by the
+    OPERATOR, not the data (the Holt lesson): three vertex-keyed
+    join+agg rounds, each message-sized.
+
+    Exactness: the walk counts A1, A²1, A³1 are exact int64 all the
+    way (the hop joins sum integer counts); floats appear only in the
+    final Horner-form score α(h1 + α(h2 + α·h3)), written identically
+    on both sides, so the top-{_KATZ_K} cut and tie-break are stable.
+    Scale: each hop shuffles on the vertex key; hub fan-out is the
+    orientation-capped co-purchase graph shared with I1/G2 (same
+    decimation — the queries describe the same graph)."""
+    sym_half = _undirected_edges(spark, sf_dir)
+    sym = sym_half.unionByName(
+        sym_half.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    h1 = sym.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("h")
+    )
+    def hop(prev):
+        return (
+            sym.join(prev.withColumnRenamed("v", "b_v"), F.col("b") == F.col("b_v"))
+            .groupBy(F.col("a").alias("v"))
+            .agg(F.sum("h").cast("long").alias("h"))
+        )
+    h2 = hop(h1)
+    h3 = hop(h2)
+    katz = (
+        h1.withColumnRenamed("h", "walks_1")
+        .join(h2.withColumnRenamed("h", "walks_2"), "v")
+        .join(h3.withColumnRenamed("h", "walks_3"), "v")
+        .select(
+            F.col("v").alias("part"),
+            "walks_1",
+            "walks_2",
+            "walks_3",
+            (
+                _KATZ_ALPHA
+                * (
+                    F.col("walks_1")
+                    + _KATZ_ALPHA
+                    * (F.col("walks_2") + _KATZ_ALPHA * F.col("walks_3"))
+                )
+            ).alias("score"),
+        )
+    )
+    return (
+        katz.orderBy(F.desc("score"), F.asc("part"))
+        .limit(_KATZ_K)
+        .select(
+            "part",
+            "walks_1",
+            "walks_2",
+            "walks_3",
+            F.round("score", 6).alias("katz"),
+        )
+    )
+
+
+# --- I8: k-core peel (bounded rounds) -------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    # each round's edge list MUST be MATERIALIZED: s_i references
+    # s_{i-1} twice (the two keep-joins), and DuckDB inlines
+    # non-materialized CTEs per reference — the unrolled chain would
+    # re-execute the base self-join 2^rounds times (measured 324 s at
+    # sf0.1 vs 2 s materialized)
+    steps = []
+    prev = "sym"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        steps.append(
+            f"""d{i} AS MATERIALIZED (
+      SELECT a AS v, CAST(count(*) AS BIGINT) AS d FROM {prev} GROUP BY 1),
+    keep{i} AS MATERIALIZED (SELECT v FROM d{i} WHERE d >= {_KCORE_K}),
+    s{i} AS MATERIALIZED (
+      SELECT s.a, s.b FROM {prev} s
+      JOIN keep{i} ka ON ka.v = s.a
+      JOIN keep{i} kb ON kb.v = s.b)"""
+        )
+        prev = f"s{i}"
+    joined = ",\n    ".join(steps)
+    return f"""
+    WITH {_GRAPH_SQL},
+    {joined},
+    core AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS d FROM {prev} GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_core_vertices,
+           CAST(sum(d) / 2 AS BIGINT) AS n_core_edges,
+           CAST(min(d) AS BIGINT) AS min_degree,
+           CAST(max(d) AS BIGINT) AS max_degree
+    FROM core
+    """
+
+
+@query("q_kcore_peel", oracle=_kcore_oracle())
+def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peel (I8, wave 39): {_KCORE_ROUNDS} rounds of
+    "drop every vertex with degree < {_KCORE_K} and the edges touching
+    it" over the co-purchase graph, reporting the surviving core's
+    size and degree range — the density-core extraction a recommender
+    runs before community detection (peripheral one-off purchases
+    drown co-occurrence signals). Bounded rounds make the operator
+    deterministic and its cost fixed: each round is one degree
+    aggregate + two vertex-keyed semi-joins on a SHRINKING edge list,
+    checkpointed per round so no round re-executes its predecessors
+    (the alternating-CC discipline, Y12). The oracle unrolls the same
+    {_KCORE_ROUNDS} rounds as chained CTEs — identical fixpoint prefix
+    on both engines even if the true core needs more rounds."""
+    edges_half = _undirected_edges(spark, sf_dir)
+    sym = edges_half.unionByName(
+        edges_half.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    for _ in range(_KCORE_ROUNDS):
+        deg = sym.groupBy(F.col("a").alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("d")
+        )
+        keep = deg.filter(F.col("d") >= _KCORE_K).select("v")
+        sym = (
+            sym.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    core = sym.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    return core.agg(
+        F.count(F.lit(1)).cast("long").alias("n_core_vertices"),
+        (F.sum("d") / 2).cast("long").alias("n_core_edges"),
+        F.min("d").cast("long").alias("min_degree"),
+        F.max("d").cast("long").alias("max_degree"),
+    )

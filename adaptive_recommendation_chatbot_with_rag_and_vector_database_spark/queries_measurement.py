@@ -2661,3 +2661,198 @@ def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(fr, 4).alias("fr_stat"),
         F.when(fr > crit, 1).otherwise(0).alias("significant_5pct"),
     )
+
+
+# --- M28: stratified odds ratio with Woolf CI ----------------------------------
+
+
+@query(
+    "q_odds_ratio",
+    oracle="""
+    WITH cells AS (
+      SELECT l_linestatus AS stratum,
+             CAST(sum(CASE WHEN l_discount >= 0.05
+                            AND l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(sum(CASE WHEN l_discount >= 0.05
+                            AND l_returnflag <> 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(sum(CASE WHEN l_discount < 0.05
+                            AND l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(sum(CASE WHEN l_discount < 0.05
+                            AND l_returnflag <> 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM lineitem GROUP BY 1)
+    SELECT stratum, a, b, c, d,
+           round((a * CAST(d AS DOUBLE)) / (b * CAST(c AS DOUBLE)), 6)
+             AS odds_ratio,
+           round(exp(ln((a * CAST(d AS DOUBLE)) / (b * CAST(c AS DOUBLE)))
+                     - 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6)
+             AS ci_lo,
+           round(exp(ln((a * CAST(d AS DOUBLE)) / (b * CAST(c AS DOUBLE)))
+                     + 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)), 6)
+             AS ci_hi,
+           CASE WHEN exp(ln((a * CAST(d AS DOUBLE))
+                            / (b * CAST(c AS DOUBLE)))
+                        - 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)) > 1.0
+                  OR exp(ln((a * CAST(d AS DOUBLE))
+                            / (b * CAST(c AS DOUBLE)))
+                         + 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)) < 1.0
+                THEN 1 ELSE 0 END AS significant_5pct
+    FROM cells ORDER BY stratum
+    """,
+)
+def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified odds ratio with the Woolf log-CI (M28, wave 39): is
+    a discounted line item more likely to be RETURNED, per line
+    status? The 2×2-table effect measure epidemiology and churn
+    analysis report where M1's z-test reports a rate difference —
+    multiplicative, and well-defined in retrospective designs. CI =
+    exp(ln OR ± 1.96·√(1/a+1/b+1/c+1/d)); significance = CI excludes
+    1.
+
+    100 TB shape: ONE hash aggregate to four int64 counters per
+    stratum (map-side combine does everything); the OR arithmetic is
+    per-row closed form over ≤2 rows. ln/exp association written
+    identically on both sides."""
+    li = load_table(spark, "lineitem", sf_dir)
+    exp_ = F.col("l_discount") >= 0.05
+    out = F.col("l_returnflag") == "R"
+    cells = li.groupBy(F.col("l_linestatus").alias("stratum")).agg(
+        F.sum(F.when(exp_ & out, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(exp_ & ~out, 1).otherwise(0)).cast("long").alias("b"),
+        F.sum(F.when(~exp_ & out, 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when(~exp_ & ~out, 1).otherwise(0)).cast("long").alias("d"),
+    )
+    orr = (F.col("a") * F.col("d").cast("double")) / (
+        F.col("b") * F.col("c").cast("double")
+    )
+    se = F.sqrt(
+        1.0 / F.col("a") + 1.0 / F.col("b") + 1.0 / F.col("c") + 1.0 / F.col("d")
+    )
+    lo = F.exp(F.log(orr) - 1.96 * se)
+    hi = F.exp(F.log(orr) + 1.96 * se)
+    return cells.select(
+        "stratum",
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(orr, 6).alias("odds_ratio"),
+        F.round(lo, 6).alias("ci_lo"),
+        F.round(hi, 6).alias("ci_hi"),
+        F.when((lo > 1.0) | (hi < 1.0), 1).otherwise(0).alias(
+            "significant_5pct"
+        ),
+    ).orderBy("stratum")
+
+
+# --- M29: TOST equivalence test -------------------------------------------------
+
+_TOST_MARGIN = 0.05  # +/-5% equivalence margin on the mean
+
+
+@query(
+    "q_tost_equivalence",
+    oracle=f"""
+    WITH lab AS (
+      SELECT CASE WHEN dayofweek(CAST(o_orderdate AS DATE)) IN (0, 6)
+                  THEN 'weekend' ELSE 'weekday' END AS grp,
+             o_totalprice AS x
+      FROM orders),
+    g AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n, sum(x) AS s1,
+             sum(x * x) AS s2
+      FROM lab GROUP BY 1),
+    w AS (
+      SELECT
+        max(CASE WHEN grp = 'weekend' THEN n END) AS n1,
+        max(CASE WHEN grp = 'weekend' THEN s1 END) AS s11,
+        max(CASE WHEN grp = 'weekend' THEN s2 END) AS s21,
+        max(CASE WHEN grp = 'weekday' THEN n END) AS n2,
+        max(CASE WHEN grp = 'weekday' THEN s1 END) AS s12,
+        max(CASE WHEN grp = 'weekday' THEN s2 END) AS s22
+      FROM g),
+    t AS (
+      SELECT n1, n2,
+             s11 / n1 - s12 / n2 AS diff,
+             (s12 / n2) * {_TOST_MARGIN} AS margin,
+             sqrt((s21 / n1 - (s11 / n1) * (s11 / n1)) / n1
+                  + (s22 / n2 - (s12 / n2) * (s12 / n2)) / n2) AS se
+      FROM w)
+    SELECT n1 AS n_weekend, n2 AS n_weekday,
+           round(diff, 4) AS mean_diff,
+           round(margin, 4) AS margin,
+           round((diff + margin) / se, 4) AS t_lower,
+           round((diff - margin) / se, 4) AS t_upper,
+           CASE WHEN (diff + margin) / se > 1.6449
+                 AND (diff - margin) / se < -1.6449
+                THEN 1 ELSE 0 END AS equivalent_5pct
+    FROM t
+    """,
+)
+def q_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (M29, wave 39): are weekend and weekday
+    mean order values EQUIVALENT within ±5 % of the weekday mean? Two
+    one-sided z-tests — reject "diff ≤ −δ" AND reject "diff ≥ +δ" at
+    α = 0.05 (critical 1.6449) ⇒ equivalence. The test TM12's uplift
+    t-test cannot run: failing to find a difference is not evidence
+    of equivalence; TOST is how an experimentation platform certifies
+    a no-regression launch.
+
+    100 TB shape: ONE fact aggregate to two rows of (n, Σx, Σx²)
+    sufficient statistics; everything after is one-row arithmetic.
+    Spark dayofweek (Sun=1) is mapped to match the oracle's DuckDB
+    dayofweek (Sun=0) weekend test explicitly."""
+    o = load_table(spark, "orders", sf_dir)
+    # DuckDB dayofweek: Sun=0..Sat=6 -> weekend IN (0,6);
+    # Spark dayofweek: Sun=1..Sat=7 -> weekend IN (1,7)
+    lab = o.select(
+        F.when(
+            F.dayofweek(F.to_date("o_orderdate")).isin(1, 7), "weekend"
+        )
+        .otherwise("weekday")
+        .alias("grp"),
+        F.col("o_totalprice").alias("x"),
+    )
+    g = lab.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == "weekend", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == "weekend", F.col("s1"))).alias("s11"),
+        F.max(F.when(F.col("grp") == "weekend", F.col("s2"))).alias("s21"),
+        F.max(F.when(F.col("grp") == "weekday", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("grp") == "weekday", F.col("s1"))).alias("s12"),
+        F.max(F.when(F.col("grp") == "weekday", F.col("s2"))).alias("s22"),
+    )
+    diff = F.col("s11") / F.col("n1") - F.col("s12") / F.col("n2")
+    margin = (F.col("s12") / F.col("n2")) * _TOST_MARGIN
+    se = F.sqrt(
+        (
+            F.col("s21") / F.col("n1")
+            - (F.col("s11") / F.col("n1")) * (F.col("s11") / F.col("n1"))
+        )
+        / F.col("n1")
+        + (
+            F.col("s22") / F.col("n2")
+            - (F.col("s12") / F.col("n2")) * (F.col("s12") / F.col("n2"))
+        )
+        / F.col("n2")
+    )
+    t_lo = (diff + margin) / se
+    t_hi = (diff - margin) / se
+    return w.select(
+        F.col("n1").alias("n_weekend"),
+        F.col("n2").alias("n_weekday"),
+        F.round(diff, 4).alias("mean_diff"),
+        F.round(margin, 4).alias("margin"),
+        F.round(t_lo, 4).alias("t_lower"),
+        F.round(t_hi, 4).alias("t_upper"),
+        F.when((t_lo > 1.6449) & (t_hi < -1.6449), 1)
+        .otherwise(0)
+        .alias("equivalent_5pct"),
+    )

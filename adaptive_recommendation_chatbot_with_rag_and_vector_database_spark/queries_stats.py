@@ -1602,3 +1602,115 @@ def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(f_stat, 4).alias("f_stat"),
         F.when(f_stat > 2.9957, 0).otherwise(1).alias("variances_equal_5pct"),
     )
+
+
+# --- ST20: L-moments from tie classes -------------------------------------------
+
+
+@query(
+    "q_l_moments",
+    oracle="""
+    WITH vc AS (
+      SELECT o_totalprice AS v, CAST(count(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1),
+    r AS (
+      SELECT v, cnt,
+             COALESCE(sum(cnt) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum,
+             sum(cnt) OVER () AS n
+      FROM vc),
+    b AS (
+      SELECT max(n) AS n,
+             sum(v * cnt) AS sb0,
+             sum(v * ((cnt * CAST(cum AS DOUBLE)
+                       + cnt * (cnt - 1) / 2.0)
+                      / (n - 1.0))) AS sb1,
+             sum(v * (((cum + cnt) / 1.0 * (cum + cnt - 1) * (cum + cnt - 2)
+                        / 3.0
+                       - cum / 1.0 * (cum - 1) * (cum - 2) / 3.0)
+                      / ((n - 1.0) * (n - 2.0)))) AS sb2,
+             sum(v * (((cum + cnt) / 1.0 * (cum + cnt - 1) * (cum + cnt - 2)
+                        * (cum + cnt - 3) / 4.0
+                       - cum / 1.0 * (cum - 1) * (cum - 2) * (cum - 3)
+                         / 4.0)
+                      / ((n - 1.0) * (n - 2.0) * (n - 3.0)))) AS sb3
+      FROM r),
+    lm AS (
+      SELECT n,
+             sb0 / n AS b0, sb1 / n AS b1, sb2 / n AS b2, sb3 / n AS b3
+      FROM b)
+    SELECT CAST(n AS BIGINT) AS n,
+           round(b0, 4) AS l1,
+           round(2 * b1 - b0, 4) AS l2,
+           round((2 * b1 - b0) / b0, 6) AS l_cv,
+           round((6 * b2 - 6 * b1 + b0) / (2 * b1 - b0), 6) AS l_skew,
+           round((20 * b3 - 30 * b2 + 12 * b1 - b0) / (2 * b1 - b0), 6)
+             AS l_kurt
+    FROM lm
+    """,
+)
+def q_l_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-moments of the order-value distribution (ST20, wave 39): λ₁,
+    λ₂ and the L-ratios L-CV / L-skewness / L-kurtosis — the
+    order-statistics moments hydrology and risk teams use where
+    classical moments (ST17's skew/kurtosis) are unbounded and
+    outlier-fragile (L-ratios are bounded in [−1, 1] and exist for any
+    distribution with a mean). Computed from probability-weighted
+    moments b_r = (1/n)·Σ x₍ᵢ₎·C(i−1, r)/C(n−1, r).
+
+    Never sorts rows: the tie classes own order-statistic ranks
+    [cum+1, cum+cnt], and Σᵢ (i−1)(i−2)…(i−r) over a class is the
+    closed-form telescoping difference of T_r(m) = m(m−1)…(m−r)/(r+1)
+    — evaluated in DOUBLE (T₃ overflows int64 past ~55 k rows) with
+    the weight normalized to ≤1 BEFORE multiplying the value, the
+    association written identically on both sides. One fact aggregate
+    + the bucketless class prefix sum (value-ordered window over the
+    class table); everything after is one-row arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    vc = o.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    r = vc.select(
+        "v",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    n = F.col("n")
+    cnt, cum, v = F.col("cnt"), F.col("cum"), F.col("v")
+    t2 = lambda m: m / 1.0 * (m - 1) * (m - 2) / 3.0  # noqa: E731
+    t3 = lambda m: m / 1.0 * (m - 1) * (m - 2) * (m - 3) / 4.0  # noqa: E731
+    b = r.select(
+        "n",
+        (v * cnt).alias("c0"),
+        (v * ((cnt * cum.cast("double") + cnt * (cnt - 1) / 2.0) / (n - 1.0))).alias("c1"),
+        (v * ((t2(cum + cnt) - t2(cum)) / ((n - 1.0) * (n - 2.0)))).alias("c2"),
+        (
+            v
+            * (
+                (t3(cum + cnt) - t3(cum))
+                / ((n - 1.0) * (n - 2.0) * (n - 3.0))
+            )
+        ).alias("c3"),
+    ).groupBy("n").agg(
+        F.sum("c0").alias("sb0"),
+        F.sum("c1").alias("sb1"),
+        F.sum("c2").alias("sb2"),
+        F.sum("c3").alias("sb3"),
+    )
+    b0 = F.col("sb0") / n
+    b1 = F.col("sb1") / n
+    b2 = F.col("sb2") / n
+    b3 = F.col("sb3") / n
+    l2 = 2 * b1 - b0
+    return b.select(
+        n.cast("long").alias("n"),
+        F.round(b0, 4).alias("l1"),
+        F.round(l2, 4).alias("l2"),
+        F.round(l2 / b0, 6).alias("l_cv"),
+        F.round((6 * b2 - 6 * b1 + b0) / l2, 6).alias("l_skew"),
+        F.round((20 * b3 - 30 * b2 + 12 * b1 - b0) / l2, 6).alias("l_kurt"),
+    )

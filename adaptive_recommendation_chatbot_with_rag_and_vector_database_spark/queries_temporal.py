@@ -1605,3 +1605,69 @@ def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("year", "quarter")
     )
+
+
+# --- TM19: series peak detection ------------------------------------------------
+
+_PEAK_W = 3  # strict local max over +/-3 series neighbors
+_PEAK_K = 10
+
+
+@query(
+    "q_peak_detection",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             round(sum(o_totalprice), 4) AS rev
+      FROM orders GROUP BY 1),
+    nb AS (
+      SELECT d, rev,
+             lag(rev, 1) OVER w AS l1, lag(rev, 2) OVER w AS l2,
+             lag(rev, 3) OVER w AS l3,
+             lead(rev, 1) OVER w AS r1, lead(rev, 2) OVER w AS r2,
+             lead(rev, 3) OVER w AS r3
+      FROM daily WINDOW w AS (ORDER BY d)),
+    peaks AS (
+      SELECT d, rev,
+             round(rev - greatest(l1, l2, l3, r1, r2, r3), 4) AS prominence
+      FROM nb
+      WHERE l3 IS NOT NULL AND r3 IS NOT NULL
+        AND rev > greatest(l1, l2, l3, r1, r2, r3))
+    SELECT d AS peak_day, rev, prominence
+    FROM peaks ORDER BY rev DESC, d LIMIT {_PEAK_K}
+    """,
+)
+def q_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maxima peak detection (TM19, wave 39): days whose revenue
+    strictly exceeds every series neighbor within ±{_PEAK_W} positions,
+    ranked by height with a prominence-lite score (height above the
+    tallest neighbor) — the spike shortlist an on-call dashboard pins
+    next to TM13's drawdown and Y10's z-scores (which flag global
+    outliers; peaks are LOCAL structure). Edge days without a full
+    ±{_PEAK_W} neighborhood are excluded on both engines.
+
+    Rides the shared daily_orders checkpoint; the lag/lead battery is
+    one window over the |days|-row series on exact 4-dp day values, so
+    every comparison and the final top-{_PEAK_K} cut are
+    deterministic."""
+    from .sources.loaders import daily_orders
+
+    daily = daily_orders(spark, sf_dir).select("d", "rev")
+    w = Window.orderBy("d")
+    nb = daily.select(
+        "d",
+        "rev",
+        *[F.lag("rev", i).over(w).alias(f"l{i}") for i in (1, 2, 3)],
+        *[F.lead("rev", i).over(w).alias(f"r{i}") for i in (1, 2, 3)],
+    )
+    tallest = F.greatest("l1", "l2", "l3", "r1", "r2", "r3")
+    peaks = nb.filter(
+        F.col("l3").isNotNull()
+        & F.col("r3").isNotNull()
+        & (F.col("rev") > tallest)
+    ).select(
+        F.col("d").alias("peak_day"),
+        "rev",
+        F.round(F.col("rev") - tallest, 4).alias("prominence"),
+    )
+    return peaks.orderBy(F.desc("rev"), F.asc("peak_day")).limit(_PEAK_K)

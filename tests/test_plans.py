@@ -1389,3 +1389,53 @@ def test_brier_decomposition_single_tokenize(spark):
     # once however many decomposition terms consume it
     assert "Scan ExistingRDD" in plan
     assert "BatchEvalPython" not in plan
+
+
+# --- wave 39 ----------------------------------------------------------------
+
+
+def test_odds_ratio_single_scan_counters(spark):
+    plan = _plan(spark, "q_odds_ratio")
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_sum" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_tost_single_scan_sufficient_stats(spark):
+    plan = _plan(spark, "q_tost_equivalence")
+    assert plan.count("FileScan parquet") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_katz_hops_ride_checkpointed_edges(spark):
+    plan = _plan(spark, "q_katz_centrality")
+    # the symmetrized edge list is checkpointed once; each hop is a
+    # vertex-keyed join+agg against it; top-k via TakeOrdered
+    assert "Scan ExistingRDD" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kcore_rounds_checkpoint_shrinking_edges(spark):
+    plan = _plan(spark, "q_kcore_peel")
+    # each peel round reads the PREVIOUS round's checkpoint (no
+    # re-derivation chain); the final plan consumes the last round's
+    # materialized edges
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_peak_detection_rides_daily_checkpoint(spark):
+    plan = _plan(spark, "q_peak_detection")
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_l_moments_tie_classes_no_sort_of_facts(spark):
+    plan = _plan(spark, "q_l_moments")
+    # one fact aggregate to value classes; the only Sort in the plan
+    # orders the class table (value axis), never fact rows
+    assert plan.count("FileScan parquet") == 1
+    assert "percentile" not in plan.lower()
+    assert "BatchEvalPython" not in plan
