@@ -535,7 +535,8 @@ _HC_K = 20
       FROM cnt),
     scored AS (
       SELECT c.term, c.ca, c.cb,
-             abs(c.ca * t.tb - c.cb * t.ta) AS xdelta,
+             abs(CAST(c.ca AS HUGEINT) * t.tb
+                 - CAST(c.cb AS HUGEINT) * t.ta) AS xdelta,
              t.ta, t.tb
       FROM cnt c, tot t)
     SELECT term, ca AS count_en, cb AS count_rest,
@@ -589,9 +590,15 @@ def q_heavy_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cb",
         "ta",
         "tb",
-        F.abs(F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta")).alias(
-            "xdelta"
-        ),
+        # decimal(38,0) cross product: per-slice totals reach ~1e10 on a
+        # 100 TB corpus, so ca*tb can exceed 2^63 — int64 would wrap
+        # silently on Spark while DuckDB raises (ADVICE r9). HUGEINT on
+        # the oracle side; the key is sort-only so output types are
+        # unaffected.
+        F.abs(
+            F.col("ca").cast("decimal(19,0)") * F.col("tb").cast("decimal(19,0)")
+            - F.col("cb").cast("decimal(19,0)") * F.col("ta").cast("decimal(19,0)")
+        ).alias("xdelta"),
     )
     return (
         scored.orderBy(F.desc("xdelta"), F.asc("term"))

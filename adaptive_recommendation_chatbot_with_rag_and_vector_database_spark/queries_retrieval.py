@@ -1007,16 +1007,20 @@ def q_rbo_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms (sorted-array aggregate on both engines) so float
     accumulation order is pinned — the R8 integer-DCG lesson applied
     to a float series."""
-    li = load_table(spark, "lineitem", sf_dir)
+    # rides the shared part_revenue substrate (checkpointed
+    # |parts|×|years| rows) instead of re-scanning the fact: the period
+    # split and the 4-dp rounding re-apply on the year-partial sums —
+    # value-identical to the row-level sum (net is an exact 4-dp
+    # quantity, see part_revenue docstring), so the oracle is unchanged
+    from .sources.loaders import part_revenue
+
     rev = (
-        li.groupBy(
-            F.when(F.year("l_shipdate") <= 1997, "a").otherwise("b").alias("period"),
+        part_revenue(spark, sf_dir)
+        .groupBy(
+            F.when(F.col("yr") <= 1997, "a").otherwise("b").alias("period"),
             "l_partkey",
         )
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
-            .alias("rev")
-        )
+        .agg(F.round(F.sum("net"), 4).alias("rev"))
     )
     w = Window.partitionBy("period").orderBy(F.desc("rev"), F.asc("l_partkey"))
     # rnk<=k cuts as WindowGroupLimit below the exchange; the ≤2k-row

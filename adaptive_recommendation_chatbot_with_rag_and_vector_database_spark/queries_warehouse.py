@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import query
-from .sources.loaders import load_table
+from .sources.loaders import cust_revenue, load_table, part_revenue
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1137,10 +1137,8 @@ def q_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast (1000-dollar buckets keep the offset table driver-scale),
     within-bucket windows carry the parallelism, exact decile cut on
     the integer rank."""
-    cust = (
-        _t(spark, sf_dir, "orders")
-        .groupBy("o_custkey")
-        .agg(F.sum("o_totalprice").alias("rev"))
+    cust = cust_revenue(spark, sf_dir).select(
+        "o_custkey", F.col("rev_raw").alias("rev")
     )
     tot = cust.agg(
         F.count(F.lit(1)).cast("long").alias("n"), F.sum("rev").alias("total")
@@ -1732,10 +1730,7 @@ def q_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism — no single-partition sort over customers. All counts
     int64; revenue rounds at the customer rollup before ranking so
     tie-breaks agree across engines."""
-    o = load_table(spark, "orders", sf_dir)
-    cust = o.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 4).alias("rev")
-    )
+    cust = cust_revenue(spark, sf_dir).select("o_custkey", "rev")
     b = cust.withColumn("bkt", F.floor(F.col("rev") / 10000.0).cast("long"))
     bc = b.groupBy("bkt").agg(F.count(F.lit(1)).cast("long").alias("bn"))
     w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
@@ -1836,10 +1831,7 @@ def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is 25 rows. Customer revenue rounds to 4 decimals (module
     convention) before any ratio; ln association identical on both
     sides."""
-    o = load_table(spark, "orders", sf_dir)
-    cust = o.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 4).alias("rev")
-    )
+    cust = cust_revenue(spark, sf_dir).select("o_custkey", "rev")
     c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
     n = load_table(spark, "nation", sf_dir).select(
         "n_nationkey", F.col("n_name").alias("nation")
@@ -1965,11 +1957,14 @@ def q_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a part-keyed join of two part-keyed rollups. Revenue rounds to
     4 decimals before ranking (module convention)."""
     li = load_table(spark, "lineitem", sf_dir)
-    # part-revenue rollup feeds the ABC window, the join and the total —
-    # checkpoint so the fact aggregate runs once
-    pr = li.groupBy("l_partkey").agg(
-        F.round(F.sum("l_extendedprice"), 4).alias("rev")
-    ).localCheckpoint()
+    # part revenue rides the shared session substrate (checkpointed
+    # |parts|×|years| rows) — the ABC window, the join and the total all
+    # re-aggregate that tiny frame instead of re-scanning the fact;
+    # round(Σ year-partials, 4) equals round(Σ rows, 4) because gross is
+    # an exact 2-dp quantity (see part_revenue docstring)
+    pr = part_revenue(spark, sf_dir).groupBy("l_partkey").agg(
+        F.round(F.sum("gross"), 4).alias("rev")
+    )
     w_cum = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
         Window.unboundedPreceding, 0
     )

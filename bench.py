@@ -51,6 +51,13 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+#: substrate-build timings recorded by the last _warmup call (visible
+#: in bench_full.json + the stdout line so the one-time session-cache
+#: cost is a line item, not a silent charge on the first consumer —
+#: VERDICT r9 #5/#6)
+SUBSTRATE_TIMINGS: dict = {}
+
+
 def _warmup(spark) -> None:
     """Untimed: start executor Python workers and run the engine's real
     UDFs once so every worker has imported the package (numpy, Arrow
@@ -154,6 +161,16 @@ def _warmup(spark) -> None:
         .groupBy("event_type")
         .agg(F.sum("value"), F.max("rn"))
     )
+    # build every session substrate once, timed: consumers then hit the
+    # session caches exactly as they would mid-run, and the one-time
+    # build cost is reported as its own line instead of landing inside
+    # whichever consumer query the alphabet schedules first
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.sources.loaders import (
+        warm_substrates,
+    )
+
+    SUBSTRATE_TIMINGS.clear()
+    SUBSTRATE_TIMINGS.update(warm_substrates(spark, SF_DIR))
 
 
 def _timed(fn, runs: int) -> float:
@@ -191,6 +208,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "substrates": dict(SUBSTRATE_TIMINGS),
         "sf": _sf_from_dir(SF_DIR),
     }
     # full per-query map → file (270+ queries ≈ 6 KB of JSON; the
@@ -215,6 +233,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": slow,
                 "n_queries": len(timings),
+                "substrates": dict(SUBSTRATE_TIMINGS),
                 "full": full_path,
                 "sf": _sf_from_dir(SF_DIR),
             },
