@@ -763,11 +763,15 @@ def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction. All arithmetic is integer.
 
     Plan shape: one (cy, cx) aggregate with map-side partials over the
-    point scan; the adjacency join and CC rounds run over ≤|dense
-    cells| rows (bounded by the mapped area / cell², NOT by points).
-    At 100 TB the cell aggregate is the only data-sized stage."""
-    from .operators.dedup import connected_components
-
+    point scan; everything after operates on the dense-cell table,
+    which is bounded by the mapped area / cell² (≤ 10°×20° / 1°² = 200
+    cells here, at ANY scale factor — by the coordinate generator, not
+    the data), so the component labeling runs as a driver-side
+    union-find over the collected cell list (the bounded-panel rule:
+    same class as the 64-probe ANN panel). The previous distributed
+    min-label propagation spent ~50 local jobs converging over a
+    ≤200-vertex graph (profiled r10); at 100 TB the cell aggregate is
+    the only data-sized stage either way."""
     cust = load_table(spark, "customer", sf_dir).select(
         "c_custkey",
         (((F.col("c_custkey") * 2654435761) % 120000) / 12000.0 + 40).alias(
@@ -798,29 +802,44 @@ def q_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pts",
         )
     )
-    a = dense.select(
-        F.col("cell").alias("cell_a"), F.col("cx").alias("ax"), F.col("cy").alias("ay")
-    )
-    b = dense.select(
-        F.col("cell").alias("cell_b"), F.col("cx").alias("bx"), F.col("cy").alias("by")
-    )
-    edges = a.join(
-        b,
-        (F.abs(F.col("ax") - F.col("bx")) <= 1)
-        & (F.abs(F.col("ay") - F.col("by")) <= 1)
-        & (F.col("cell_a") < F.col("cell_b")),
-    ).select("cell_a", "cell_b")
-    comp = connected_components(
-        edges, dense.select("cell"), id_col="cell", src="cell_a", dst="cell_b"
-    ).select("cell", "component")
-    return (
-        dense.join(comp, "cell")
-        .groupBy(F.col("component").alias("cluster_id"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_cells"),
-            F.sum("n_pts").cast("long").alias("n_points"),
-        )
-        .orderBy("cluster_id")
+    # bounded collect (≤200 rows by construction); 8-adjacency +
+    # min-label union-find driver-side — identical labels to the
+    # min-reachable-id propagation the oracle's recursive CTE computes
+    rows = dense.select("cell", "cx", "cy", "n_pts").collect()
+    parent = {r.cell: r.cell for r in rows}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x: int, y: int) -> None:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # min-label: the smaller cell id becomes the root, so every
+            # component root IS its min member (the oracle's labeling)
+            lo, hi = min(rx, ry), max(rx, ry)
+            parent[hi] = lo
+
+    by_pos = {(r.cy, r.cx): r.cell for r in rows}
+    for r in rows:
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                nb = by_pos.get((r.cy + dy, r.cx + dx))
+                if nb is not None and nb != r.cell:
+                    union(r.cell, nb)
+    agg: dict = {}
+    for r in rows:
+        comp = find(r.cell)
+        n_cells, n_points = agg.get(comp, (0, 0))
+        agg[comp] = (n_cells + 1, n_points + r.n_pts)
+    out = [
+        (comp, n_cells, n_points)
+        for comp, (n_cells, n_points) in sorted(agg.items())
+    ]
+    return spark.createDataFrame(
+        out, "cluster_id long, n_cells long, n_points long"
     )
 
 

@@ -844,8 +844,6 @@ def ranked_tie_classes(
     lookups, histogram stats) would otherwise re-execute the scan+rank
     lineage — measured 3x the wall. Checkpoint blocks are released by
     the ContextCleaner once the plan is garbage-collected."""
-    from pyspark.sql import Window
-
     # quantile_cont/percentile IGNORE NULLs; without this filter the
     # NULL class floor-buckets to NULL (sorts first in the prefix-sum
     # window, inflating every real class's cum) yet drops out of the
@@ -853,6 +851,21 @@ def ranked_tie_classes(
     vc = df.where(F.col(col).isNotNull()).groupBy(F.col(col).alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
+    return classes_from_counts(vc, bucket_width)
+
+
+def classes_from_counts(
+    vc: DataFrame,
+    bucket_width: float = 1000.0,
+) -> DataFrame:
+    """(v, cnt) value-count rollup → checkpointed (v, cnt, cum) tie
+    classes (the ``ranked_tie_classes`` rank machinery, entered after
+    the fact aggregate). Split out so consumers holding an ALREADY
+    aggregated value-count table — e.g. the ungrouped price classes
+    derived from the grouped session substrate by an exact int64
+    Σcnt — rank it without touching the fact again."""
+    from pyspark.sql import Window
+
     b = vc.withColumn("bkt", F.floor(F.col("v") / bucket_width).cast("long"))
     bc = b.groupBy("bkt").agg(F.sum("cnt").cast("long").alias("bn"))
     w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
@@ -1089,6 +1102,55 @@ def grouped_quantiles_from_ranked(
     )
 
 
+#: session-cached lineitem price tie-class substrates, keyed by
+#: (applicationId, sf_dir) — the daily_orders pattern applied to the
+#: exact-rank family (VERDICT r10 floor paydown). FOUR queries
+#: independently rebuilt l_extendedprice tie classes from the fact:
+#: q_iqr_outliers (grouped by l_returnflag), q_equi_depth_histogram,
+#: q_exact_quantiles and q_spearman_corr's price side (ungrouped). The
+#: ungrouped table derives from the grouped one by an exact int64
+#: Σcnt + re-rank over |classes| rows — no second fact scan, values
+#: identical by construction (counts are integers; cum is recomputed
+#: from scratch), so no oracle changes.
+_PRICE_CLASSES_G_CACHE: dict = {}
+_PRICE_CLASSES_CACHE: dict = {}
+
+
+def price_classes_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_returnflag, v, cnt, cum) tie classes of l_extendedprice per
+    return flag — exactly ``grouped_ranked_tie_classes`` on the fact,
+    computed once per (session, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PRICE_CLASSES_G_CACHE.get(key)
+    if hit is not None:
+        return hit
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_extendedprice"
+    )
+    g = grouped_ranked_tie_classes(li, "l_extendedprice", "l_returnflag")
+    _PRICE_CLASSES_G_CACHE[key] = g
+    return g
+
+
+def price_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(v, cnt, cum) ungrouped l_extendedprice tie classes, derived
+    from the grouped session substrate (Σcnt over the ≤|classes| rows,
+    then the same floor-bucket re-rank) — value-identical to
+    ``ranked_tie_classes`` on the raw column, one fact scan fewer."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PRICE_CLASSES_CACHE.get(key)
+    if hit is not None:
+        return hit
+    vc = (
+        price_classes_grouped(spark, sf_dir)
+        .groupBy("v")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    flat = classes_from_counts(vc)
+    _PRICE_CLASSES_CACHE[key] = flat
+    return flat
+
+
 @query(
     "q_equi_depth_histogram",
     oracle="""
@@ -1135,16 +1197,16 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     class count itself). Cut points are rounded to 4 decimals BEFORE
     assignment (the module-wide rule), so a 1-ulp interpolation
     difference can't flip a row's bucket."""
-    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
     ps = [i / 8.0 for i in range(1, 8)]
-    # ONE pass builds the checkpointed (v, cnt, cum) tie-class table;
-    # the cut points AND the per-bucket stats both read it. A bucket is
-    # a function of the value alone, so a whole tie class lands in one
-    # bucket: n_rows is sum(cnt), NDV is the class count, lo/hi are
-    # min/max v — no second raw-column scan, no (bucket, value)
-    # re-grouping of 6x more raw rows (that second scan + regroup was
-    # the query's dominant cost at sf0.1).
-    ranked = ranked_tie_classes(li, "l_extendedprice")
+    # the checkpointed (v, cnt, cum) tie-class table comes from the
+    # shared price-class session substrate; the cut points AND the
+    # per-bucket stats both read it. A bucket is a function of the
+    # value alone, so a whole tie class lands in one bucket: n_rows is
+    # sum(cnt), NDV is the class count, lo/hi are min/max v — no
+    # second raw-column scan, no (bucket, value) re-grouping of 6x
+    # more raw rows (that second scan + regroup was the query's
+    # dominant cost at sf0.1).
+    ranked = price_classes(spark, sf_dir)
     q7 = quantiles_from_ranked(ranked, ps)
     bounds = q7.groupBy().pivot("frac", ps).agg(
         F.round(F.first("quantile"), 4)
@@ -1195,9 +1257,8 @@ def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one floor-bucket's tie classes. The interpolation definition
     (pos = 1 + (n−1)·q, linear between covering order statistics) is
     identical on both engines, so parity is exact after 1e-4 rounding."""
-    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
     return (
-        exact_quantiles_grouped(li, "l_extendedprice", _QUANTILE_FRACS)
+        quantiles_from_ranked(price_classes(spark, sf_dir), _QUANTILE_FRACS)
         .select("frac", F.round("quantile", 4).alias("quantile"))
         .orderBy("frac")
     )

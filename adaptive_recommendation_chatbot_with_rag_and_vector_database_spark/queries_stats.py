@@ -146,7 +146,7 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pearson corr over the rank pairs. DuckDB's oracle uses the
     classic rank windows; average ranks agree exactly because
     rank() = cum + 1."""
-    from .queries_scale import ranked_tie_classes
+    from .queries_scale import price_classes, ranked_tie_classes
 
     li = _t(spark, sf_dir, "lineitem").select(
         "l_quantity", "l_extendedprice"
@@ -155,9 +155,9 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("l_quantity"),
         (F.col("cum") + (F.col("cnt") + 1) / 2.0).alias("ra"),
     )
-    rb = ranked_tie_classes(
-        li.select("l_extendedprice"), "l_extendedprice"
-    ).select(
+    # price ranks ride the shared price-class session substrate — one
+    # fewer fact scan; the quantity side (~50 classes) stays local
+    rb = price_classes(spark, sf_dir).select(
         F.col("v").alias("l_extendedprice"),
         (F.col("cum") + (F.col("cnt") + 1) / 2.0).alias("rb"),
     )
@@ -363,13 +363,12 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100× tier."""
     from .queries_scale import (
         grouped_quantiles_from_ranked,
-        grouped_ranked_tie_classes,
+        price_classes_grouped,
     )
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_extendedprice"
-    )
-    ranked = grouped_ranked_tie_classes(li, "l_extendedprice", "l_returnflag")
+    # the per-group class table is the shared price-class session
+    # substrate (same grouped_ranked_tie_classes call, built once)
+    ranked = price_classes_grouped(spark, sf_dir)
     qq = grouped_quantiles_from_ranked(
         ranked, "l_returnflag", [0.25, 0.75]
     )

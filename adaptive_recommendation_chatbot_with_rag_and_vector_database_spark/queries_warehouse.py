@@ -1506,14 +1506,27 @@ def q_decile_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤100-row matrix."""
     from .queries_scale import grouped_ranked_tie_classes
 
+    from .sources.loaders import daily_orders
+
     od = _t(spark, sf_dir, "orders")
     rev = od.groupBy(
         F.year("o_orderdate").alias("yr"), "o_custkey"
     ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    # first order year off the shared daily_orders checkpoint (min day
+    # == min o_orderdate), not a second fact scan
     y1 = int(
-        od.agg(F.year(F.min("o_orderdate")).alias("y")).collect()[0].y
+        daily_orders(spark, sf_dir)
+        .agg(F.year(F.min("d")).alias("y"))
+        .collect()[0]
+        .y
     )
-    two = rev.filter(F.col("yr").isin(y1, y1 + 1))
+    # (yr, custkey, rev) rollup checkpointed: the tie-class build, the
+    # per-year sizes AND the rank join all consume it — uncheckpointed,
+    # the fact scan re-ran once per consumer (profiled 28 jobs/2.6 s;
+    # the frame is ≤2·|customers| rows at any SF)
+    two = rev.filter(F.col("yr").isin(y1, y1 + 1)).localCheckpoint(
+        eager=True
+    )
     cls = grouped_ranked_tie_classes(two, "rev", "yr").select(
         "yr", F.col("v").alias("rev"), "cum"
     )
@@ -1532,6 +1545,9 @@ def q_decile_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(10.0 * (F.col("rn") - 1) / F.col("n")).cast("long") + 1
             ).alias("dec"),
         )
+        # both transition sides (d_from / d_to) read the decile table —
+        # checkpoint so the rank machinery runs once
+        .localCheckpoint(eager=True)
     )
     a = ranked.filter(F.col("yr") == y1).select(
         "o_custkey", F.col("dec").alias("d_from")

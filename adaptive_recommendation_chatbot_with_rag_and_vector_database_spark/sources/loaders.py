@@ -183,12 +183,14 @@ def clear_substrate_caches() -> int:
     Returns the number of entries dropped. Unpersisting is left to
     session teardown — localCheckpoint blocks die with their
     SparkContext — so this only releases the Python references."""
-    from .. import queries_vector
+    from .. import queries_scale, queries_vector
 
     caches = (
         _DAILY_ORDERS_CACHE,
         _PART_REVENUE_CACHE,
         _CUST_REVENUE_CACHE,
+        queries_scale._PRICE_CLASSES_G_CACHE,
+        queries_scale._PRICE_CLASSES_CACHE,
         queries_vector._CHUNK_INDEX_CACHE,
         queries_vector._GT_PANEL_CACHE,
     )
@@ -209,13 +211,20 @@ def warm_substrates(spark: SparkSession, sf_dir: str) -> dict:
     as they do in any multi-query session."""
     import time
 
-    from .. import queries_vector
+    from .. import queries_scale, queries_vector
 
     timings = {}
     for name, build in (
         ("daily_orders", lambda: daily_orders(spark, sf_dir)),
         ("part_revenue", lambda: part_revenue(spark, sf_dir)),
         ("cust_revenue", lambda: cust_revenue(spark, sf_dir)),
+        (
+            "price_classes",
+            lambda: (
+                queries_scale.price_classes_grouped(spark, sf_dir),
+                queries_scale.price_classes(spark, sf_dir),
+            ),
+        ),
         ("chunk_index", lambda: queries_vector._chunk_index(spark, sf_dir)),
         ("ann_exact_panel", lambda: queries_vector._exact_panel(spark, sf_dir)),
     ):
