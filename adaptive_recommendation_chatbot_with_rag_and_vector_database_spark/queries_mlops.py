@@ -1054,6 +1054,48 @@ def q_feature_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- MO11: ROC AUC via the rank-sum identity --------------------------------
 
+#: session-cached score tie-class substrate, keyed by (applicationId,
+#: sf_dir): q_roc_auc, q_pr_auc and q_threshold_metrics each rebuilt
+#: the IDENTICAL (score, pos_cnt, neg_cnt, bkt) table — the same
+#: orders⋈lineitem label join + two aggregates — so it's built once
+#: per session (the daily_orders pattern). Values bit-identical to
+#: each query's standalone build; no oracle changes.
+_SCORE_CLASSES_CACHE: dict = {}
+
+
+def _score_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(score, pos_cnt, neg_cnt, bkt) over orders' does-price-predict-
+    returns label: score = o_totalprice, pos = the order has a returned
+    line, counts int64-exact, bkt = floor(score/10000) (the two-phase
+    prefix-sum bucket both AUC siblings window on). Eagerly
+    checkpointed once per (session, sf_dir); |distinct scores| rows."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SCORE_CLASSES_CACHE.get(key)
+    if hit is not None:
+        return hit
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    lab = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", F.col("o_totalprice").alias("score"))
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("pos")
+        )
+    )
+    b = (
+        lab.groupBy("score")
+        .agg(
+            F.sum("pos").cast("long").alias("pos_cnt"),
+            F.sum(1 - F.col("pos")).cast("long").alias("neg_cnt"),
+        )
+        .withColumn("bkt", F.floor(F.col("score") / 10000.0).cast("long"))
+        .localCheckpoint()
+    )
+    _SCORE_CLASSES_CACHE[key] = b
+    return b
+
 
 @query(
     "q_roc_auc",
@@ -1101,30 +1143,11 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     a |buckets|-row window, within-bucket sums window per bucket — so
     no single-partition sort ever sees fact rows even when every score
     is distinct."""
-    o = load_table(spark, "orders", sf_dir)
-    li = load_table(spark, "lineitem", sf_dir)
-    lab = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("o_orderkey", F.col("o_totalprice").alias("score"))
-        .agg(
-            F.max(
-                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
-            ).alias("pos")
-        )
-    )
-    cls = lab.groupBy("score").agg(
-        F.sum("pos").cast("long").alias("pos_cnt"),
-        F.sum(1 - F.col("pos")).cast("long").alias("neg_cnt"),
-    )
-    # two-phase prefix sum of negatives strictly below each score class:
-    # bucket offsets (|buckets| rows, driver-scale) + within-bucket window.
-    # The class table is eagerly checkpointed (the tie-class idiom): both
-    # the bucket-count side and the rank side consume it, and without the
-    # barrier each consumer re-runs the fact join.
-    b = (
-        cls.withColumn("bkt", F.floor(F.col("score") / 10000.0).cast("long"))
-        .localCheckpoint()
-    )
+    # the checkpointed class table is the shared session substrate
+    # (identical build across the three AUC siblings); the two-phase
+    # prefix sum of negatives strictly below each class windows on its
+    # bkt column — bucket offsets (|buckets| rows) + within-bucket
+    b = _score_classes(spark, sf_dir)
     bc = b.groupBy("bkt").agg(F.sum("neg_cnt").cast("long").alias("bn"))
     w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
     boff = bc.select(
@@ -1210,25 +1233,9 @@ def q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from the two-phase floor-bucket prefix sum — bucket offsets on
     a |buckets|-row side, within-bucket windows, no per-row global
     rank. Counts exact int64; AP's per-class term is two divisions."""
-    o = load_table(spark, "orders", sf_dir)
-    li = load_table(spark, "lineitem", sf_dir)
-    lab = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("o_orderkey", F.col("o_totalprice").alias("score"))
-        .agg(
-            F.max(
-                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
-            ).alias("pos")
-        )
-    )
-    cls = lab.groupBy("score").agg(
-        F.sum("pos").cast("long").alias("pos_cnt"),
-        F.sum(1 - F.col("pos")).cast("long").alias("neg_cnt"),
-    )
-    b = (
-        cls.withColumn("bkt", F.floor(F.col("score") / 10000.0).cast("long"))
-        .localCheckpoint()
-    )
+    # shared session substrate (see _score_classes): same class table
+    # as q_roc_auc, descending prefix sums window on its bkt column
+    b = _score_classes(spark, sf_dir)
     bc = b.groupBy("bkt").agg(
         F.sum("pos_cnt").cast("long").alias("bp"),
         F.sum("neg_cnt").cast("long").alias("bn"),
@@ -1322,20 +1329,10 @@ def q_threshold_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     (9×|classes| transient rows inside one aggregate), so the fact is
     scanned once and nothing fact-sized is ever re-shuffled per
     threshold."""
-    o = load_table(spark, "orders", sf_dir)
-    li = load_table(spark, "lineitem", sf_dir)
-    lab = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("o_orderkey", F.col("o_totalprice").alias("score"))
-        .agg(
-            F.max(
-                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
-            ).alias("pos")
-        )
-    )
-    cls = lab.groupBy("score").agg(
-        F.sum("pos").cast("long").alias("pos_cnt"),
-        F.sum(1 - F.col("pos")).cast("long").alias("neg_cnt"),
+    # shared session substrate (see _score_classes): the same class
+    # table as the AUC siblings, consumed without the bkt column
+    cls = _score_classes(spark, sf_dir).select(
+        "score", "pos_cnt", "neg_cnt"
     )
     grid = spark.createDataFrame(
         [(t,) for t in _THR_GRID], "thr int"

@@ -183,7 +183,7 @@ def clear_substrate_caches() -> int:
     Returns the number of entries dropped. Unpersisting is left to
     session teardown — localCheckpoint blocks die with their
     SparkContext — so this only releases the Python references."""
-    from .. import queries_scale, queries_vector
+    from .. import queries_mlops, queries_scale, queries_vector
 
     caches = (
         _DAILY_ORDERS_CACHE,
@@ -191,6 +191,7 @@ def clear_substrate_caches() -> int:
         _CUST_REVENUE_CACHE,
         queries_scale._PRICE_CLASSES_G_CACHE,
         queries_scale._PRICE_CLASSES_CACHE,
+        queries_mlops._SCORE_CLASSES_CACHE,
         queries_vector._CHUNK_INDEX_CACHE,
         queries_vector._GT_PANEL_CACHE,
     )
@@ -212,6 +213,7 @@ def warm_substrates(spark: SparkSession, sf_dir: str) -> dict:
     import time
 
     from .. import queries_scale, queries_vector
+    from ..queries_mlops import _score_classes as _mlops_classes
 
     timings = {}
     for name, build in (
@@ -225,6 +227,7 @@ def warm_substrates(spark: SparkSession, sf_dir: str) -> dict:
                 queries_scale.price_classes(spark, sf_dir),
             ),
         ),
+        ("score_classes", lambda: _mlops_classes(spark, sf_dir)),
         ("chunk_index", lambda: queries_vector._chunk_index(spark, sf_dir)),
         ("ann_exact_panel", lambda: queries_vector._exact_panel(spark, sf_dir)),
     ):

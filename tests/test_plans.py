@@ -1151,9 +1151,12 @@ def test_pr_auc_serves_from_checkpointed_class_table(spark):
 def test_threshold_metrics_broadcast_grid_over_classes(spark):
     plan = _plan(spark, "q_threshold_metrics")
     # the 9-row grid broadcasts against the class table (inner
-    # cross-shape is grid×classes, never grid×facts); the fact pair
-    # join reads orders+lineitem once each
-    assert plan.count("FileScan parquet") == 2
+    # cross-shape is grid×classes, never grid×facts); r10: the class
+    # table is the shared _score_classes session checkpoint — the fact
+    # pair join runs once per session INSIDE it, so the final plan
+    # reads no parquet at all
+    assert plan.count("FileScan parquet") == 0
+    assert "Scan ExistingRDD" in plan
     assert "BroadcastNestedLoopJoin" in plan
 
 
