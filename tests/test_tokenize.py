@@ -76,6 +76,19 @@ def test_fuzz_py_vs_duckdb_tokenizers():
     def check(text):
         if "\x00" in text:
             return  # NUL is not representable in a DuckDB VARCHAR
+        # Unicode case-TABLE version skew is not a tokenizer property:
+        # CPython and DuckDB ship different Unicode versions, so
+        # recently-cased codepoints (e.g. U+A7C0, cased in Unicode 13+)
+        # lowercase on one side only. The contract under fuzz is the
+        # pinned WHITESPACE CLASS + empty-drop; skip examples where the
+        # engines' lower() tables themselves disagree (fixture text is
+        # ASCII, where the tables are identical — oracle parity is
+        # unaffected, and test_curated_cases pins the casing path).
+        duck_lower = con.execute(
+            "SELECT lower(?::VARCHAR)", [text]
+        ).fetchone()[0]
+        if duck_lower != text.lower():
+            return
         duck = con.execute(
             f"SELECT {sql_toks('t')} FROM (SELECT ?::VARCHAR AS t)", [text]
         ).fetchone()[0]
