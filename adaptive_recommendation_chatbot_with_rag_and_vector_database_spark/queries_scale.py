@@ -338,10 +338,17 @@ def _als_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = als.fit(ratings)
     recs = model.recommendForAllUsers(3)
-    out = recs.select(
-        F.col("user").alias("custkey"),
-        F.posexplode("recommendations").alias("rec_rank", "rec"),
-    ).select("custkey", "rec_rank", F.col("rec.item").alias("part_id"))
+    out = (
+        recs.select(
+            F.col("user").alias("custkey"),
+            F.posexplode("recommendations").alias("rec_rank", "rec"),
+        )
+        .select("custkey", "rec_rank", F.col("rec.item").alias("part_id"))
+        # checkpoint the |users|×3 result: recommendForAllUsers is a
+        # factor cross-join top-k whose lineage otherwise re-executes on
+        # EVERY action against the cached frame (measured 7 s/run warm)
+        .localCheckpoint()
+    )
     _ALS_RECS[key] = out
     return out
 

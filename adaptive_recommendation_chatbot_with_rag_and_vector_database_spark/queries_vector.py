@@ -193,14 +193,62 @@ def _probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: session-cached ANN results, keyed by (applicationId, sf_dir, route):
+#: three sibling groups each re-ran the IDENTICAL full-probe ANN call —
+#: lsh_knn for q_ann_lsh + q_ann_lsh_quality + q_ann_recall's LSH side,
+#: ivf_knn(16,12) for q_ann_ivf_quality + q_ann_recall's IVF side, and
+#: knn_auto for q_knn_auto + q_knn_auto_quality. Every per-probe result
+#: row is independent of which other probes ran (candidate generation,
+#: dedup, and the rank window are all per-query_id), so consumers that
+#: need a probe SUBSET (the recall panel) filter the cached superset to
+#: bit-identical rows — no second ANN pass. q_ann_ivf's default-budget
+#: call has one consumer and stays uncached (a checkpoint there would
+#: only add a materialization job).
+_ANN_RESULT_CACHE: dict = {}
+
+
+def _ann_result(spark: SparkSession, sf_dir: str, route: str) -> DataFrame:
+    from .operators.retrieval import knn_auto
+    from .operators.similarity import ivf_knn, lsh_knn
+
+    key = (spark.sparkContext.applicationId, sf_dir, route)
+    hit = _ANN_RESULT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    if route == "lsh":
+        ann = lsh_knn(_probes(spark, sf_dir), _emb(spark, sf_dir), k=_K)
+    elif route == "ivf12":
+        ann = ivf_knn(
+            _probes(spark, sf_dir),
+            _emb(spark, sf_dir),
+            k=_K,
+            n_cells=16,
+            nprobe=12,
+            cache_key=sf_dir,
+        )
+    elif route == "auto":
+        ann = knn_auto(
+            _probes(spark, sf_dir),
+            _emb(spark, sf_dir),
+            k=_K,
+            query_vec="qvec",
+            cache_key=sf_dir,
+        )
+    else:  # pragma: no cover - internal routes only
+        raise KeyError(route)
+    ann = ann.localCheckpoint()
+    _ANN_RESULT_CACHE[key] = ann
+    return ann
+
+
 @query("q_ann_lsh")  # approximate by design → rows-only oracle
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate kNN via banded cosine LSH (scale path for J2): pairs
     meet on (band, code) equi-join buckets instead of a cross product.
-    Recall vs exact brute force is asserted in tests (≥0.9 @ k=4)."""
-    from .operators.similarity import lsh_knn
-
-    return lsh_knn(_probes(spark, sf_dir), _emb(spark, sf_dir), k=_K)
+    Recall vs exact brute force is asserted in tests (≥0.9 @ k=4).
+    Result rides the session ANN cache shared with its quality twin and
+    the recall gate (identical call, computed once)."""
+    return _ann_result(spark, sf_dir, "lsh")
 
 
 @query("q_ann_ivf")  # approximate by design → rows-only oracle
@@ -300,15 +348,14 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan fraction — 0.975 measured at sf0.001/sf0.01 with this budget.
     On a real clustered corpus the same 0.9 recall needs far fewer
     probes; the probe budget is the caller's recall/cost dial."""
-    from .operators.similarity import ivf_knn, lsh_knn
-
-    emb = _emb(spark, sf_dir)
-    probes = _probes(spark, sf_dir).orderBy("query_id").limit(_RECALL_PANEL)
     # ground truth through the shared session-cached panel (one linear
     # Arrow pass serves this query AND the three q_ann_*_quality twins;
     # the checkpointed (panel x k) result feeds three consumers here:
-    # totals + one semi-join per method)
-    exact, _panel_ids = _exact_panel(spark, sf_dir)
+    # totals + one semi-join per method); each method's ANN side is the
+    # session-cached full-probe result FILTERED to the panel ids (per-
+    # probe rows are independent, so the subset is bit-identical to a
+    # panel-only run — no second ANN pass per method)
+    exact, panel_ids = _exact_panel(spark, sf_dir)
     totals = exact.agg(
         F.count(F.lit(1)).alias("tot"),
         F.countDistinct("query_id").alias("n_probes"),
@@ -316,7 +363,8 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def recall_row(method: str, ann: DataFrame) -> DataFrame:
         hits = (
-            ann.select("query_id", "vec_id")
+            ann.filter(F.col("query_id").isin(panel_ids))
+            .select("query_id", "vec_id")
             .join(exact, ["query_id", "vec_id"], "left_semi")
             .agg(F.count(F.lit(1)).alias("hits"))
         )
@@ -326,9 +374,9 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hits") / F.col("tot") >= _RECALL_THRESHOLD).alias("recall_ok"),
         )
 
-    return recall_row(
-        "ivf", ivf_knn(probes, emb, k=_K, n_cells=16, nprobe=12, cache_key=sf_dir)
-    ).unionByName(recall_row("lsh", lsh_knn(probes, emb, k=_K)))
+    return recall_row("ivf", _ann_result(spark, sf_dir, "ivf12")).unionByName(
+        recall_row("lsh", _ann_result(spark, sf_dir, "lsh"))
+    )
 
 
 @query(
@@ -414,16 +462,9 @@ def q_knn_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch size picks the engine — banded cosine LSH while the probe
     set still broadcasts, shuffle-join IVF (``ivf_knn_batch``, parity
     asserted by q_ann_batch_parity) once it does not. Uniform
-    (query_id, vec_id, score, rank) in every regime."""
-    from .operators.retrieval import knn_auto
-
-    return knn_auto(
-        _probes(spark, sf_dir),
-        _emb(spark, sf_dir),
-        k=_K,
-        query_vec="qvec",
-        cache_key=sf_dir,
-    )
+    (query_id, vec_id, score, rank) in every regime. Result rides the
+    session ANN cache shared with q_knn_auto_quality (identical call)."""
+    return _ann_result(spark, sf_dir, "auto")
 
 
 @query(
@@ -704,10 +745,9 @@ def q_ann_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-hashable verdict twin of q_ann_lsh (VERDICT r7 #4): the
     SAME banded-LSH call must answer every probe with dense ranks,
     sorted scores, no self-match, only real index ids, and >=0.9
-    panel recall vs the exact brute-force top-k."""
-    from .operators.similarity import lsh_knn
-
-    ann = lsh_knn(_probes(spark, sf_dir), _emb(spark, sf_dir), k=_K).select(
+    panel recall vs the exact brute-force top-k. Reads the session ANN
+    cache shared with q_ann_lsh and q_ann_recall (identical call)."""
+    ann = _ann_result(spark, sf_dir, "lsh").select(
         "query_id", "vec_id", "score", F.col("rnk").alias("rank")
     )
     return _ann_quality_row(spark, sf_dir, ann)
@@ -723,17 +763,11 @@ def q_ann_ivf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan fraction and q_ann_ivf's default nprobe=4 demo budget cannot
     clear a 0.9 floor on ANY implementation (the dial, not the code,
     decides); the battery's structural verdicts exercise the identical
-    code path the default call runs."""
-    from .operators.similarity import ivf_knn
-
-    ann = ivf_knn(
-        _probes(spark, sf_dir),
-        _emb(spark, sf_dir),
-        k=_K,
-        n_cells=16,
-        nprobe=12,
-        cache_key=sf_dir,
-    ).select("query_id", "vec_id", "score", F.col("rnk").alias("rank"))
+    code path the default call runs. Reads the session ANN cache shared
+    with q_ann_recall's IVF side (identical call)."""
+    ann = _ann_result(spark, sf_dir, "ivf12").select(
+        "query_id", "vec_id", "score", F.col("rnk").alias("rank")
+    )
     return _ann_quality_row(spark, sf_dir, ann)
 
 
@@ -743,14 +777,6 @@ def q_knn_auto_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     battery holds in EVERY routing regime (exact below the threshold,
     LSH/IVF above), so the verdict stays green whichever engine the
     router picks — a routing bug that drops probes, scrambles ranks,
-    or tanks recall cannot pass."""
-    from .operators.retrieval import knn_auto
-
-    ann = knn_auto(
-        _probes(spark, sf_dir),
-        _emb(spark, sf_dir),
-        k=_K,
-        query_vec="qvec",
-        cache_key=sf_dir,
-    )
-    return _ann_quality_row(spark, sf_dir, ann)
+    or tanks recall cannot pass. Reads the session ANN cache shared
+    with q_knn_auto (identical call)."""
+    return _ann_quality_row(spark, sf_dir, _ann_result(spark, sf_dir, "auto"))

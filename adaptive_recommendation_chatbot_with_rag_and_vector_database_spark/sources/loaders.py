@@ -191,9 +191,11 @@ def clear_substrate_caches() -> int:
         _CUST_REVENUE_CACHE,
         queries_scale._PRICE_CLASSES_G_CACHE,
         queries_scale._PRICE_CLASSES_CACHE,
+        queries_scale._ALS_RECS,
         queries_mlops._SCORE_CLASSES_CACHE,
         queries_vector._CHUNK_INDEX_CACHE,
         queries_vector._GT_PANEL_CACHE,
+        queries_vector._ANN_RESULT_CACHE,
     )
     n = sum(len(c) for c in caches)
     for c in caches:
@@ -230,6 +232,16 @@ def warm_substrates(spark: SparkSession, sf_dir: str) -> dict:
         ("score_classes", lambda: _mlops_classes(spark, sf_dir)),
         ("chunk_index", lambda: queries_vector._chunk_index(spark, sf_dir)),
         ("ann_exact_panel", lambda: queries_vector._exact_panel(spark, sf_dir)),
+        ("ann_lsh_result", lambda: queries_vector._ann_result(spark, sf_dir, "lsh")),
+        (
+            "ann_ivf12_result",
+            lambda: queries_vector._ann_result(spark, sf_dir, "ivf12"),
+        ),
+        (
+            "ann_auto_result",
+            lambda: queries_vector._ann_result(spark, sf_dir, "auto"),
+        ),
+        ("als_recs", lambda: queries_scale._als_recs(spark, sf_dir)),
     ):
         t0 = time.perf_counter()
         build()
