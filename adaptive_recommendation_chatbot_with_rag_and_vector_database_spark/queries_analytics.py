@@ -182,21 +182,31 @@ def q_tpch_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (matches DuckDB's
-    quantile_cont). All four quantiles come from ONE array-argument
-    percentile aggregate: four separate aggregates would each buffer
-    the full group (measured 4× slower); the array form buffers once
-    and reads four order statistics. At 100 TB with wide groups switch
-    to approx_percentile (t-digest sketch, mergeable map-side, bounded
-    memory) and accept the documented error bound."""
-    li = _t(spark, sf_dir, "lineitem")
-    ps, names = [0.25, 0.50, 0.75, 0.95], ["p25", "p50", "p75", "p95"]
-    pct = F.percentile("l_extendedprice", F.array(*[F.lit(p) for p in ps]))
+    quantile_cont), from the shared per-group price tie-class substrate
+    (``grouped_ranked_tie_classes`` — the same checkpointed class table
+    q_iqr_outliers' quartiles read). The built-in grouped ``percentile``
+    collects one whole GROUP's values into a single aggregation buffer
+    (2 M values per buffer at the 100× tier) — the tie-class lookup
+    bounds single-task state by one (group, floor-bucket)'s classes
+    instead, the property that decides survival at 100 TB."""
+    from .queries_scale import (
+        grouped_quantiles_from_ranked,
+        price_classes_grouped,
+    )
+
+    ranked = price_classes_grouped(spark, sf_dir)
+    ps = [0.25, 0.50, 0.75, 0.95]
+    qq = grouped_quantiles_from_ranked(ranked, "l_returnflag", ps)
     return (
-        li.groupBy("l_returnflag")
-        .agg(pct.alias("_p"))
+        qq.groupBy("l_returnflag")
+        .pivot("frac", ps)
+        .agg(F.round(F.first("quantile"), 4))
         .select(
             "l_returnflag",
-            *[F.round(F.col("_p")[i], 4).alias(n) for i, n in enumerate(names)],
+            F.col("`0.25`").alias("p25"),
+            F.col("`0.5`").alias("p50"),
+            F.col("`0.75`").alias("p75"),
+            F.col("`0.95`").alias("p95"),
         )
     )
 

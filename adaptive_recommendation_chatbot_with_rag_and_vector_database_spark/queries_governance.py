@@ -176,24 +176,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (l_orderkey % 20) bounds the pair term per order; at 100 TB the
     same plan shards by edge key and the rank vector stays a
     partitioned DataFrame."""
-    li = (
-        load_table(spark, "lineitem", sf_dir)
-        .filter(F.col("l_orderkey") % 20 == 0)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b")
-        )
-        .distinct()
-    )
+    # the (a < b) co-purchase pairs are the session-cached graph
+    # substrate shared with the whole queries_graphstats family
+    # (identical decimation and construction — the module docstrings'
+    # "same graph" contract, now literally one checkpoint)
+    from .queries_graphstats import _undirected_edges
+
+    pairs = _undirected_edges(spark, sf_dir)
     edges = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = edges.groupBy("a").agg(F.count(F.lit(1)).cast("double").alias("d"))
     edges_d = edges.join(deg, "a").localCheckpoint(eager=False)

@@ -35,12 +35,23 @@ _GRAPH_SQL = """
 """
 
 
+#: session-cached co-purchase edge list, keyed by (applicationId,
+#: sf_dir): SIX consumers (triangle count, degree distribution,
+#: assortativity, Katz, k-core, PageRank) each re-derived the SAME
+#: lineitem self-join before — the module's single heaviest repeated
+#: subplan. One checkpoint per session serves them all.
+_EDGES_CACHE: dict = {}
+
+
 def _undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Undirected co-purchase edge list (a < b), checkpointed: every
-    consumer (degrees, orientation, wedge stats, |E|) reads ONE
-    materialization instead of re-deriving the lineitem self-join per
-    reference — the same materialize-once discipline as q_pagerank's
-    edges_d."""
+    """Undirected co-purchase edge list (a < b), checkpointed once per
+    (session, sf_dir): every consumer (degrees, orientation, wedge
+    stats, |E|, PageRank's symmetrization) reads ONE materialization
+    instead of re-deriving the lineitem self-join per query."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _EDGES_CACHE.get(key)
+    if hit is not None:
+        return hit
     li = (
         load_table(spark, "lineitem", sf_dir)
         .filter(F.col("l_orderkey") % 20 == 0)
@@ -48,7 +59,7 @@ def _undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     a, b = li.alias("a"), li.alias("b")
-    return (
+    e = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -58,8 +69,10 @@ def _undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b")
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
+    _EDGES_CACHE[key] = e
+    return e
 
 
 # --- I1: triangle count + clustering coefficient ---------------------------

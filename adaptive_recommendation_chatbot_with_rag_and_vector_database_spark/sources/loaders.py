@@ -183,9 +183,17 @@ def clear_substrate_caches() -> int:
     Returns the number of entries dropped. Unpersisting is left to
     session teardown — localCheckpoint blocks die with their
     SparkContext — so this only releases the Python references."""
-    from .. import queries_mlops, queries_scale, queries_vector
+    from .. import (
+        queries_graphstats,
+        queries_mlops,
+        queries_scale,
+        queries_text,
+        queries_vector,
+    )
 
     caches = (
+        queries_text._DOC_SKETCH_CACHE,
+        queries_graphstats._EDGES_CACHE,
         _DAILY_ORDERS_CACHE,
         _PART_REVENUE_CACHE,
         _CUST_REVENUE_CACHE,
@@ -214,7 +222,7 @@ def warm_substrates(spark: SparkSession, sf_dir: str) -> dict:
     as they do in any multi-query session."""
     import time
 
-    from .. import queries_scale, queries_vector
+    from .. import queries_graphstats, queries_scale, queries_text, queries_vector
     from ..queries_mlops import _score_classes as _mlops_classes
 
     timings = {}
@@ -242,6 +250,11 @@ def warm_substrates(spark: SparkSession, sf_dir: str) -> dict:
             lambda: queries_vector._ann_result(spark, sf_dir, "auto"),
         ),
         ("als_recs", lambda: queries_scale._als_recs(spark, sf_dir)),
+        ("doc_sketch", lambda: queries_text._doc_sketch(spark, sf_dir)),
+        (
+            "copurchase_edges",
+            lambda: queries_graphstats._undirected_edges(spark, sf_dir),
+        ),
     ):
         t0 = time.perf_counter()
         build()

