@@ -1003,3 +1003,125 @@ def brute_knn_block(
     return index.select(
         F.col(index_id).alias(index_id), F.col(index_vec).alias(index_vec)
     ).mapInPandas(part, "query_id long, vec_id long, score double")
+
+
+def label_dim_sums(
+    emb: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Per-partition per-label vector sums: ``(label, pos, s, n)`` rows
+    where ``s`` is the partition's float64 sum of component ``pos``
+    over its label-``label`` vectors and ``n`` that label's row count
+    in the partition (repeated per pos so a global
+    ``sum(s)/sum(n)`` per (label, pos) is the exact mean). The
+    centroid-update building block in the ``maxsim_label_partials``
+    discipline: one numpy pass per batch replaces a |rows| × dim
+    posexplode, and the exchange carries |labels| × dim rows per
+    partition — never the exploded component space."""
+
+    def part(batches):
+        sums: dict = {}
+        counts: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            labels = pdf[label_col].to_numpy()
+            for lab in np.unique(labels):
+                block = A[labels == lab]
+                s = block.sum(axis=0)
+                if lab in sums:
+                    sums[lab] = sums[lab] + s
+                    counts[lab] += block.shape[0]
+                else:
+                    sums[lab] = s
+                    counts[lab] = block.shape[0]
+        if sums:
+            labs = sorted(sums)
+            dim = sums[labs[0]].shape[0]
+            yield pd.DataFrame(
+                {
+                    "label": np.repeat(np.array(labs), dim),
+                    "pos": np.tile(np.arange(dim, dtype=np.int32), len(labs)),
+                    "s": np.concatenate([sums[lab] for lab in labs]),
+                    "n": np.repeat(
+                        np.array([counts[lab] for lab in labs], dtype=np.int64),
+                        dim,
+                    ),
+                }
+            )
+
+    return emb.select(label_col, vec_col).mapInPandas(
+        part, f"{label_col} int, pos int, s double, n long"
+    )
+
+
+def centroid_cosine_stat_partials(
+    emb: DataFrame,
+    labels: list,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-partition sums of round-6 member→centroid cosines:
+    ``(label, clabel, csum, cnt)`` — the silhouette-lite sufficient
+    statistics; a global ``sum(csum)/sum(cnt)`` per (label, clabel)
+    yields the exact mean of rounded cosines. ``centroids`` is the
+    bounded |labels| × dim matrix riding in the closure (the
+    codebook-smallness assumption). Dot products and squared norms
+    accumulate dimension by dimension in strict index order over
+    float64 — the same floating additions, in the same order, as the
+    Catalyst ``aggregate(zip_with(...))`` fold — and round via
+    ``_round6_duck``, so per-pair cosines are bit-identical to the
+    relational form while the |rows| × |labels| pair space never
+    materializes as rows."""
+    labs_arr = np.asarray(labels)
+    C = np.asarray(centroids, dtype=np.float64)
+    n_l, dim = C.shape if C.size else (0, 0)
+    cn2 = np.zeros(n_l)
+    for i in range(dim):
+        cn2 = cn2 + C[:, i] * C[:, i]
+    cn = np.sqrt(cn2)
+
+    def part(batches):
+        acc_sum: dict = {}
+        acc_cnt: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0 or n_l == 0:
+                continue
+            A = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            own = pdf[label_col].to_numpy()
+            n = A.shape[0]
+            acc = np.zeros((n, n_l))
+            an2 = np.zeros(n)
+            for i in range(dim):
+                acc += np.outer(A[:, i], C[:, i])
+                an2 = an2 + A[:, i] * A[:, i]
+            denom = np.sqrt(an2)[:, None] * cn[None, :]
+            s = _round6_duck(
+                np.where(denom > 0.0, acc / np.where(denom > 0.0, denom, 1.0), 0.0)
+            )
+            for lab in np.unique(own):
+                block = s[own == lab]
+                if lab in acc_sum:
+                    acc_sum[lab] = acc_sum[lab] + block.sum(axis=0)
+                    acc_cnt[lab] += block.shape[0]
+                else:
+                    acc_sum[lab] = block.sum(axis=0)
+                    acc_cnt[lab] = block.shape[0]
+        if acc_sum:
+            out_l = sorted(acc_sum)
+            yield pd.DataFrame(
+                {
+                    "label": np.repeat(np.array(out_l), n_l),
+                    "clabel": np.tile(labs_arr, len(out_l)),
+                    "csum": np.concatenate([acc_sum[lab] for lab in out_l]),
+                    "cnt": np.repeat(
+                        np.array([acc_cnt[lab] for lab in out_l], dtype=np.int64),
+                        n_l,
+                    ),
+                }
+            )
+
+    return emb.select(label_col, vec_col).mapInPandas(
+        part, f"{label_col} int, clabel int, csum double, cnt long"
+    )

@@ -441,3 +441,118 @@ def q_length_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- K9: embedding label cohesion / separation (silhouette-lite) ------------
+
+
+@query(
+    "q_embedding_silhouette",
+    oracle="""
+    WITH ex AS (
+      SELECT label, unnest(embedding) AS e,
+             unnest(generate_series(0, len(embedding) - 1)) AS pos
+      FROM embeddings),
+    cent AS (SELECT label, pos, round(avg(e), 6) AS c FROM ex GROUP BY 1, 2),
+    carr AS (
+      SELECT label AS clabel, list(c ORDER BY pos) AS cvec
+      FROM cent GROUP BY 1),
+    sc AS (
+      SELECT e.vec_id, e.label, a.clabel,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], a.cvec), 6)
+               AS cos
+      FROM embeddings e, carr a),
+    mat AS (
+      SELECT label, clabel, round(avg(cos), 6) AS m,
+             CAST(count(*) AS BIGINT) AS nd
+      FROM sc GROUP BY 1, 2),
+    own AS (SELECT label, m AS cohesion, nd AS n_docs FROM mat
+            WHERE label = clabel),
+    oth AS (SELECT label, max(m) AS nearest_other FROM mat
+            WHERE label <> clabel GROUP BY 1)
+    SELECT own.label, own.n_docs, own.cohesion, oth.nearest_other,
+           round(own.cohesion - oth.nearest_other, 6) AS margin,
+           (own.cohesion > oth.nearest_other) AS separated
+    FROM own JOIN oth USING (label) ORDER BY own.label
+    """,
+)
+def q_embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding cohesion/separation audit (K9, wave 40) —
+    silhouette-lite over centroids: for each label, the mean cosine of
+    its members to their OWN centroid (cohesion) vs the best mean
+    cosine to any OTHER label's centroid (nearest_other); a label with
+    margin <= 0 is not linearly separated in embedding space — the
+    cluster-quality verdict an embedding pipeline publishes next to
+    G3's outlier scores and C6's classifier accuracy.
+
+    Scale shape (the maxsim_label_partials discipline, both stages
+    Arrow): per-label centroid sums come from one numpy pass per batch
+    — the exchange carries |labels| x dim partial rows per partition,
+    never a |rows| x dim posexplode (320 M rows at the 100x tier, the
+    first version's wall); the bounded |labels| x dim centroid matrix
+    rides to the scoring kernel in the closure (the codebook-smallness
+    assumption), which emits per-partition (label, clabel) cosine
+    sums+counts — the |docs| x |labels| pair space never materializes
+    as rows, and the silhouette's classic O(n^2) doc x doc term is
+    replaced by the centroid form outright. Cross-engine float
+    discipline: centroid components round to 6 dp BEFORE any cosine,
+    per-pair cosines accumulate dimension-by-dimension in strict index
+    order (bit-identical to the Catalyst fold and the oracle's list
+    arithmetic) and round to 6 dp, per-(label, label) means round to
+    6 dp, and the separation verdict compares the ROUNDED means."""
+    import numpy as np
+
+    from .operators.similarity import (
+        centroid_cosine_stat_partials,
+        label_dim_sums,
+    )
+    from .sources.loaders import scatter
+
+    emb = scatter(
+        load_table(spark, "embeddings", sf_dir).select(
+            "vec_id", "label", "embedding"
+        )
+    )
+    cent = (
+        label_dim_sums(emb)
+        .groupBy("label", "pos")
+        .agg(F.round(F.sum("s") / F.sum("n"), 6).alias("c"))
+    )
+    # bounded |labels| x dim matrix to the driver (the codebook rule)
+    crows = cent.collect()
+    labels = sorted({r.label for r in crows})
+    dim = 1 + max(r.pos for r in crows)
+    C = np.zeros((len(labels), dim))
+    lidx = {l: i for i, l in enumerate(labels)}
+    for r in crows:
+        C[lidx[r.label], r.pos] = r.c
+    mat = (
+        centroid_cosine_stat_partials(emb, labels, C)
+        .groupBy("label", "clabel")
+        .agg(
+            F.round(F.sum("csum") / F.sum("cnt"), 6).alias("m"),
+            F.sum("cnt").cast("long").alias("nd"),
+        )
+    )
+    own = mat.filter(F.col("label") == F.col("clabel")).select(
+        "label", F.col("m").alias("cohesion"), F.col("nd").alias("n_docs")
+    )
+    oth = (
+        mat.filter(F.col("label") != F.col("clabel"))
+        .groupBy("label")
+        .agg(F.max("m").alias("nearest_other"))
+    )
+    return (
+        own.join(oth, "label")
+        .select(
+            "label",
+            "n_docs",
+            "cohesion",
+            "nearest_other",
+            F.round(F.col("cohesion") - F.col("nearest_other"), 6).alias(
+                "margin"
+            ),
+            (F.col("cohesion") > F.col("nearest_other")).alias("separated"),
+        )
+        .orderBy("label")
+    )

@@ -1269,3 +1269,92 @@ def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("frac", F.round("quantile", 4).alias("quantile"))
         .orderBy("frac")
     )
+
+
+# --- V17: quantile-sketch calibration audit ----------------------------------
+
+_QSK_FRACS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+_QSK_ACC = 1000  # percentile_approx accuracy => rank error <= n/_QSK_ACC
+
+
+@query(
+    "q_quantile_sketch_calibration",
+    oracle=f"""
+    WITH q AS (
+      SELECT quantile_cont(l_extendedprice,
+                           [{", ".join(str(p) for p in _QSK_FRACS)}]) AS qs
+      FROM lineitem)
+    SELECT CAST(f.frac AS DOUBLE) AS frac,
+           round(q.qs[f.i], 4) AS exact_q,
+           true AS rank_err_ok
+    FROM q, (VALUES {", ".join(f"({i + 1}, {p})" for i, p in enumerate(_QSK_FRACS))})
+           AS f(i, frac)
+    ORDER BY frac
+    """,
+)
+def q_quantile_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch calibration audit (V17, wave 40): the
+    q_cms_calibration / q_approx_sketch pattern applied to Spark's
+    ``percentile_approx`` (a Greenwald-Khanna-style mergeable rank
+    sketch): for each probe fraction, compute the sketch's answer over
+    the raw fact AND its exact rank from the shared price tie-class
+    substrate, and assert the sketch honors its documented bound —
+    rank error <= n/accuracy (+1 slack for the interpolated target
+    position). DuckDB cannot run Spark's sketch, so the oracle asserts
+    the VERDICT (the q_ann_recall trick) alongside the independently
+    computed exact quantiles — a sketch-accuracy regression
+    hash-mismatches in CORRECTNESS. The verdict is stable even though
+    the sketch's VALUE may vary with partition merge order: the GK
+    bound holds for ANY merge order, which is exactly what makes the
+    sketch safe to deploy at 100 TB (mergeable map-side, bounded
+    memory) — and exactly the property this audit pins.
+
+    One fact scan (the sketch build — the thing being audited must see
+    the raw rows); everything else reads the checkpointed class table:
+    exact quantiles via the broadcast order-statistic lookup, the
+    sketch-value ranks via one theta-join of a 6-row broadcast against
+    the classes."""
+    li = _t(spark, sf_dir, "lineitem")
+    ranked = price_classes(spark, sf_dir)
+    exact = quantiles_from_ranked(ranked, _QSK_FRACS)
+    n = ranked.agg(
+        F.max(F.col("cum") + F.col("cnt")).cast("double").alias("n")
+    )
+    ap = li.agg(
+        F.percentile_approx(
+            "l_extendedprice",
+            F.array(*[F.lit(p) for p in _QSK_FRACS]),
+            F.lit(_QSK_ACC),
+        ).alias("ap")
+    )
+    probes = ap.select(
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(float(p)) for p in _QSK_FRACS]).alias("frac"),
+                F.col("ap").alias("av"),
+            )
+        ).alias("z")
+    ).select(F.col("z.frac").alias("frac"), F.col("z.av").alias("av"))
+    ranks = (
+        F.broadcast(probes)
+        .join(ranked, F.col("v") <= F.col("av"), "left")
+        .groupBy("frac", "av")
+        .agg(
+            F.coalesce(F.max(F.col("cum") + F.col("cnt")), F.lit(0))
+            .cast("double")
+            .alias("r")
+        )
+    )
+    return (
+        ranks.crossJoin(F.broadcast(n))
+        .join(exact.withColumnRenamed("quantile", "q"), "frac")
+        .select(
+            F.col("frac").cast("double").alias("frac"),
+            F.round(F.col("q"), 4).alias("exact_q"),
+            (
+                F.abs(F.col("r") - (1 + (F.col("n") - 1) * F.col("frac")))
+                <= F.col("n") / _QSK_ACC + 1
+            ).alias("rank_err_ok"),
+        )
+        .orderBy("frac")
+    )

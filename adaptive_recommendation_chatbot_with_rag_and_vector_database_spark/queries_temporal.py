@@ -1671,3 +1671,119 @@ def q_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rev") - tallest, 4).alias("prominence"),
     )
     return peaks.orderBy(F.desc("rev"), F.asc("peak_day")).limit(_PEAK_K)
+
+
+# --- TM20: Fano-factor burstiness per weekday ----------------------------------
+
+
+@query(
+    "q_fano_burstiness",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1),
+    wk AS (
+      SELECT dayofweek(d) AS dow,
+             CAST(count(*) AS BIGINT) AS k_days,
+             CAST(sum(n) AS BIGINT) AS s1,
+             CAST(sum(n * n) AS BIGINT) AS s2
+      FROM daily GROUP BY 1)
+    SELECT dow, k_days,
+           round(s1 / CAST(k_days AS DOUBLE), 6) AS mean_orders,
+           round((k_days * s2 - s1 * s1)
+                 / CAST(k_days * s1 AS DOUBLE), 6) AS fano
+    FROM wk ORDER BY dow
+    """,
+)
+def q_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion, Var/Mean) of daily order
+    counts per weekday (TM20, wave 40): the burstiness screen behind
+    capacity planning — a Poisson arrival process has F = 1, F >> 1
+    means over-dispersed bursty days, F < 1 means suspiciously regular
+    (e.g. synthetic or batched traffic). Complements ST8's inter-arrival
+    cadence (per-user gaps) with a population-level dispersion verdict
+    per weekday slot.
+
+    Exactness: the population variance enters in closed form from
+    int64 sufficient statistics — F = (k·Σn² − (Σn)²) / (k·Σn) — so
+    both engines divide the SAME exact integers and the 6-dp rounding
+    is deterministic (the ST18/kruskal convention; int64 is ample:
+    k·Σn² ≈ 5e14 at the 1000× orders tier, documented bound). Weekday
+    is DuckDB's 0=Sunday convention — the Spark side subtracts 1 (the
+    K4 rule). Rides the shared daily_orders session checkpoint: zero
+    fact scans in the per-query plan; the weekday rollup is a 7-row
+    aggregate over |days| checkpointed rows."""
+    from .sources.loaders import daily_orders
+
+    daily = daily_orders(spark, sf_dir).select(
+        (F.dayofweek("d") - 1).alias("dow"), F.col("n_orders").alias("n")
+    )
+    wk = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("k_days"),
+        F.sum("n").cast("long").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("s2"),
+    )
+    return wk.select(
+        "dow",
+        "k_days",
+        F.round(F.col("s1") / F.col("k_days").cast("double"), 6).alias(
+            "mean_orders"
+        ),
+        F.round(
+            (F.col("k_days") * F.col("s2") - F.col("s1") * F.col("s1"))
+            / (F.col("k_days") * F.col("s1")).cast("double"),
+            6,
+        ).alias("fano"),
+    ).orderBy("dow")
+
+
+# --- TM21: monthly OHLC downsampling -------------------------------------------
+
+
+@query(
+    "q_ohlc_monthly",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             round(sum(o_totalprice), 4) AS rev
+      FROM orders GROUP BY 1)
+    SELECT CAST(date_trunc('month', d) AS DATE) AS m,
+           CAST(count(*) AS BIGINT) AS n_days,
+           arg_min(rev, d) AS open,
+           round(max(rev), 4) AS high,
+           round(min(rev), 4) AS low,
+           arg_max(rev, d) AS close,
+           round(sum(rev), 4) AS vol
+    FROM daily GROUP BY 1 ORDER BY m
+    """,
+)
+def q_ohlc_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly OHLC candles over the daily revenue series (TM21, wave
+    40): the canonical time-series downsample — open (first day's
+    value), high, low, close (last day's value), plus day count and
+    total volume per month — the resample("M").ohlc() shape every
+    financial/metrics store serves. Complements TM9's MoM deltas
+    (which need only the monthly sum) with the full intra-month range.
+
+    Determinism: open/close are argmin/argmax over the UNIQUE day key
+    (no ties possible), high/low/vol come from the 4-dp-rounded day
+    revenues the daily_orders substrate pins, so every output value is
+    exact on both engines. Rides the shared daily_orders session
+    checkpoint — the month rollup is a |months|-row aggregate, zero
+    fact scans in the per-query plan."""
+    from .sources.loaders import daily_orders
+
+    daily = daily_orders(spark, sf_dir).select("d", "rev")
+    return (
+        daily.groupBy(F.trunc("d", "month").alias("m"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.min_by("rev", "d").alias("open"),
+            F.round(F.max("rev"), 4).alias("high"),
+            F.round(F.min("rev"), 4).alias("low"),
+            F.max_by("rev", "d").alias("close"),
+            F.round(F.sum("rev"), 4).alias("vol"),
+        )
+        .orderBy("m")
+    )

@@ -730,3 +730,77 @@ def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mask_ratio"
         ),
     ).orderBy("doc_id")
+
+
+# --- L11: curriculum difficulty phases --------------------------------------
+
+
+@query(
+    "q_curriculum_buckets",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({SQL_TOKS}) AS BIGINT) AS n_tok
+      FROM documents),
+    r AS (
+      SELECT doc_id, n_tok,
+             row_number() OVER (ORDER BY n_tok, doc_id) AS rnk,
+             (SELECT count(*) FROM t) AS n
+      FROM t)
+    SELECT CAST(1 + ((rnk - 1) * 4) // n AS BIGINT) AS phase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_tok) AS BIGINT) AS min_tok,
+           CAST(max(n_tok) AS BIGINT) AS max_tok,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+           round(sum(n_tok) / CAST(count(*) AS DOUBLE), 6) AS avg_tok
+    FROM r GROUP BY 1 ORDER BY phase
+    """,
+)
+def q_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning phase assignment (L11, wave 40): order the
+    corpus by a difficulty signal (whitespace token count — the
+    convention of q_token_count) and split it into 4 equal-population
+    training phases, easy to hard, reporting each phase's size and
+    token statistics — the schedule a curriculum trainer feeds phases
+    from. Phase boundaries are ntile-free integer arithmetic
+    (phase = 1 + ((rank−1)·4) div n) so the split is bit-identical
+    across engines.
+
+    Scale shape: the global per-doc rank uses the bucketed two-phase
+    prefix sum (the q_decile_lift / classes_from_counts idiom) — docs
+    hash-bucket by n_tok div 64, the only single-partition window runs
+    over the ~|range/64| bucket counts, and the within-bucket
+    row_number is partitioned by bucket. No global sort, no whole-corpus
+    single-partition window, at any corpus size."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.size(toks_col("text")).cast("long").alias("n_tok")
+    )
+    b = docs.withColumn("bkt", (F.col("n_tok") / 64).cast("long"))
+    bc = b.groupBy("bkt").agg(F.count(F.lit(1)).cast("long").alias("bn"))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bc.select(
+        "bkt",
+        F.coalesce(F.sum("bn").over(w_off), F.lit(0)).cast("long").alias("off"),
+    )
+    n = bc.agg(F.sum("bn").cast("long").alias("n"))
+    w_in = Window.partitionBy("bkt").orderBy("n_tok", "doc_id")
+    ranked = (
+        b.join(F.broadcast(boff), "bkt")
+        .withColumn("rnk", F.col("off") + F.row_number().over(w_in))
+        .crossJoin(F.broadcast(n))
+    )
+    return (
+        ranked.select(
+            "n_tok", F.expr("1 + ((rnk - 1) * 4) div n").alias("phase")
+        )
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_tok").alias("min_tok"),
+            F.max("n_tok").alias("max_tok"),
+            F.sum("n_tok").cast("long").alias("sum_tok"),
+            F.round(
+                F.sum("n_tok") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("avg_tok"),
+        )
+        .orderBy("phase")
+    )
