@@ -659,3 +659,125 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").cast("long").alias("min_degree"),
         F.max("d").cast("long").alias("max_degree"),
     )
+
+
+# --- I9: bounded label-propagation communities ----------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    # every round's labeling MUST be MATERIALIZED: round t references
+    # l{t-1} twice (neighbor-min and carry-forward) and each summary
+    # row reads its round's labeling again — DuckDB inlines
+    # non-materialized CTEs per reference, so the unrolled chain would
+    # re-execute the base graph self-join exponentially many times
+    # (the q_kcore_peel lesson, measured 324 s vs 2 s there)
+    steps = []
+    prev = "l0"
+    for t in range(1, _LPA_ROUNDS + 1):
+        steps.append(
+            f"""n{t} AS MATERIALIZED (
+      SELECT sym.a AS v, min(lp.l) AS nm
+      FROM sym JOIN {prev} lp ON lp.v = sym.b GROUP BY sym.a),
+    l{t} AS MATERIALIZED (
+      SELECT p.v, least(p.l, coalesce(n{t}.nm, p.l)) AS l,
+             CASE WHEN least(p.l, coalesce(n{t}.nm, p.l)) < p.l
+                  THEN 1 ELSE 0 END AS ch
+      FROM {prev} p LEFT JOIN n{t} ON n{t}.v = p.v)"""
+        )
+        prev = f"l{t}"
+    rounds_sql = ",\n    ".join(steps)
+    summaries = [
+        """SELECT 0 AS round, CAST(0 AS BIGINT) AS n_changed,
+              CAST(count(DISTINCT l) AS BIGINT) AS n_labels,
+              CAST(sum(l) AS BIGINT) AS label_sum FROM l0"""
+    ] + [
+        f"""SELECT {t} AS round, CAST(sum(ch) AS BIGINT) AS n_changed,
+              CAST(count(DISTINCT l) AS BIGINT) AS n_labels,
+              CAST(sum(l) AS BIGINT) AS label_sum FROM l{t}"""
+        for t in range(1, _LPA_ROUNDS + 1)
+    ]
+    union = "\n    UNION ALL\n    ".join(summaries)
+    return f"""
+    WITH {_GRAPH_SQL},
+    verts AS MATERIALIZED (SELECT DISTINCT a AS v FROM sym),
+    l0 AS MATERIALIZED (SELECT v, v AS l FROM verts),
+    {rounds_sql}
+    SELECT * FROM ({union}) ORDER BY round
+    """
+
+
+@query("q_label_propagation", oracle=_lpa_oracle())
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded min-label propagation over the co-purchase graph (I9,
+    wave 41): every vertex starts labeled with its own id; each
+    synchronous round every vertex adopts the minimum of its own and
+    its neighbors' labels. After r rounds each label has flooded its
+    r-hop ball, so the per-round convergence trace (labels remaining,
+    vertices that moved) measures community structure at increasing
+    radius — the bounded-iteration core of both LPA community
+    detection and hash-min connected components (Y12 runs the
+    alternating CC algorithm to FIXPOINT on the dedup graph; this is
+    the fixed-budget streaming-friendly variant whose cost is known in
+    advance, the form a 100 TB pipeline schedules).
+
+    Exactness: labels are vertex ids (int64), min/least are exact, and
+    the trace columns (moved count, distinct labels, label-sum
+    checksum) are integer aggregates — nothing floats. Label-sum bound:
+    Σ labels ≤ |V|·max(id) ≈ 4e14 at the 1000× tier ≪ 2^63.
+
+    Shape: per round, ONE vertex-keyed neighbor-min aggregate over the
+    checkpointed edge list and one co-keyed left join back — both
+    exchanges keyed on the vertex id, per-round cost linear in |E| at
+    any scale (the hub worst case is a wide min-combine, which Spark
+    partial-aggregates map-side). Each labeling materializes
+    (localCheckpoint) because the next round AND its summary row both
+    read it — the same double-consumer rule the oracle enforces with
+    AS MATERIALIZED."""
+    e = _undirected_edges(spark, sf_dir)
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("l"))
+        .localCheckpoint()
+    )
+    summaries = [
+        labels.agg(
+            F.lit(0).alias("round"),
+            F.lit(0).cast("long").alias("n_changed"),
+            F.countDistinct("l").cast("long").alias("n_labels"),
+            F.sum("l").cast("long").alias("label_sum"),
+        )
+    ]
+    for t in range(1, _LPA_ROUNDS + 1):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("v").alias("b"), F.col("l").alias("nl")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nl").alias("nm"))
+            .select(F.col("a").alias("v"), "nm")
+        )
+        stepped = labels.join(nbr_min, "v", "left").select(
+            "v",
+            F.least("l", F.coalesce("nm", "l")).alias("l"),
+            F.when(F.least("l", F.coalesce("nm", "l")) < F.col("l"), 1)
+            .otherwise(0)
+            .alias("ch"),
+        )
+        labels = stepped.localCheckpoint()
+        summaries.append(
+            labels.agg(
+                F.lit(t).alias("round"),
+                F.sum("ch").cast("long").alias("n_changed"),
+                F.countDistinct("l").cast("long").alias("n_labels"),
+                F.sum("l").cast("long").alias("label_sum"),
+            )
+        )
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.union(s)
+    return out.orderBy("round")

@@ -2875,3 +2875,121 @@ def q_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("equivalent_5pct"),
     )
+
+
+# --- M30: Bland-Altman agreement analysis ---------------------------------------
+
+
+@query(
+    "q_bland_altman",
+    oracle="""
+    WITH lr AS (
+      SELECT l_orderkey AS k,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS line_cents
+      FROM lineitem GROUP BY 1),
+    d AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) - line_cents AS d
+      FROM orders JOIN lr ON o_orderkey = lr.k),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(sum(d) AS HUGEINT) AS DOUBLE) AS s1,
+             CAST(sum(CAST(d AS HUGEINT) * d) AS DOUBLE) AS s2
+      FROM d),
+    st AS (
+      SELECT n, s1 / n AS mean_d,
+             sqrt((s2 - s1 * s1 / n) / (n - 1)) AS sd
+      FROM s)
+    SELECT st.n AS n_pairs,
+           round(st.mean_d, 6) AS mean_diff_cents,
+           round(st.sd, 6) AS sd_cents,
+           round(st.mean_d - 1.96 * st.sd, 6) AS lo_limit,
+           round(st.mean_d + 1.96 * st.sd, 6) AS hi_limit,
+           CAST(sum(CASE WHEN d.d < st.mean_d - 1.96 * st.sd
+                           OR d.d > st.mean_d + 1.96 * st.sd
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outside,
+           round(sum(CASE WHEN d.d < st.mean_d - 1.96 * st.sd
+                            OR d.d > st.mean_d + 1.96 * st.sd
+                          THEN 1 ELSE 0 END)
+                 / CAST(st.n AS DOUBLE), 6) AS outside_share
+    FROM d CROSS JOIN st
+    GROUP BY st.n, st.mean_d, st.sd
+    """,
+)
+def q_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bland-Altman agreement analysis (M30, wave 41): do two
+    measurements of the same quantity agree? Here the order header's
+    total price vs the sum of its line extended prices — the classic
+    method-comparison screen (mean difference = systematic bias, the
+    ±1.96·sd limits of agreement, and the share of pairs outside the
+    limits, which a well-calibrated pair holds near 5%). The same
+    shape audits any dual-pipeline reconciliation: two ingest paths,
+    two currency-conversion services, a vendor feed vs an internal
+    recompute.
+
+    Exactness: both measurements enter as integer CENTS
+    (``round(x*100)`` then cast — rounding BEFORE the cast makes
+    truncation-vs-rounding cast semantics moot), so the per-order diff
+    is an exact int64. Sufficient statistics: Σd fits int64 at every
+    tier (|d| ≤ ~5e7 cents × 1.5e9 orders ≈ 7.5e16 < 2^63); Σd² is
+    summed as decimal(38,0) Spark-side / HUGEINT oracle-side (d² ≤
+    2.5e15 × 1.5e9 ≈ 3.8e24 ≪ 1e38, documented bound). mean/sd/limits
+    derive from identical exact integers through identical IEEE ops,
+    so both engines compare each integer diff against bit-identical
+    double limits — no boundary ambiguity.
+
+    Shape: ONE orderkey-keyed rollup of lineitem, one co-keyed join
+    to orders, a scalar sufficient-stats aggregate broadcast back,
+    and one counting pass — the diff frame checkpoints lazily because
+    the limits pass re-reads it. No sort, no window, no pair space;
+    every exchange is keyed on the join key."""
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    cents = lambda c: F.round(F.col(c) * 100, 0).cast("long")  # noqa: E731
+    lr = (
+        li.select(F.col("l_orderkey").alias("k"), cents("l_extendedprice").alias("lc"))
+        .groupBy("k")
+        .agg(F.sum("lc").cast("long").alias("line_cents"))
+    )
+    d = (
+        o.select(F.col("o_orderkey").alias("k"), cents("o_totalprice").alias("hc"))
+        .join(lr, "k")
+        .select((F.col("hc") - F.col("line_cents")).alias("d"))
+        .localCheckpoint(eager=False)
+    )
+    s = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("double").alias("s1"),
+        F.sum(F.col("d").cast("decimal(19,0)") * F.col("d").cast("decimal(19,0)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    st = s.select(
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean_d"),
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("sd"),
+    )
+    outside = (
+        F.col("d") < F.col("mean_d") - 1.96 * F.col("sd")
+    ) | (F.col("d") > F.col("mean_d") + 1.96 * F.col("sd"))
+    return (
+        d.crossJoin(F.broadcast(st))
+        .groupBy("n", "mean_d", "sd")
+        .agg(
+            F.sum(F.when(outside, 1).otherwise(0)).cast("long").alias("n_outside"),
+        )
+        .select(
+            F.col("n").alias("n_pairs"),
+            F.round("mean_d", 6).alias("mean_diff_cents"),
+            F.round("sd", 6).alias("sd_cents"),
+            F.round(F.col("mean_d") - 1.96 * F.col("sd"), 6).alias("lo_limit"),
+            F.round(F.col("mean_d") + 1.96 * F.col("sd"), 6).alias("hi_limit"),
+            "n_outside",
+            F.round(F.col("n_outside") / F.col("n").cast("double"), 6).alias(
+                "outside_share"
+            ),
+        )
+    )

@@ -1492,3 +1492,128 @@ def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("decomposed_brier"),
     )
+
+
+# --- MO15: multi-class precision / recall / F1 ----------------------------------
+
+
+def _multiclass_f1_oracle() -> str:
+    from .queries_text import _SQL_DTOKS, _sql_lang_pred, _sql_lang_score
+    from .functions.text import LANG_PRIORITY
+
+    scores = ", ".join(
+        f"{_sql_lang_score(l)} AS s_{l}" for l in LANG_PRIORITY
+    )
+    return f"""
+    WITH tok AS (SELECT lang, {_SQL_DTOKS} AS dtoks FROM documents),
+    scored AS (SELECT lang, {scores} FROM tok),
+    pred AS (SELECT lang AS y, {_sql_lang_pred()} AS p FROM scored),
+    pt AS (
+      SELECT y, CAST(count(*) AS BIGINT) AS n_true,
+             CAST(sum(CASE WHEN p = y THEN 1 ELSE 0 END) AS BIGINT) AS tp
+      FROM pred GROUP BY y),
+    pp AS (SELECT p, CAST(count(*) AS BIGINT) AS n_pred FROM pred GROUP BY p),
+    cls AS (
+      SELECT y AS lang, n_true, coalesce(n_pred, 0) AS n_pred, tp,
+             round(CASE WHEN coalesce(n_pred, 0) = 0 THEN 0.0
+                        ELSE tp / CAST(n_pred AS DOUBLE) END, 6) AS prec,
+             round(tp / CAST(n_true AS DOUBLE), 6) AS rec,
+             round(2.0 * tp / (n_true + coalesce(n_pred, 0)), 6) AS f1
+      FROM pt LEFT JOIN pp ON pp.p = pt.y)
+    SELECT lang, n_true, n_pred, tp, prec, rec, f1 FROM cls
+    UNION ALL
+    SELECT '__macro__', CAST(sum(n_true) AS BIGINT),
+           CAST(sum(n_pred) AS BIGINT), CAST(sum(tp) AS BIGINT),
+           round(avg(prec), 6), round(avg(rec), 6), round(avg(f1), 6)
+    FROM cls
+    ORDER BY lang
+    """
+
+
+@query("q_multiclass_f1", oracle=_multiclass_f1_oracle())
+def q_multiclass_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-class precision / recall / F1 over the language-ID
+    classifier (MO15, wave 41): per observed true class, support
+    (n_true), prediction volume (n_pred), true positives, precision,
+    recall, and F1 — plus a `__macro__` summary row averaging the
+    per-class metrics (macro-averaging weights every class equally,
+    the fairness convention when class sizes are skewed). Completes
+    the evaluation family: MO11/MO12 grade binary scores (ROC/PR AUC),
+    MO13 grades binary thresholds, X17 emits the raw confusion matrix
+    — this turns that matrix into the per-class decision metrics. The
+    classifier is the SAME shared stopword-overlap scorer q_lang_id
+    and q_lang_confusion use, so classifier and evaluation cannot
+    drift.
+
+    Exactness: tp / n_true / n_pred are integer counts; precision and
+    recall divide identical integers; F1 uses the identity
+    2·tp / (n_true + n_pred) — one exact-integer division instead of
+    the float harmonic mean, so no intermediate float composition.
+    Macro rows average the 6-dp-ROUNDED per-class values (the K9
+    rounded-means convention). Rows are keyed by OBSERVED true
+    classes; a prediction-only class (e.g. 'unknown') contributes to
+    no row's n_pred by construction — documented, matches the
+    fixed-label convention of standard toolkits.
+
+    Shape: one map-side scoring pass over documents (in-row codegen
+    tokenization, no UDF), lazily checkpointed because the true-axis
+    and pred-axis rollups both read it; two tiny keyed aggregates
+    (≤ |classes| rows), a broadcast-sized left join, and a two-branch
+    union. At 100 TB the only big-data term is the single scan."""
+    from .functions.text import distinct_tokens, lang_pred
+    from .queries_text import _docs
+
+    scored = (
+        _docs(spark, sf_dir)
+        .select(
+            F.col("lang").alias("y"),
+            lang_pred(distinct_tokens("text")).alias("p"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pt = scored.groupBy("y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.sum(F.when(F.col("p") == F.col("y"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+    )
+    pp = scored.groupBy("p").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pred_raw")
+    )
+    cls = (
+        pt.join(pp, pt["y"] == pp["p"], "left")
+        .select(
+            F.col("y").alias("lang"),
+            "n_true",
+            F.coalesce("n_pred_raw", F.lit(0)).cast("long").alias("n_pred"),
+            "tp",
+        )
+        .select(
+            "lang",
+            "n_true",
+            "n_pred",
+            "tp",
+            F.round(
+                F.when(F.col("n_pred") == 0, 0.0).otherwise(
+                    F.col("tp") / F.col("n_pred").cast("double")
+                ),
+                6,
+            ).alias("prec"),
+            F.round(F.col("tp") / F.col("n_true").cast("double"), 6).alias(
+                "rec"
+            ),
+            F.round(
+                2.0 * F.col("tp") / (F.col("n_true") + F.col("n_pred")), 6
+            ).alias("f1"),
+        )
+    )
+    macro = cls.agg(
+        F.lit("__macro__").alias("lang"),
+        F.sum("n_true").cast("long").alias("n_true"),
+        F.sum("n_pred").cast("long").alias("n_pred"),
+        F.sum("tp").cast("long").alias("tp"),
+        F.round(F.avg("prec"), 6).alias("prec"),
+        F.round(F.avg("rec"), 6).alias("rec"),
+        F.round(F.avg("f1"), 6).alias("f1"),
+    )
+    return cls.union(macro).orderBy("lang")

@@ -1713,3 +1713,154 @@ def q_l_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((6 * b2 - 6 * b1 + b0) / l2, 6).alias("l_skew"),
         F.round((20 * b3 - 30 * b2 + 12 * b1 - b0) / l2, 6).alias("l_kurt"),
     )
+
+
+# --- ST21: Cochran's Q test over matched binary treatments ----------------------
+
+#: the five canonical event types, pinned so k (and the chi² critical
+#: value at df = k-1) is tier-independent
+_COCHRAN_TYPES = ("click", "error", "purchase", "signup", "view")
+_CHI2_95_DF4 = 9.487729  # chi²(0.95, df=4)
+
+
+@query(
+    "q_cochran_q",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id,
+             {", ".join(
+                 f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+                 f" AS BIGINT) AS c_{t}"
+                 for t in _COCHRAN_TYPES)},
+             CAST(count(*) AS BIGINT) AS tot
+      FROM events
+      WHERE event_type IN {_COCHRAN_TYPES!r}
+      GROUP BY user_id),
+    f AS (
+      SELECT {", ".join(
+                 f"CASE WHEN 5 * c_{t} > tot THEN 1 ELSE 0 END AS x_{t}"
+                 for t in _COCHRAN_TYPES)}
+      FROM c),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             {", ".join(
+                 f"CAST(sum(x_{t}) AS BIGINT) AS g_{t}"
+                 for t in _COCHRAN_TYPES)},
+             CAST(sum(x_click + x_error + x_purchase + x_signup + x_view)
+                  AS BIGINT) AS t,
+             CAST(sum((x_click + x_error + x_purchase + x_signup + x_view)
+                      * (x_click + x_error + x_purchase + x_signup + x_view))
+                  AS BIGINT) AS sum_l2
+      FROM f),
+    q AS (
+      SELECT *,
+             round(coalesce(
+               4.0 * (5.0 * (g_click * g_click + g_error * g_error
+                             + g_purchase * g_purchase
+                             + g_signup * g_signup + g_view * g_view)
+                      - CAST(t AS DOUBLE) * t)
+               / nullif(5.0 * t - sum_l2, 0.0), 0.0), 6) AS q_stat
+      FROM s)
+    SELECT n_users, g_click, g_error, g_purchase, g_signup, g_view,
+           t AS grand_total, sum_l2, q_stat,
+           CAST(4 AS BIGINT) AS df,
+           CASE WHEN q_stat > {_CHI2_95_DF4} THEN 1 ELSE 0 END
+             AS reject_5pct
+    FROM q
+    """,
+)
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test (ST21, wave 41): do the k=5 event types differ
+    in how often they are OVER-REPRESENTED in a user's activity mix?
+    Each user is a matched block, each event type a treatment, and
+    X_ij = 1 iff type j exceeds a uniform 1/k share of user i's events
+    (5·c_ij > total_i — integer-exact and scale-invariant, so the
+    design cannot saturate to all-ones at denser tiers the way an
+    "ever fired" indicator does; at most 4 of 5 shares can strictly
+    exceed 1/5). The within-subjects omnibus complement to M10's
+    chi-square and M27's Friedman (ranks → binary here). Q is
+    asymptotically chi²(k−1).
+
+    Exactness: Q = (k−1)·(k·ΣG_j² − T²) / (k·T − ΣL_i²) in closed form
+    from int64 sufficient statistics (column totals G_j, row totals
+    L_i ≤ 4, grand total T); both engines divide the SAME exact
+    integers, 6-dp rounding and the pinned chi² literal make the
+    verdict deterministic; a NULLIF guard maps the no-variation
+    degenerate case to Q = 0. Bounds: G_j ≤ |users| ≈ 1.5e7 at the
+    1000× tier → ΣG_j² ≈ 1e15 ≪ 2^63 (documented). The type list is
+    PINNED so k — and the df=4 critical value — cannot drift.
+
+    Shape: ONE user-keyed conditional aggregate (map-side combined —
+    five counters + a total per user, no pivot shuffle, no distinct
+    pass), flags and L_i computed in-row, then a single scalar
+    aggregate; ΣG_j² is a fixed-order in-row expression over the five
+    columns. Two exchanges total at any corpus size."""
+    ev = load_table(spark, "events", sf_dir)
+    c = (
+        ev.filter(F.col("event_type").isin(*_COCHRAN_TYPES))
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+                .cast("long")
+                .alias(f"c_{t}")
+                for t in _COCHRAN_TYPES
+            ],
+            F.count(F.lit(1)).cast("long").alias("tot"),
+        )
+    )
+    f = c.select(
+        *[
+            F.when(5 * F.col(f"c_{t}") > F.col("tot"), 1)
+            .otherwise(0)
+            .alias(f"x_{t}")
+            for t in _COCHRAN_TYPES
+        ]
+    ).withColumn(
+        "li",
+        F.col("x_click")
+        + F.col("x_error")
+        + F.col("x_purchase")
+        + F.col("x_signup")
+        + F.col("x_view"),
+    )
+    s = f.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        *[
+            F.sum(f"x_{t}").cast("long").alias(f"g_{t}")
+            for t in _COCHRAN_TYPES
+        ],
+        F.sum("li").cast("long").alias("t"),
+        F.sum(F.col("li") * F.col("li")).cast("long").alias("sum_l2"),
+    )
+    sum_g2 = (
+        F.col("g_click") * F.col("g_click")
+        + F.col("g_error") * F.col("g_error")
+        + F.col("g_purchase") * F.col("g_purchase")
+        + F.col("g_signup") * F.col("g_signup")
+        + F.col("g_view") * F.col("g_view")
+    )
+    q_stat = F.round(
+        F.coalesce(
+            4.0
+            * (5.0 * sum_g2 - F.col("t").cast("double") * F.col("t"))
+            / F.nullif(5.0 * F.col("t") - F.col("sum_l2"), F.lit(0.0)),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    return s.withColumn("q_stat", q_stat).select(
+        "n_users",
+        "g_click",
+        "g_error",
+        "g_purchase",
+        "g_signup",
+        "g_view",
+        F.col("t").alias("grand_total"),
+        "sum_l2",
+        "q_stat",
+        F.lit(4).cast("long").alias("df"),
+        F.when(F.col("q_stat") > _CHI2_95_DF4, 1)
+        .otherwise(0)
+        .alias("reject_5pct"),
+    )

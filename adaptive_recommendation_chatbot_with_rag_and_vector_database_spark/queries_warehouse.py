@@ -2034,3 +2034,103 @@ def q_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc", "xyz")
     )
+
+
+# --- W32: net / gross revenue retention by month --------------------------------
+
+
+@query(
+    "q_revenue_retention",
+    oracle="""
+    WITH cm AS (
+      SELECT o_custkey AS cust,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2),
+    j AS (
+      SELECT CAST(p.m + INTERVAL 1 MONTH AS DATE) AS m,
+             p.cents AS pc, c.cents AS cc
+      FROM cm p
+      LEFT JOIN cm c
+        ON c.cust = p.cust AND c.m = CAST(p.m + INTERVAL 1 MONTH AS DATE))
+    SELECT m,
+           CAST(count(*) AS BIGINT) AS n_prev_cust,
+           CAST(sum(CASE WHEN cc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_retained,
+           CAST(sum(pc) AS BIGINT) AS base_cents,
+           CAST(sum(coalesce(cc, 0)) AS BIGINT) AS retained_cents,
+           CAST(sum(CASE WHEN cc IS NULL THEN 0
+                         ELSE least(pc, cc) END) AS BIGINT) AS gross_cents,
+           round(sum(coalesce(cc, 0)) / CAST(sum(pc) AS DOUBLE), 6) AS nrr,
+           round(sum(CASE WHEN cc IS NULL THEN 0 ELSE least(pc, cc) END)
+                 / CAST(sum(pc) AS DOUBLE), 6) AS grr
+    FROM j GROUP BY m ORDER BY m
+    """,
+)
+def q_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net / gross revenue retention by month (W32, wave 41): for each
+    month m, take the cohort of customers who spent in m−1 (the base),
+    and measure how much of that base's revenue recurs in m — NRR
+    includes expansion (a retained customer spending MORE counts
+    fully), GRR caps each customer at their prior-month spend (pure
+    retention, expansion excluded) — the two SaaS-board metrics that
+    W13's user-count cohort matrix and W20's LTV curve do not express,
+    because both need the customer-level min() against the prior
+    month. New customers in m are excluded by construction (they have
+    no base).
+
+    Exactness: revenue enters as integer CENTS (round-then-cast, the
+    M30 rule) so the per-(customer, month) rollup, the least(), and
+    every monthly sum are exact int64 on both engines (Σcents ≈ 3e16
+    at the 1000× tier < 2^63, documented); NRR/GRR divide identical
+    integers, rounded 6-dp.
+
+    Shape: ONE fact rollup keyed on (customer, month), lazily
+    checkpointed because the month-shift self-join reads it twice;
+    the self-join is co-keyed on (customer, month) — a single
+    exchange pair at any scale — and the final month-keyed rollup is
+    |months|-row. No window, no sort except the |months|-row output
+    ORDER BY."""
+    o = load_table(spark, "orders", sf_dir)
+    cm = (
+        o.select(
+            F.col("o_custkey").alias("cust"),
+            F.trunc("o_orderdate", "month").alias("m"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"),
+        )
+        .groupBy("cust", "m")
+        .agg(F.sum("c").cast("long").alias("cents"))
+        .localCheckpoint(eager=False)
+    )
+    prev = cm.select(
+        "cust", F.add_months("m", 1).alias("m"), F.col("cents").alias("pc")
+    )
+    cur = cm.select("cust", "m", F.col("cents").alias("cc"))
+    j = prev.join(cur, ["cust", "m"], "left")
+    gross = F.when(F.col("cc").isNull(), 0).otherwise(
+        F.least("pc", "cc")
+    )
+    return (
+        j.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_prev_cust"),
+            F.sum(F.when(F.col("cc").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_retained"),
+            F.sum("pc").cast("long").alias("base_cents"),
+            F.sum(F.coalesce("cc", F.lit(0))).cast("long").alias(
+                "retained_cents"
+            ),
+            F.sum(gross).cast("long").alias("gross_cents"),
+            F.round(
+                F.sum(F.coalesce("cc", F.lit(0)))
+                / F.sum("pc").cast("double"),
+                6,
+            ).alias("nrr"),
+            F.round(F.sum(gross) / F.sum("pc").cast("double"), 6).alias(
+                "grr"
+            ),
+        )
+        .orderBy("m")
+    )
