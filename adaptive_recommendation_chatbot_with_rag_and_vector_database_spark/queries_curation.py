@@ -639,3 +639,131 @@ def q_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gumbel_key",
         )
     )
+
+
+# --- C9: staged dedup-cascade accounting ----------------------------------------
+
+
+def _cascade_oracle() -> str:
+    from .functions.text import N_BANDS
+    from .queries_text import _sql_minhash_bands
+
+    surv_docs = (
+        "(SELECT d.doc_id, d.text FROM documents d "
+        "WHERE d.doc_id IN (SELECT doc_id FROM surv)) sd"
+    )
+    band_union = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS bi, band{b} AS key FROM bandtbl"
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH fp AS MATERIALIZED (
+      SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h,
+             CAST(min(doc_id) AS BIGINT) AS keep,
+             CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1),
+    surv AS MATERIALIZED (SELECT keep AS doc_id FROM fp),
+    bandtbl AS MATERIALIZED (
+      SELECT * FROM ({_sql_minhash_bands(surv_docs)})),
+    bands AS MATERIALIZED (
+      {band_union}),
+    mn AS MATERIALIZED (
+      SELECT bi, key, min(doc_id) AS mn FROM bands GROUP BY 1, 2),
+    removed AS MATERIALIZED (
+      SELECT DISTINCT bands.doc_id
+      FROM bands JOIN mn USING (bi, key)
+      WHERE bands.doc_id > mn.mn),
+    s1 AS (
+      SELECT 1 AS stage, 'exact' AS stage_name,
+             CAST(sum(c) AS BIGINT) AS n_in,
+             CAST(sum(c) - count(*) AS BIGINT) AS n_dropped,
+             CAST(count(*) AS BIGINT) AS n_out
+      FROM fp),
+    s2 AS (
+      SELECT 2 AS stage, 'minhash_lsh' AS stage_name,
+             (SELECT CAST(count(*) AS BIGINT) FROM surv) AS n_in,
+             (SELECT CAST(count(*) AS BIGINT) FROM removed) AS n_dropped,
+             (SELECT CAST(count(*) AS BIGINT) FROM surv)
+             - (SELECT CAST(count(*) AS BIGINT) FROM removed) AS n_out)
+    SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY stage
+    """
+
+
+@query("q_dedup_cascade", oracle=_cascade_oracle())
+def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged dedup-cascade accounting (C9, wave 42): the production
+    dedup pipeline is a FUNNEL — cheap exact hashing first, then
+    near-dup sketching over the survivors — and what operators review
+    is the per-stage drop report this query emits: (stage, n_in,
+    n_dropped, n_out) for stage 1 (exact fingerprint collapse, X1's
+    rule) and stage 2 (MinHash-LSH keep-min over the survivors, X2's
+    banding). Composing the stages changes the numbers — stage 2's
+    drops are counted AFTER exact collapse, which no single dedup
+    query reports — and the keep-min convention makes the funnel
+    deterministic.
+
+    The stage-2 scale insight: keep-min near-dup removal needs NO pair
+    enumeration at all — a doc is removed iff its id exceeds the
+    minimum id of AT LEAST ONE of its 4 LSH buckets, so the whole
+    stage is one bucket-keyed min-aggregate and one co-keyed join back
+    (the pair space that even the banded X2 pipeline materializes
+    never exists here). All counts are exact int64 on both engines
+    (md5 fingerprints, integer minhash from shared constants).
+
+    Shape: one in-row md5 pass over documents for stage 1; stage 2
+    rides the session doc-sketch checkpoint (tokenize+hash once,
+    shared with X2/X18), restricted to survivors by an id-keyed
+    semi-join; the band explode is 4 rows per doc, checkpointed
+    lazily because the bucket-min and membership passes both read it.
+    Oracle materializes every multi-consumer CTE (the k-core
+    lesson)."""
+    from .functions.text import fingerprint, minhash_bands, minhash_signature
+    from .queries_text import _doc_sketch, _docs
+
+    fp = (
+        _docs(spark, sf_dir)
+        .groupBy(fingerprint("text").alias("h"))
+        .agg(
+            F.min("doc_id").cast("long").alias("keep"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    surv = fp.select(F.col("keep").alias("doc_id"))
+    sk = _doc_sketch(spark, sf_dir).join(surv, "doc_id", "left_semi")
+    bands = (
+        sk.select(
+            "doc_id",
+            F.posexplode(
+                minhash_bands(minhash_signature(F.col("tokh")))
+            ).alias("bi", "key"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    mn = bands.groupBy("bi", "key").agg(F.min("doc_id").alias("mn"))
+    removed = (
+        bands.join(mn, ["bi", "key"])
+        .filter(F.col("doc_id") > F.col("mn"))
+        .select("doc_id")
+        .distinct()
+    )
+    s1 = fp.agg(
+        F.lit(1).alias("stage"),
+        F.lit("exact").alias("stage_name"),
+        F.sum("c").cast("long").alias("n_in"),
+        (F.sum("c") - F.count(F.lit(1))).cast("long").alias("n_dropped"),
+        F.count(F.lit(1)).cast("long").alias("n_out"),
+    )
+    nsurv = fp.agg(F.count(F.lit(1)).cast("long").alias("ns"))
+    nrem = removed.agg(F.count(F.lit(1)).cast("long").alias("nr"))
+    s2 = (
+        nsurv.crossJoin(F.broadcast(nrem))
+        .select(
+            F.lit(2).alias("stage"),
+            F.lit("minhash_lsh").alias("stage_name"),
+            F.col("ns").alias("n_in"),
+            F.col("nr").alias("n_dropped"),
+            (F.col("ns") - F.col("nr")).alias("n_out"),
+        )
+    )
+    return s1.union(s2).orderBy("stage")

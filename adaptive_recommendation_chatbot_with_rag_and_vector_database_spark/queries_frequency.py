@@ -614,3 +614,124 @@ def q_heavy_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("freq_delta"),
         )
     )
+
+
+# --- H9: negative-association (anti-affinity) screen ----------------------------
+
+_NEG_TOP_ITEMS = 20
+_NEG_OUT_K = 15
+
+
+@query(
+    "q_negative_association",
+    oracle=f"""
+    WITH li_s AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nb FROM li_s),
+    item AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS ci
+      FROM li_s GROUP BY 1),
+    top AS (
+      SELECT l_partkey, ci FROM item
+      ORDER BY ci DESC, l_partkey LIMIT {_NEG_TOP_ITEMS}),
+    cand AS (
+      SELECT a.l_partkey AS pa, a.ci AS ca, b.l_partkey AS pb, b.ci AS cb
+      FROM top a JOIN top b ON a.l_partkey < b.l_partkey),
+    co AS (
+      SELECT x.l_partkey AS pa, y.l_partkey AS pb,
+             CAST(count(*) AS BIGINT) AS n_co
+      FROM li_s x
+      JOIN li_s y ON x.l_orderkey = y.l_orderkey
+                 AND x.l_partkey < y.l_partkey
+      WHERE x.l_partkey IN (SELECT l_partkey FROM top)
+        AND y.l_partkey IN (SELECT l_partkey FROM top)
+      GROUP BY 1, 2)
+    SELECT cand.pa AS part_a, cand.pb AS part_b, cand.ca AS c_a,
+           cand.cb AS c_b, coalesce(co.n_co, 0) AS n_co,
+           round(cand.ca * cand.cb / CAST(n.nb AS DOUBLE), 6)
+             AS expected_co,
+           round(coalesce(co.n_co, 0) * CAST(n.nb AS DOUBLE)
+                 / (cand.ca * cand.cb), 6) AS lift
+    FROM cand CROSS JOIN n
+    LEFT JOIN co ON co.pa = cand.pa AND co.pb = cand.pb
+    ORDER BY lift, part_a, part_b LIMIT {_NEG_OUT_K}
+    """,
+)
+def q_negative_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-association screen (H9, wave 42): among the top-20
+    most-purchased parts, which pairs co-occur LESS than independence
+    predicts? H1's association rules can only surface pairs that DO
+    co-occur (its pair table comes from observed baskets); the
+    substitute/cannibalization signal lives in the pairs that should
+    co-occur but don't — so this query materializes the full candidate
+    grid over the frequent-item panel (190 pairs, absent pairs
+    included via left join at lift 0) and returns the bottom-15 by
+    lift with observed vs expected counts.
+
+    Exactness: basket counts, item supports, and co-occurrence counts
+    are exact int64; expected = c_a·c_b/n and lift = n_co·n/(c_a·c_b)
+    divide identical integers, rounded 6-dp; ordering ties (several
+    all-zero-lift pairs) break on (part_a, part_b).
+
+    Shape at scale: item supports are ONE part-keyed aggregate; the
+    top-20 cut is TakeOrdered; the candidate grid is top-20 × top-20 —
+    a bounded broadcast panel, never |parts|²; the co-occurrence join
+    restricts BOTH sides to the 20 panel keys (broadcast semi-join)
+    BEFORE the orderkey-keyed self-join, so the pair space is bounded
+    by (basket ∩ panel)² ≤ 190 per basket. The three consumers
+    deliberately RE-SCAN the two-column pruned fact instead of
+    checkpointing the |lineitem|-sized distinct projection —
+    materializing a fact-sized frame is exactly what dies at 100 TB
+    (and measurably OOMs the 100× local tier), while parallel pruned
+    scans are the cheap term."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_partkey"
+    )
+    n = li.agg(F.count_distinct("l_orderkey").cast("long").alias("nb"))
+    item = (
+        li.distinct()
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("ci"))
+    )
+    top = item.orderBy(F.desc("ci"), F.asc("l_partkey")).limit(
+        _NEG_TOP_ITEMS
+    )
+    ta = top.select(F.col("l_partkey").alias("pa"), F.col("ci").alias("ca"))
+    tb = top.select(F.col("l_partkey").alias("pb"), F.col("ci").alias("cb"))
+    cand = ta.crossJoin(tb).filter(F.col("pa") < F.col("pb"))
+    keys = top.select("l_partkey")
+    li_top = li.join(F.broadcast(keys), "l_partkey", "left_semi").distinct()
+    x = li_top.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
+    )
+    y = li_top.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
+    )
+    co = (
+        x.join(y, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
+    )
+    return (
+        cand.join(F.broadcast(co), ["pa", "pb"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("ca").alias("c_a"),
+            F.col("cb").alias("c_b"),
+            F.coalesce("n_co", F.lit(0)).cast("long").alias("n_co"),
+            F.round(
+                F.col("ca") * F.col("cb") / F.col("nb").cast("double"), 6
+            ).alias("expected_co"),
+            F.round(
+                F.coalesce("n_co", F.lit(0))
+                * F.col("nb").cast("double")
+                / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("lift", "part_a", "part_b")
+        .limit(_NEG_OUT_K)
+    )

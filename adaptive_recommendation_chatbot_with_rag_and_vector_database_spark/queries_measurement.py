@@ -2993,3 +2993,142 @@ def q_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- M31: Kendall's W coefficient of concordance --------------------------------
+
+_KW_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _kw_rank_sql(t: str) -> str:
+    others = [o for o in _KW_TYPES if o != t]
+    terms = " + ".join(
+        f"CASE WHEN c_{o} > c_{t}"
+        f" OR (c_{o} = c_{t} AND '{o}' < '{t}') THEN 1 ELSE 0 END"
+        for o in others
+    )
+    return f"1 + {terms}"
+
+
+@query(
+    "q_kendall_w",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id,
+             {", ".join(
+                 f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+                 f" AS BIGINT) AS c_{t}"
+                 for t in _KW_TYPES)}
+      FROM events
+      WHERE event_type IN {_KW_TYPES!r}
+      GROUP BY user_id),
+    rk AS (
+      SELECT {", ".join(
+                 f"CAST({_kw_rank_sql(t)} AS BIGINT) AS rk_{t}"
+                 for t in _KW_TYPES)}
+      FROM c),
+    rj AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             {", ".join(
+                 f"CAST(sum(rk_{t}) AS BIGINT) AS r_{t}"
+                 for t in _KW_TYPES)}
+      FROM rk),
+    s AS (
+      SELECT *,
+             (r_click - 3 * m) * (r_click - 3 * m)
+             + (r_error - 3 * m) * (r_error - 3 * m)
+             + (r_purchase - 3 * m) * (r_purchase - 3 * m)
+             + (r_signup - 3 * m) * (r_signup - 3 * m)
+             + (r_view - 3 * m) * (r_view - 3 * m) AS ss
+      FROM rj)
+    SELECT m AS n_users, r_click, r_error, r_purchase, r_signup, r_view,
+           CAST(ss AS BIGINT) AS s_stat,
+           round(ss / (10.0 * m * m), 6) AS w,
+           round(4.0 * ss / (10.0 * m), 6) AS chi2,
+           CASE WHEN round(4.0 * ss / (10.0 * m), 6) > 9.487729
+                THEN 1 ELSE 0 END AS reject_5pct
+    FROM s
+    """,
+)
+def q_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's W coefficient of concordance (M31, wave 42): do users
+    AGREE on the ordering of the k=5 event types? Every user ranks the
+    types by personal usage count (rank 1 = most used; ties broken by
+    type name so every ranking is a strict permutation); W ∈ [0,1]
+    measures agreement across the m judges, and m(k−1)W is the
+    Friedman chi² — this is the effect-size dual of M27 (Friedman asks
+    "do treatments differ?", W asks "how concordant are the judges?").
+
+    Exactness: per-user ranks come from a FIXED-ORDER in-row
+    comparison battery over the five count columns (no window, no
+    sort, tie-break '<' on the type literal), so rank sums R_j and
+    S = Σ(R_j − 3m)² are exact int64 — with k=5 the rank-sum mean
+    m(k+1)/2 = 3m is integer, so S never floats; W = S/(10m²) and
+    chi² = 4S/(10m) divide identical integers, rounded 6-dp, and the
+    df=4 critical value is a pinned literal. Bound: R_j ≤ 5m ≈ 7.5e7
+    at the 1000× tier → S ≈ 1e16 < 2^63 (documented).
+
+    Shape: ONE user-keyed conditional aggregate over events (map-side
+    combined, no pivot), ranks and S in whole-stage codegen, one
+    scalar aggregate. Two exchanges at any scale — the same
+    two-exchange shape as ST21, measuring agreement where Cochran
+    measures marginal differences."""
+    ev = load_table(spark, "events", sf_dir)
+    c = (
+        ev.filter(F.col("event_type").isin(*_KW_TYPES))
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+                .cast("long")
+                .alias(f"c_{t}")
+                for t in _KW_TYPES
+            ]
+        )
+    )
+
+    def rank_of(t: str):
+        others = [o for o in _KW_TYPES if o != t]
+        expr = F.lit(1)
+        for o in others:
+            expr = expr + F.when(
+                (F.col(f"c_{o}") > F.col(f"c_{t}"))
+                | ((F.col(f"c_{o}") == F.col(f"c_{t}")) & F.lit(o < t)),
+                1,
+            ).otherwise(0)
+        return expr.cast("long")
+
+    rk = c.select(*[rank_of(t).alias(f"rk_{t}") for t in _KW_TYPES])
+    rj = rk.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        *[
+            F.sum(f"rk_{t}").cast("long").alias(f"r_{t}")
+            for t in _KW_TYPES
+        ],
+    )
+    ss = sum(
+        [
+            (F.col(f"r_{t}") - 3 * F.col("m"))
+            * (F.col(f"r_{t}") - 3 * F.col("m"))
+            for t in _KW_TYPES
+        ],
+        F.lit(0),
+    )
+    return (
+        rj.withColumn("ss", ss.cast("long"))
+        .select(
+            F.col("m").alias("n_users"),
+            *[F.col(f"r_{t}") for t in _KW_TYPES],
+            F.col("ss").alias("s_stat"),
+            F.round(F.col("ss") / (10.0 * F.col("m") * F.col("m")), 6).alias(
+                "w"
+            ),
+            F.round(4.0 * F.col("ss") / (10.0 * F.col("m")), 6).alias(
+                "chi2"
+            ),
+        )
+        .withColumn(
+            "reject_5pct",
+            F.when(F.col("chi2") > 9.487729, 1).otherwise(0),
+        )
+    )

@@ -1864,3 +1864,139 @@ def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("reject_5pct"),
     )
+
+
+# --- ST22: Page's L trend test over monthly weekday-revenue ranks ---------------
+
+
+@query(
+    "q_page_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             round(sum(o_totalprice), 4) AS rev
+      FROM orders GROUP BY 1),
+    md AS (
+      SELECT CAST(date_trunc('month', d) AS DATE) AS m,
+             dayofweek(d) AS dow,
+             round(sum(rev), 4) AS rev
+      FROM daily GROUP BY 1, 2),
+    months AS (SELECT DISTINCT m FROM md),
+    grid AS (
+      SELECT months.m, g.dow, coalesce(md.rev, 0.0) AS rev
+      FROM months
+      CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS dow) g
+      LEFT JOIN md ON md.m = months.m AND md.dow = g.dow),
+    ranked AS (
+      SELECT m, dow,
+             CAST(row_number() OVER (PARTITION BY m ORDER BY rev, dow)
+                  AS BIGINT) AS rnk
+      FROM grid),
+    rj AS (
+      SELECT CAST(count(DISTINCT m) AS BIGINT) AS b,
+             {rsums}
+      FROM ranked),
+    l AS (
+      SELECT *,
+             1 * r_dow0 + 2 * r_dow1 + 3 * r_dow2 + 4 * r_dow3
+             + 5 * r_dow4 + 6 * r_dow5 + 7 * r_dow6 AS l_stat
+      FROM rj)
+    SELECT b AS n_months, r_dow0, r_dow1, r_dow2, r_dow3, r_dow4, r_dow5,
+           r_dow6, CAST(l_stat AS BIGINT) AS l_stat,
+           round((l_stat - 112.0 * b)
+                 / sqrt(b * 49.0 * 8.0 * 48.0 / 144.0), 6) AS z,
+           CASE WHEN abs(round((l_stat - 112.0 * b)
+                 / sqrt(b * 49.0 * 8.0 * 48.0 / 144.0), 6)) > 1.96
+                THEN 1 ELSE 0 END AS trend_5pct
+    FROM l
+    """.format(
+        rsums=", ".join(
+            f"CAST(sum(CASE WHEN dow = {j} THEN rnk ELSE 0 END) AS BIGINT)"
+            f" AS r_dow{j}"
+            for j in range(7)
+        )
+    ),
+)
+def q_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L trend test (ST22, wave 42): is revenue MONOTONICALLY
+    ordered across the weekday sequence (Sun → Sat), consistently
+    month after month? Blocks are calendar months, treatments are the
+    7 weekday slots in fixed hypothesized order, the blocked value is
+    the month's total revenue falling on that weekday (a slot with no
+    active days contributes 0 — the dense month×dow grid makes every
+    block complete at every tier, including the sparse sf0.001
+    calendar), and within each month the 7 slots are ranked 1..7.
+    Page's L = Σ_j j·R_j is the ordered-alternatives sharpening of
+    M27's Friedman (which only detects SOME difference); TM8/TM16
+    measure weekday seasonality strength, this tests a DIRECTIONAL
+    hypothesis with a calibrated z.
+
+    Exactness: day revenues are the 4-dp values the daily_orders
+    substrate pins, and the (month, dow) re-aggregation is rounded to
+    4 dp again so mathematically-equal sums land on identical doubles
+    on both engines (the part_revenue two-stage-rounding argument:
+    float error ~1e-9 never reaches the 5e-5 boundary); ranks are
+    row_number over (rev, dow) — deterministic; R_j, L, and b are
+    exact int64; E[L] = b·k(k+1)²/4 = 112b and
+    Var[L] = b·k²(k+1)(k²−1)/144 enter as closed-form literals (k = 7
+    pinned) and z is rounded 6-dp. Weekday is DuckDB's 0=Sunday
+    convention (the K4 rule).
+
+    Shape: rides the shared daily_orders session checkpoint — the
+    (month, dow) rollup, dense grid, ranking window, and rank-sum
+    rollup all run on |days|-order rows (zero fact scans in the
+    per-query plan); the final statistic is one fixed-order in-row
+    expression over seven columns."""
+    from .sources.loaders import daily_orders
+
+    daily = daily_orders(spark, sf_dir).select(
+        F.trunc("d", "month").alias("m"),
+        (F.dayofweek("d") - 1).alias("dow"),
+        "rev",
+    )
+    md = daily.groupBy("m", "dow").agg(
+        F.round(F.sum("rev"), 4).alias("rev")
+    )
+    months = md.select("m").distinct()
+    dows = spark.range(7).select(F.col("id").cast("int").alias("dow"))
+    grid = (
+        months.crossJoin(F.broadcast(dows))
+        .join(md, ["m", "dow"], "left")
+        .select("m", "dow", F.coalesce("rev", F.lit(0.0)).alias("rev"))
+    )
+    ranked = grid.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("m").orderBy("rev", "dow")
+        ),
+    )
+    rj = ranked.agg(
+        F.countDistinct("m").cast("long").alias("b"),
+        *[
+            F.sum(F.when(F.col("dow") == j, F.col("rnk")).otherwise(0))
+            .cast("long")
+            .alias(f"r_dow{j}")
+            for j in range(7)
+        ],
+    )
+    l_stat = sum(
+        [(j + 1) * F.col(f"r_dow{j}") for j in range(7)], F.lit(0)
+    )
+    z = F.round(
+        (F.col("l_stat") - 112.0 * F.col("b"))
+        / F.sqrt(F.col("b") * 49.0 * 8.0 * 48.0 / 144.0),
+        6,
+    )
+    return (
+        rj.withColumn("l_stat", l_stat.cast("long"))
+        .withColumn("z", z)
+        .select(
+            F.col("b").alias("n_months"),
+            *[f"r_dow{j}" for j in range(7)],
+            "l_stat",
+            "z",
+            F.when(F.abs(F.col("z")) > 1.96, 1)
+            .otherwise(0)
+            .alias("trend_5pct"),
+        )
+    )

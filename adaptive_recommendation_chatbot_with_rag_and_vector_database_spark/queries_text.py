@@ -1859,3 +1859,114 @@ def q_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "chosen_rank")
     )
+
+
+# --- X21: character-class composition audit -------------------------------------
+
+#: (name, regex character class) — fixed order; "other" is the
+#: complement so the five published counts always sum to n_chars
+_CHARCLASS = (
+    ("upper", "[A-Z]"),
+    ("lower", "[a-z]"),
+    ("digit", "[0-9]"),
+    ("ws", "[ \\t\\n\\f\\r]"),
+)
+
+
+@query(
+    "q_charclass_mix",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source,
+             CAST(length(text) AS BIGINT) AS n,
+             {", ".join(
+                 "CAST(length(text) - length(regexp_replace(text, "
+                 f"'{pat}', '', 'g')) AS BIGINT) AS n_{name}"
+                 for name, pat in _CHARCLASS)}
+      FROM documents),
+    per_source AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS n_chars,
+             {", ".join(
+                 f"CAST(sum(n_{name}) AS BIGINT) AS c_{name}"
+                 for name, _ in _CHARCLASS)}
+      FROM per_doc GROUP BY source)
+    SELECT source, n_docs, n_chars,
+           {", ".join(
+               f"c_{name}, round(c_{name} / CAST(n_chars AS DOUBLE), 6)"
+               f" AS share_{name}"
+               for name, _ in _CHARCLASS)},
+           CAST(n_chars - c_upper - c_lower - c_digit - c_ws AS BIGINT)
+             AS c_other,
+           round((n_chars - c_upper - c_lower - c_digit - c_ws)
+                 / CAST(n_chars AS DOUBLE), 6) AS share_other
+    FROM per_source ORDER BY source
+    """,
+)
+def q_charclass_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition audit per source (X21, wave 42):
+    uppercase / lowercase / digit / whitespace / other counts and
+    shares — the encoding-hygiene screen a corpus pipeline runs before
+    tokenizer training (a source whose digit share doubles overnight
+    is a schema leak; an "other" spike is mojibake or markup bleed).
+    Complements X13's per-doc entropy and Z12's stopword profiles with
+    the per-SOURCE byte-level composition; "other" is computed as the
+    complement so the five published counts provably sum to n_chars.
+
+    Exactness: every count is length(text) − length(class-stripped
+    text) — integer codepoint arithmetic identical on both engines for
+    the BMP/ASCII corpus (documented assumption: Spark's length counts
+    UTF-16 units, DuckDB's counts codepoints; they agree outside
+    astral planes, and the fixture generator emits ASCII); shares
+    divide identical int64 sums, rounded 6-dp.
+
+    Shape: one map-side regexp battery over documents (in-row codegen,
+    no UDF, no explode — four bounded regex passes per row), then ONE
+    source-keyed aggregate whose partials combine map-side. At 100 TB
+    the only term is the single corpus scan."""
+    docs = _docs(spark, sf_dir)
+    per_doc = docs.select(
+        "source",
+        F.length("text").cast("long").alias("n"),
+        *[
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", pat, ""))
+            )
+            .cast("long")
+            .alias(f"n_{name}")
+            for name, pat in _CHARCLASS
+        ],
+    )
+    per_source = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("n_chars"),
+        *[
+            F.sum(f"n_{name}").cast("long").alias(f"c_{name}")
+            for name, _ in _CHARCLASS
+        ],
+    )
+    other = (
+        F.col("n_chars")
+        - F.col("c_upper")
+        - F.col("c_lower")
+        - F.col("c_digit")
+        - F.col("c_ws")
+    )
+    cols = ["source", "n_docs", "n_chars"]
+    sel = [F.col(c) for c in cols]
+    for name, _ in _CHARCLASS:
+        sel.append(F.col(f"c_{name}"))
+        sel.append(
+            F.round(
+                F.col(f"c_{name}") / F.col("n_chars").cast("double"), 6
+            ).alias(f"share_{name}")
+        )
+    sel.append(other.cast("long").alias("c_other"))
+    sel.append(
+        F.round(other / F.col("n_chars").cast("double"), 6).alias(
+            "share_other"
+        )
+    )
+    return per_source.select(*sel).orderBy("source")
