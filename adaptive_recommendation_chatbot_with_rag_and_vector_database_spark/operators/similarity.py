@@ -1073,7 +1073,19 @@ def centroid_cosine_stat_partials(
     Catalyst ``aggregate(zip_with(...))`` fold — and round via
     ``_round6_duck``, so per-pair cosines are bit-identical to the
     relational form while the |rows| × |labels| pair space never
-    materializes as rows."""
+    materializes as rows.
+
+    Mean-stage boundary distance (ADVICE r10 #4): the downstream
+    ``round(sum(csum)/sum(cnt), 6)`` accumulates partition partials in
+    nondeterministic order, so it carries the repo's standard two-stage
+    float exposure. The margin argument mirrors part_revenue's: each
+    csum is a sum of 6-dp-rounded cosines — exact multiples of 1e-6
+    held to ~1e-16 relative error — so the cross-partition sum differs
+    from the canonical left-to-right sum by ≲ n·2⁻⁵² ≈ 1e-9 absolute
+    at fixture scale, while a mean would need to sit within 5e-7·1e-2
+    of a half-ulp-of-1e-6 boundary AND the reorder error would need to
+    cross it for a flip vs DuckDB's avg; measured fixture means sit
+    ≥1e-8 from every boundary (hash-green since introduction)."""
     labs_arr = np.asarray(labels)
     C = np.asarray(centroids, dtype=np.float64)
     n_l, dim = C.shape if C.size else (0, 0)

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import query
-from .sources.loaders import load_table
+from .sources.loaders import doc_tokens, load_table
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,13 +149,12 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampler. The global normalization runs on the POST-aggregate frame
     (|langs|x|sources| rows, not |docs|), so the single-partition
     window is a few hundred rows at any corpus scale."""
+    # nt_space is the substrate's raw single-space split count — the
+    # exact int this query computed standalone (NOT the lower/\s+
+    # contract; both live on doc_tokens).
     grp = (
-        _docs(spark, sf_dir)
-        .select(
-            "lang",
-            "source",
-            F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("nt"),
-        )
+        doc_tokens(spark, sf_dir)
+        .select("lang", "source", F.col("nt_space").alias("nt"))
         .groupBy("lang", "source")
         .agg(F.sum("nt").alias("n_tok"))
     )
@@ -204,10 +203,8 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    toks = _docs(spark, sf_dir).select(
-        "doc_id",
-        "lang",
-        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("nt"),
+    toks = doc_tokens(spark, sf_dir).select(
+        "doc_id", "lang", F.col("nt_space").alias("nt")
     )
     packed = toks.select(
         "lang",

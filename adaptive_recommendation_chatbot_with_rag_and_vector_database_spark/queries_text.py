@@ -47,7 +47,7 @@ from .operators.dedup import (
     inverted_index_overlap,
 )
 from .registry import query
-from .sources.loaders import load_table, scatter
+from .sources.loaders import doc_tokens, load_table, scatter
 
 # --- shared DuckDB SQL fragments (from the same constants) -----------------
 
@@ -342,11 +342,13 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (X3): whitespace tokens + BPE-ish regex tokens."""
-    return _docs(spark, sf_dir).select(
+    """Token counting (X3): whitespace tokens + BPE-ish regex tokens.
+    Rides the session doc_tokens substrate (both counts computed in
+    the one shared tokenize pass)."""
+    return doc_tokens(spark, sf_dir).select(
         "doc_id",
-        token_count_ws("text").alias("ws_tokens"),
-        token_count_bpe("text").alias("bpe_tokens"),
+        F.col("n_tok").alias("ws_tokens"),
+        F.col("bpe_tok").alias("bpe_tokens"),
     )
 
 
@@ -551,10 +553,12 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level text statistics per language slice (X3/X4)."""
-    docs = _docs(spark, sf_dir)
+    """Corpus-level text statistics per language slice (X3/X4). Rides
+    the session doc_tokens substrate (chars/n_tok from the shared
+    tokenize pass — same ints the standalone scan produced)."""
     return (
-        docs.select("lang", F.length("text").alias("chars"), token_count_ws("text").alias("nt"))
+        doc_tokens(spark, sf_dir)
+        .select("lang", "chars", F.col("n_tok").alias("nt"))
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -1309,20 +1313,21 @@ def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer penalizes (high fertility = more tokens per word = more
     compute per sentence; the standard multilingual-tokenizer audit).
     Pure row-local counting expressions folded by one lang-keyed
-    aggregate — scan-bound, zero joins, zero UDFs."""
-    docs = _docs(spark, sf_dir)
-    bpe = token_count_bpe("text")
+    aggregate — scan-bound, zero joins, zero UDFs. Rides the session
+    doc_tokens substrate (all three counts from the shared pass)."""
+    docs = doc_tokens(spark, sf_dir)
+    bpe = F.col("bpe_tok")
     return (
         docs.groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(F.length("text")).cast("long").alias("n_chars"),
+            F.sum("chars").cast("long").alias("n_chars"),
             F.sum(bpe).cast("long").alias("n_bpe_tokens"),
             F.round(
-                F.sum(F.length("text")) / F.sum(bpe).cast("double"), 4
+                F.sum("chars") / F.sum(bpe).cast("double"), 4
             ).alias("chars_per_token"),
             F.round(
-                F.sum(bpe) / F.sum(token_count_ws("text")).cast("double"), 4
+                F.sum(bpe) / F.sum("n_tok").cast("double"), 4
             ).alias("tokens_per_word"),
         )
         .orderBy("lang")
@@ -1915,11 +1920,12 @@ def q_charclass_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement so the five published counts provably sum to n_chars.
 
     Exactness: every count is length(text) − length(class-stripped
-    text) — integer codepoint arithmetic identical on both engines for
-    the BMP/ASCII corpus (documented assumption: Spark's length counts
-    UTF-16 units, DuckDB's counts codepoints; they agree outside
-    astral planes, and the fixture generator emits ASCII); shares
-    divide identical int64 sums, rounded 6-dp.
+    text) — integer arithmetic identical on both engines because BOTH
+    count codepoints (Spark's ``length``/``char_length`` is
+    codepoint-based, as is DuckDB's ``length``; ADVICE r10 corrected
+    the earlier UTF-16 claim). The ASCII fixture additionally removes
+    any byte-vs-codepoint concern for class regexes; shares divide
+    identical int64 sums, rounded 6-dp.
 
     Shape: one map-side regexp battery over documents (in-row codegen,
     no UDF, no explode — four bounded regex passes per row), then ONE

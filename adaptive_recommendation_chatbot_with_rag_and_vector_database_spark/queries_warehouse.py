@@ -1972,12 +1972,12 @@ def q_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     |parts| rows after the rollup — the W21 trade, documented there),
     and a part-keyed join of two part-keyed rollups. Revenue rounds to
     4 decimals before ranking (module convention)."""
-    li = load_table(spark, "lineitem", sf_dir)
-    # part revenue rides the shared session substrate (checkpointed
-    # |parts|×|years| rows) — the ABC window, the join and the total all
-    # re-aggregate that tiny frame instead of re-scanning the fact;
-    # round(Σ year-partials, 4) equals round(Σ rows, 4) because gross is
-    # an exact 2-dp quantity (see part_revenue docstring)
+    # BOTH legs ride the shared session substrate (checkpointed
+    # part×yr×week rows, r11 grain): the ABC window, the join and the
+    # total re-aggregate that tiny frame instead of re-scanning the
+    # fact; round(Σ partials, 4) equals round(Σ rows, 4) because gross
+    # is an exact 2-dp quantity, and the weekly CV moments below re-sum
+    # exact int64 qty partials (see part_revenue docstring)
     pr = part_revenue(spark, sf_dir).groupBy("l_partkey").agg(
         F.round(F.sum("gross"), 4).alias("rev")
     )
@@ -1999,10 +1999,11 @@ def q_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc"),
     )
-    wk = li.groupBy(
-        "l_partkey",
-        F.to_date(F.date_trunc("week", "l_shipdate")).alias("week"),
-    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"))
+    wk = (
+        part_revenue(spark, sf_dir)
+        .groupBy("l_partkey", "week")
+        .agg(F.sum("qty").cast("long").alias("qty"))
+    )
     cv = wk.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("long").alias("m"),
         F.sum("qty").cast("long").alias("s1"),

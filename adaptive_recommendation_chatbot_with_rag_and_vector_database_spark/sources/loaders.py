@@ -124,12 +124,25 @@ _CUST_REVENUE_CACHE: dict = {}
 
 
 def part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(l_partkey, yr, gross, net) per part × ship-year — yr =
-    year(l_shipdate), gross = sum(l_extendedprice), net =
+    """(l_partkey, yr, week, gross, net, qty) per part × ship-year ×
+    ship-week — yr = year(l_shipdate), week = the Monday of
+    date_trunc('week', l_shipdate), gross = sum(l_extendedprice), net =
     sum(l_extendedprice*(1-l_discount)), both RAW (consumers round at
-    their own grain) — eagerly checkpointed once per (session, sf_dir).
-    |parts|×|years| rows: bounded by the part dimension, not the fact,
-    so the checkpoint stays small at any scale factor."""
+    their own grain), qty = int64 sum(l_quantity) — eagerly
+    checkpointed once per (session, sf_dir).
+
+    The grain was refined yr → (yr, week) in r11 so q_abc_xyz's
+    weekly-demand CV moments ride the same single fact scan (VERDICT
+    r10 weak-item lever): a straddling New-Year week appears as two
+    (yr, week) rows, so revenue consumers re-aggregating by part/yr and
+    demand consumers re-aggregating by part/week are BOTH exact —
+    int64 qty re-sums exactly, and re-aggregating gross/net partials is
+    value-identical after round(.,4) because gross/net are exact
+    2-4-decimal quantities (the true per-part sum is an exact 4-dp
+    decimal; three-stage float error ~1e-9 rel never reaches the 5e-5
+    rounding boundary). |part×week-present| rows: bounded by dimension
+    × calendar, never the fact, so the checkpoint stays small at any
+    scale factor."""
     from pyspark.sql import functions as F
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -138,12 +151,17 @@ def part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         return hit
     pr = (
         load_table(spark, "lineitem", sf_dir)
-        .groupBy("l_partkey", F.year("l_shipdate").alias("yr"))
+        .groupBy(
+            "l_partkey",
+            F.year("l_shipdate").alias("yr"),
+            F.to_date(F.date_trunc("week", "l_shipdate")).alias("week"),
+        )
         .agg(
             F.sum("l_extendedprice").alias("gross"),
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "net"
             ),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
         )
         .localCheckpoint()
     )
@@ -176,6 +194,64 @@ def cust_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust
 
 
+#: session-cached per-document token/length counts: six registered
+#: queries (q_curriculum_buckets, q_token_count, q_padding_efficiency,
+#: q_span_corruption, q_pack_sequences, q_corpus_mixture,
+#: q_token_fertility, q_text_stats) each re-tokenized the full corpus
+#: to derive one or two scalar counts from the same scan (VERDICT r10
+#: weak-item lever for q_curriculum_buckets). Counts are exact
+#: integers, so sharing changes no value and no oracle. BOTH tokenizer
+#: contracts are carried: ``n_tok`` (the engine-wide lowercase/``\s+``
+#: contract of functions/tokenize.py) and ``nt_space`` (the raw
+#: single-space split q_pack_sequences/q_corpus_mixture mirror with
+#: DuckDB ``string_split(text, ' ')``).
+_DOC_TOKENS_CACHE: dict = {}
+
+
+def doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, source, chars, n_tok, nt_space, bpe_tok) per
+    document — chars = length(text), n_tok = |lower/\\s+ tokens|,
+    nt_space = |split-on-' ' tokens|, bpe_tok = BPE-ish regex match
+    count — eagerly checkpointed once per (session, sf_dir). All four
+    counts are Spark ``int`` (the native F.size/regexp_count type), so
+    every consumer reads the exact column type it computed standalone.
+    |docs| rows × 7 scalars: the checkpoint is dimension-sized, never
+    corpus-sized, at any scale factor."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _DOC_TOKENS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    dt = doc_tokens_frame(spark, sf_dir).localCheckpoint()
+    _DOC_TOKENS_CACHE[key] = dt
+    return dt
+
+
+def doc_tokens_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-checkpointed :func:`doc_tokens` build plan — exposed
+    separately so plan tests can assert the scan-side properties
+    (single FileScan, codegen-only counting, pruned read schema) that
+    the checkpoint otherwise hides behind ``Scan ExistingRDD``
+    (ADVICE r10 #1's lesson applied at introduction time)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import token_count_bpe, token_count_ws
+
+    # scatter = min-parallelism guard (see _doc_sketch): the fixture
+    # scan is ONE partition and the triple tokenize is the whole build
+    # cost; on a well-partitioned cluster scan this is a no-op.
+    return scatter(load_table(spark, "documents", sf_dir)).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("chars"),
+        token_count_ws("text").alias("n_tok"),
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+            "nt_space"
+        ),
+        token_count_bpe("text").alias("bpe_tok"),
+    )
+
+
 def clear_substrate_caches() -> int:
     """Drop every session-substrate cache entry (ADVICE r9: the
     module-level caches otherwise hold checkpointed DataFrames for the
@@ -197,6 +273,7 @@ def clear_substrate_caches() -> int:
         _DAILY_ORDERS_CACHE,
         _PART_REVENUE_CACHE,
         _CUST_REVENUE_CACHE,
+        _DOC_TOKENS_CACHE,
         queries_scale._PRICE_CLASSES_G_CACHE,
         queries_scale._PRICE_CLASSES_CACHE,
         queries_scale._ALS_RECS,
@@ -230,6 +307,7 @@ def warm_substrates(spark: SparkSession, sf_dir: str) -> dict:
         ("daily_orders", lambda: daily_orders(spark, sf_dir)),
         ("part_revenue", lambda: part_revenue(spark, sf_dir)),
         ("cust_revenue", lambda: cust_revenue(spark, sf_dir)),
+        ("doc_tokens", lambda: doc_tokens(spark, sf_dir)),
         (
             "price_classes",
             lambda: (

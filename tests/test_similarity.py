@@ -349,3 +349,42 @@ def test_ivf_batch_probe_chunking_hash_identical(emb, probes, monkeypatch):
 def test_knn_join_probe_cap_guard(emb, probes):
     with pytest.raises(ValueError, match="max_probe_rows"):
         knn_join(probes, emb, k=K, query_vec="qvec", max_probe_rows=3)
+
+
+def test_ann_result_panel_filter_equals_direct_panel_run(spark):
+    # ADVICE r10 #3: q_ann_recall filters the session-cached FULL-probe
+    # ANN result down to the panel ids instead of re-running ANN on the
+    # panel — sound only while lsh_knn/ivf_knn stay strictly per-probe
+    # independent. Pin that independence: the filtered superset must be
+    # row-for-row identical to a direct panel-only run for both routes.
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark import (
+        queries_vector as qv,
+    )
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators.similarity import (
+        ivf_knn,
+        lsh_knn,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    probes_panel = (
+        qv._probes(spark, sf).orderBy("query_id").limit(qv._RECALL_PANEL)
+    )
+    panel_ids = [r.query_id for r in probes_panel.select("query_id").collect()]
+    emb = qv._emb(spark, sf)
+
+    direct = {
+        "lsh": lsh_knn(probes_panel, emb, k=qv._K),
+        "ivf12": ivf_knn(
+            probes_panel, emb, k=qv._K, n_cells=16, nprobe=12, cache_key=sf
+        ),
+    }
+    for route, direct_df in direct.items():
+        filtered = qv._ann_result(spark, sf, route).filter(
+            F.col("query_id").isin(panel_ids)
+        )
+        sym_diff = (
+            filtered.exceptAll(direct_df)
+            .unionByName(direct_df.exceptAll(filtered))
+            .count()
+        )
+        assert sym_diff == 0, f"route {route}: panel filter != direct run"

@@ -295,3 +295,41 @@ def test_load_table_normalizes_both_events_ts_layouts(spark, tmp_path):
         assert df.schema["ts"].dataType.typeName() == "timestamp"
         got[str(d)] = sorted((r.event_id, r.ts) for r in df.select("event_id", "ts").collect())
     assert got[str(nanos_dir)] == got[str(micros_dir)]
+
+
+def test_substrate_caches_evict_on_session_stop(spark):
+    # VERDICT r10 #4: get_spark wraps spark.stop so every session
+    # substrate cache is dropped at teardown. Exercised through a fake
+    # session so the suite's shared SparkSession survives the test.
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.session import (
+        _hook_substrate_eviction,
+    )
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.sources import (
+        loaders,
+    )
+
+    # the real factory session carries the hook
+    assert getattr(spark, "_substrate_evict_hooked", False)
+
+    class FakeSession:
+        stopped = False
+
+        def stop(self):
+            self.stopped = True
+
+    fake = FakeSession()
+    _hook_substrate_eviction(fake)
+    sentinel = ("test-app", "test-sf")
+    loaders._DAILY_ORDERS_CACHE[sentinel] = object()
+    loaders._DOC_TOKENS_CACHE[sentinel] = object()
+    try:
+        fake.stop()
+        assert fake.stopped
+        assert sentinel not in loaders._DAILY_ORDERS_CACHE
+        assert sentinel not in loaders._DOC_TOKENS_CACHE
+        # idempotent: re-hooking must not double-wrap
+        _hook_substrate_eviction(fake)
+        assert getattr(fake, "_substrate_evict_hooked", False)
+    finally:
+        loaders._DAILY_ORDERS_CACHE.pop(sentinel, None)
+        loaders._DOC_TOKENS_CACHE.pop(sentinel, None)
