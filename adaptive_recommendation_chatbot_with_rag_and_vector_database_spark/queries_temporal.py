@@ -1412,7 +1412,11 @@ def q_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows run over the |days|-row series: the block partitions carry
     ≤32 rows each and the cumulative deviations accumulate in date
     order on both engines, pinning the float trajectory. The final
-    fit is 3 rows."""
+    fit is 3 rows. Int64 bound (r10 #6 audit): the only integer
+    quantities are the day index i and block ids over the |days|-row
+    series, which N× replication does NOT grow (copies land on the
+    same dates) — i ≤ ~2.6e3 at every tier; all revenue math is
+    float64 by design."""
     from .sources.loaders import daily_orders
 
     import math

@@ -269,6 +269,7 @@ def clear_substrate_caches() -> int:
 
     caches = (
         queries_text._DOC_SKETCH_CACHE,
+        queries_text._DOC_BIGRAMS_CACHE,
         queries_graphstats._EDGES_CACHE,
         _DAILY_ORDERS_CACHE,
         _PART_REVENUE_CACHE,
@@ -329,6 +330,7 @@ def warm_substrates(spark: SparkSession, sf_dir: str) -> dict:
         ),
         ("als_recs", lambda: queries_scale._als_recs(spark, sf_dir)),
         ("doc_sketch", lambda: queries_text._doc_sketch(spark, sf_dir)),
+        ("doc_bigrams", lambda: queries_text._doc_bigrams(spark, sf_dir)),
         (
             "copurchase_edges",
             lambda: queries_graphstats._undirected_edges(spark, sf_dir),

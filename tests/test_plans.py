@@ -57,12 +57,32 @@ def test_exact_dedup_aggregates_map_side(spark):
     assert "partial_min" in plan or "partial_count" in plan
 
 
-@pytest.mark.parametrize("name", ["q_dedup_ngram_jaccard"])
-def test_sketch_scatter_spreads_single_partition_scan(spark, name):
+def test_sketch_scatter_spreads_single_partition_scan(spark):
     # the fixture scan is one file → one partition; scatter must fire
-    # here so sketch compute runs at engine parallelism (on a cluster-
-    # scale scan it is a no-op — next test)
-    plan = _plan(spark, name)
+    # inside the _doc_bigrams substrate build so the bigram regex
+    # battery runs at engine parallelism (on a cluster-scale scan it is
+    # a no-op — next test). Asserted on the PRE-checkpoint build plan —
+    # consumers like q_dedup_ngram_jaccard read the checkpoint, which
+    # hides the exchange (ADVICE r10 #1).
+    import pyspark.sql.functions as F
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.functions.text import (
+        tokens,
+        word_bigrams,
+    )
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_text import (
+        _docs,
+    )
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.sources.loaders import (
+        DEFAULT_SF_DIR,
+        scatter,
+    )
+
+    build = scatter(_docs(spark, DEFAULT_SF_DIR)).select(
+        "doc_id",
+        "lang",
+        F.array_distinct(word_bigrams(tokens("text"))).alias("bigrams"),
+    )
+    plan = build._jdf.queryExecution().executedPlan().toString()
     assert "Exchange RoundRobinPartitioning" in plan
 
 
@@ -1441,10 +1461,11 @@ def test_heavy_change_integer_sort_key_topk(spark):
 
 def test_abc_xyz_two_rollups_keyed_join(spark):
     plan = _plan(spark, "q_abc_xyz")
-    # the revenue rollup is checkpointed (ABC window + join + total all
-    # consume it); the CV rollup is the one remaining fact scan; the
-    # only single-partition window runs over |parts| rows post-rollup
-    assert plan.count("FileScan parquet") == 1
+    # r11: BOTH legs (ABC revenue and weekly-demand CV) re-aggregate
+    # the part_revenue substrate's (part, yr, week) checkpoint — zero
+    # fact scans remain in the per-query plan; the only
+    # single-partition window runs over |parts| rows post-rollup
+    assert plan.count("FileScan parquet") == 0
     assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
 
