@@ -556,3 +556,103 @@ def q_embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- K10: shingle-space document-frequency profile ---------------------------
+
+
+@query(
+    "q_shingle_profile",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
+    grams AS (
+      SELECT doc_id, lang,
+             list_distinct([toks[i] || ' ' || toks[i+1]
+                            for i in range(1, len(toks))]) AS bigrams
+      FROM tok WHERE len(toks) >= 2),
+    ex AS (SELECT lang, unnest(bigrams) AS gram FROM grams),
+    dfc AS (
+      SELECT lang, gram, CAST(count(*) AS BIGINT) AS df
+      FROM ex GROUP BY 1, 2)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(df) AS BIGINT) AS n_postings,
+           CAST(max(df) AS BIGINT) AS max_df,
+           CAST(quantile_disc(df, 0.50) AS BIGINT) AS p50_df,
+           CAST(quantile_disc(df, 0.90) AS BIGINT) AS p90_df,
+           round(sum(CASE WHEN df > 64 THEN df ELSE 0 END)
+                 / CAST(sum(df) AS DOUBLE), 6) AS hot_share
+    FROM dfc GROUP BY lang ORDER BY lang
+    """,
+)
+def q_shingle_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-space document-frequency profile per language (K10,
+    wave 43): how many distinct word-bigram shingles each language
+    block carries, how their document frequencies distribute
+    (p50/p90/max, DISC order statistics), and what share of postings
+    sits in hot shingles (df > 64) — the table that TUNES the
+    inverted-index dedup family: max_df (the X2/X19 stop-shingle cap)
+    is chosen exactly where hot_share says the join-key skew lives,
+    and p90 vs max is the skew-severity read. Complements K1's
+    vocabulary coverage (unigram token space) with the pair-space
+    statistics the candidate-join actually shuffles on.
+
+    Exactness: every count is int64; percentiles are DISC order
+    statistics over integer df values computed from a (lang, df) class
+    aggregate with one per-lang cumulative window over the ~|distinct
+    df| classes (the K8 pattern — no per-group value buffer, no
+    interpolation); hot_share divides int64 sums.
+
+    Shape: rides the session _doc_bigrams checkpoint (tokenize +
+    bigram-build once, shared with the X2/X19/X12 dedup family), one
+    explode, ONE (lang, gram)-keyed aggregate — the identical shuffle
+    key the dedup join uses, so this profile costs what one side of
+    the join it tunes costs — then class-aggregate arithmetic on
+    df-distribution rows. Nothing pairwise, nothing collected."""
+    from .queries_text import _doc_bigrams
+
+    dfc = (
+        _doc_bigrams(spark, sf_dir)
+        .select("lang", F.explode("bigrams").alias("gram"))
+        .groupBy("lang", "gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    cls = dfc.groupBy("lang", F.col("df").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("lang")
+    cum = cls.select(
+        "lang",
+        "v",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cw"),
+        F.sum("cnt").over(wtot).alias("tw"),
+    )
+
+    def _disc(q: float):
+        # min v with cum >= ceil(q * n_grams): ceil via -floor(-x)
+        target = (-F.floor(-(F.lit(q) * F.col("tw")))).cast("long")
+        return F.min(F.when(F.col("cw") >= target, F.col("v")))
+
+    return (
+        cum.groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_grams"),
+            F.sum(F.col("v") * F.col("cnt")).cast("long").alias("n_postings"),
+            F.max("v").cast("long").alias("max_df"),
+            _disc(0.50).cast("long").alias("p50_df"),
+            _disc(0.90).cast("long").alias("p90_df"),
+            F.round(
+                F.sum(F.when(F.col("v") > 64, F.col("v") * F.col("cnt")).otherwise(F.lit(0)))
+                / F.sum(F.col("v") * F.col("cnt")).cast("double"),
+                6,
+            ).alias("hot_share"),
+        )
+        .orderBy("lang")
+    )

@@ -2150,3 +2150,133 @@ def q_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("m")
     )
+
+
+# --- W33: Syntetos-Boylan demand-intermittency classification ----------------
+
+
+@query(
+    "q_demand_intermittency",
+    oracle="""
+    WITH wk AS (
+      SELECT l_partkey,
+             CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1, 2),
+    st AS (
+      SELECT l_partkey,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(qty) AS BIGINT) AS s1,
+             CAST(sum(qty * qty) AS BIGINT) AS s2,
+             CAST((max(week) - min(week)) / 7 + 1 AS BIGINT) AS span_w
+      FROM wk GROUP BY 1),
+    cls AS (
+      SELECT l_partkey, n, s1, s2, span_w,
+             CASE WHEN n = 1 THEN 'single'
+                  WHEN 100 * span_w < 132 * n
+                       AND 100 * (n * s2 - s1 * s1) < 49 * s1 * s1
+                    THEN 'smooth'
+                  WHEN 100 * span_w >= 132 * n
+                       AND 100 * (n * s2 - s1 * s1) < 49 * s1 * s1
+                    THEN 'intermittent'
+                  WHEN 100 * span_w < 132 * n THEN 'erratic'
+                  ELSE 'lumpy' END AS demand_class
+      FROM st),
+    tot AS (SELECT CAST(sum(s1) AS BIGINT) AS tq FROM st)
+    SELECT demand_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(s1) AS BIGINT) AS sum_qty,
+           round(sum(s1) / CAST(max(t.tq) AS DOUBLE), 6) AS qty_share,
+           round(min(span_w / CAST(n AS DOUBLE)), 6) AS min_adi,
+           round(max(span_w / CAST(n AS DOUBLE)), 6) AS max_adi,
+           round(max((n * s2 - s1 * s1) / CAST(s1 * s1 AS DOUBLE)), 6)
+             AS max_cv2
+    FROM cls, tot t
+    GROUP BY demand_class ORDER BY demand_class
+    """,
+)
+def q_demand_intermittency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syntetos-Boylan demand-intermittency classification (W33, wave
+    43): every part classed by average demand interval (ADI =
+    inclusive week span over demand weeks) × squared coefficient of
+    variation of nonzero weekly demand (CV²), into the four
+    forecasting quadrants — smooth (ADI < 1.32, CV² < 0.49: use
+    exponential smoothing), intermittent (sparse but regular: use
+    Croston), erratic (frequent but volatile: use SBA), lumpy (both:
+    the unforecastable tail) — plus 'single' for one-demand-week
+    parts, where CV² degenerates. The demand-pattern dual of W31's
+    ABC-XYZ: XYZ cuts on CV alone; the SB quadrants are what decides
+    WHICH forecasting model each part gets.
+
+    Exactness: both threshold comparisons are EXACT INTEGER
+    inequalities — ADI ≥ 1.32 ⇔ 100·span_w ≥ 132·n and CV² ≥ 0.49 ⇔
+    100·(n·s2 − s1²) ≥ 49·s1² (CV² = var/mean² = (n·s2 − s1²)/s1²
+    with population moments over exact int64 weekly sums) — so the
+    class boundary can never float-flip across engines; the reported
+    min/max ADI/CV² are order statistics of exact-integer ratios
+    (single division each) and qty_share divides int64 sums. Int64
+    bound: 49·s1² ≤ 5e17 at the 100× lineitem tier (s1 ≤ ~1e7 per
+    part), margin ~18× to 2^63; the 1000× mega-tiers replicate
+    orders/events only, so the bound is tier-complete as documented.
+
+    Shape: the weekly rollup is the shared part_revenue (part, yr,
+    week) checkpoint re-aggregated to (part, week) — zero fact scans
+    in the per-query plan (the W31 substrate doing double duty); then
+    one part-keyed moment aggregate, one broadcast total, one ≤5-row
+    final group. Week spans re-derive from the checkpoint's week
+    column, exact DATE arithmetic on Mondays (span divisible by 7)."""
+    wk = (
+        part_revenue(spark, sf_dir)
+        .groupBy("l_partkey", "week")
+        .agg(F.sum("qty").cast("long").alias("qty"))
+    )
+    st = wk.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("qty").cast("long").alias("s1"),
+        F.sum(F.col("qty") * F.col("qty")).cast("long").alias("s2"),
+        (
+            (F.datediff(F.max("week"), F.min("week")) / 7).cast("long") + 1
+        ).alias("span_w"),
+    )
+    cv2_num = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    cls = st.withColumn(
+        "demand_class",
+        F.when(F.col("n") == 1, "single")
+        .when(
+            (100 * F.col("span_w") < 132 * F.col("n"))
+            & (100 * cv2_num < 49 * F.col("s1") * F.col("s1")),
+            "smooth",
+        )
+        .when(
+            (100 * F.col("span_w") >= 132 * F.col("n"))
+            & (100 * cv2_num < 49 * F.col("s1") * F.col("s1")),
+            "intermittent",
+        )
+        .when(100 * F.col("span_w") < 132 * F.col("n"), "erratic")
+        .otherwise("lumpy"),
+    )
+    tot = st.agg(F.sum("s1").cast("long").alias("tq"))
+    return (
+        cls.crossJoin(F.broadcast(tot))
+        .groupBy("demand_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("s1").cast("long").alias("sum_qty"),
+            F.round(F.sum("s1") / F.max("tq").cast("double"), 6).alias(
+                "qty_share"
+            ),
+            F.round(
+                F.min(F.col("span_w") / F.col("n").cast("double")), 6
+            ).alias("min_adi"),
+            F.round(
+                F.max(F.col("span_w") / F.col("n").cast("double")), 6
+            ).alias("max_adi"),
+            F.round(
+                F.max(
+                    cv2_num / (F.col("s1") * F.col("s1")).cast("double")
+                ),
+                6,
+            ).alias("max_cv2"),
+        )
+        .orderBy("demand_class")
+    )
