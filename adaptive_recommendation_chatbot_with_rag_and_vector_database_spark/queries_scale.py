@@ -988,13 +988,20 @@ def grouped_ranked_tie_classes(
     col: str,
     grp: str,
     bucket_width: float = 1000.0,
+    extra_aggs: tuple = (),
 ) -> DataFrame:
     """Per-group tie-class substrate → (grp, v, cnt, cum) where ``cum``
     counts the group's rows strictly below ``v``. Same machinery as
     ``ranked_tie_classes`` with one extra key everywhere: the
     floor-bucket prefix-sum windows are partitioned by group (no window
     ever exceeds one group's ~|range/width| bucket counts). Eagerly
-    localCheckpoint-ed for the same multi-consumer reuse reason."""
+    localCheckpoint-ed for the same multi-consumer reuse reason.
+
+    ``extra_aggs``: additional aliased aggregate expressions evaluated
+    in the SAME (grp, v) class rollup and carried through to the
+    output (r11: lets the session price-class substrate also hold the
+    quantity weight q_weighted_median needs, one scan for all
+    consumers). Rank/cum arithmetic ignores them entirely."""
     from pyspark.sql import Window
 
     # NULL values are ignored (quantile_cont semantics) — see the
@@ -1003,8 +1010,9 @@ def grouped_ranked_tie_classes(
     vc = (
         df.where(F.col(col).isNotNull())
         .groupBy(F.col(grp), F.col(col).alias("v"))
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"), *extra_aggs)
     )
+    extra_cols = [c for c in vc.columns if c not in (grp, "v", "cnt")]
     b = vc.withColumn("bkt", F.floor(F.col("v") / bucket_width).cast("long"))
     bc = b.groupBy(grp, "bkt").agg(F.sum("cnt").cast("long").alias("bn"))
     w_off = (
@@ -1028,6 +1036,7 @@ def grouped_ranked_tie_classes(
             grp,
             "v",
             "cnt",
+            *extra_cols,
             (
                 F.col("off") + F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
             ).alias("cum"),
@@ -1124,17 +1133,27 @@ _PRICE_CLASSES_CACHE: dict = {}
 
 
 def price_classes_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(l_returnflag, v, cnt, cum) tie classes of l_extendedprice per
-    return flag — exactly ``grouped_ranked_tie_classes`` on the fact,
-    computed once per (session, sf_dir)."""
+    """(l_returnflag, v, cnt, w, cum) tie classes of l_extendedprice
+    per return flag — ``grouped_ranked_tie_classes`` on the fact with
+    the quantity weight ``w = Σ l_quantity`` carried in the same class
+    rollup (r11: q_weighted_median reads it instead of re-scanning the
+    fact; w values are integral-valued doubles summed exactly, and
+    the substrate grain IS the query's own (flag, price) grain, so
+    sharing is value-identical) — computed once per (session,
+    sf_dir)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _PRICE_CLASSES_G_CACHE.get(key)
     if hit is not None:
         return hit
     li = load_table(spark, "lineitem", sf_dir).select(
-        "l_returnflag", "l_extendedprice"
+        "l_returnflag", "l_extendedprice", "l_quantity"
     )
-    g = grouped_ranked_tie_classes(li, "l_extendedprice", "l_returnflag")
+    g = grouped_ranked_tie_classes(
+        li,
+        "l_extendedprice",
+        "l_returnflag",
+        extra_aggs=(F.sum("l_quantity").alias("w"),),
+    )
     _PRICE_CLASSES_G_CACHE[key] = g
     return g
 

@@ -781,12 +781,15 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: rows collapse to (flag, value) weight classes FIRST (hash
     aggregate), the cumulative window sorts only each flag's ~|distinct
     values| classes within its own partition — no global sort, no
-    single-task percentile buffer."""
-    li = _t(spark, sf_dir, "lineitem")
-    vc = li.groupBy(
-        F.col("l_returnflag").alias("flag"),
-        F.col("l_extendedprice").alias("v"),
-    ).agg(F.sum("l_quantity").alias("w"))
+    single-task percentile buffer. r11: the class rollup reads the
+    shared price-class checkpoint's quantity-weight column (the
+    substrate grain is this query's own (flag, price) grain — zero
+    fact scans in the per-query plan)."""
+    from .queries_scale import price_classes_grouped
+
+    vc = price_classes_grouped(spark, sf_dir).select(
+        F.col("l_returnflag").alias("flag"), "v", "w"
+    )
     wcum = (
         Window.partitionBy("flag")
         .orderBy("v")
@@ -1190,58 +1193,59 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both medians are the DISC (lower) median — an actual data value,
     min v with cum ≥ ⌈n/2⌉ — so the z arithmetic consumes exact doubles
     identical on both engines with no interpolation rounding anywhere
-    (the LG3 robust-center convention). Scale shape: ONE fact scan into
-    the eagerly-checkpointed (group, value) class table; the value
-    median, the deviation median (|v−med| maps a (v,cnt) class to a
-    (dev,cnt) class — the fact never re-enters), and the cnt-weighted
-    outlier fold all read that checkpoint. Each median is one
-    per-group cumulative window over the group's ~|distinct values|
-    classes (the ST11 weighted-median posture; the grouped tie-class
-    bucket idiom remains the documented upgrade path if a group's
-    value grid outgrows one task)."""
+    (the LG3 robust-center convention).
+
+    Scale shape (r11 job paydown — the earlier three-phase form paid a
+    class checkpoint plus two sequential broadcast-join rounds, 12 jobs
+    for a 2.8 s warm wall): ONE fact scan into the (group, value)
+    class table, then BOTH medians attach as window expressions over
+    the same per-group class partition — med = min(v | cum ≥ ⌈n/2⌉)
+    over the group, dv = |v − med| in-row, and mad via a RANGE-framed
+    cumulative (Σ cnt where dv' ≤ dv — tie-inclusive, exactly the
+    merged-dv-class cumulative the old groupBy produced) followed by
+    the same min-over-group — so the whole query is one linear plan:
+    agg → three window passes → final agg, ONE job, zero joins, zero
+    broadcasts, zero checkpoints. Windows run over each group's
+    ~|distinct values| classes (the ST11 posture; the grouped
+    tie-class bucket idiom remains the documented upgrade path if a
+    group's value grid outgrows one task)."""
     o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
-    cls = (
-        o.groupBy(
-            F.col("o_orderpriority").alias("pri"),
-            F.col("o_totalprice").alias("v"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .localCheckpoint()
-    )
+    cls = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("v"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     wtot = Window.partitionBy("pri")
-
-    def _disc_median(classes: DataFrame, val: str) -> DataFrame:
-        cum = classes.select(
-            "pri",
-            F.col(val).alias("_v"),
-            F.sum("cnt").over(
-                Window.partitionBy("pri")
-                .orderBy(val)
-                .rowsBetween(Window.unboundedPreceding, 0)
-            ).alias("cw"),
-            F.sum("cnt").over(wtot).alias("tw"),
-        )
-        return cum.groupBy("pri").agg(
-            F.min(
-                F.when(
-                    F.col("cw") >= ((F.col("tw") + 1) / 2).cast("long"),
-                    F.col("_v"),
-                )
-            ).alias(f"{val}_med")
-        )
-
-    med = _disc_median(cls, "v").select("pri", F.col("v_med").alias("med"))
-    dev = (
-        cls.join(F.broadcast(med), "pri")
-        .groupBy("pri", F.abs(F.col("v") - F.col("med")).alias("dv"))
-        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    w_cum_v = (
+        Window.partitionBy("pri")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    mad = _disc_median(dev, "dv").select("pri", F.col("dv_med").alias("mad"))
+    cum = cls.select(
+        "pri",
+        "v",
+        "cnt",
+        F.sum("cnt").over(w_cum_v).alias("cw"),
+        F.sum("cnt").over(wtot).alias("tw"),
+    )
+    target = ((F.col("tw") + 1) / 2).cast("long")
+    withmed = cum.withColumn(
+        "med",
+        F.min(F.when(F.col("cw") >= target, F.col("v"))).over(wtot),
+    ).withColumn("dv", F.abs(F.col("v") - F.col("med")))
+    w_cum_dv = (
+        Window.partitionBy("pri")
+        .orderBy("dv")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    full = withmed.withColumn(
+        "cwd", F.sum("cnt").over(w_cum_dv)
+    ).withColumn(
+        "mad",
+        F.min(F.when(F.col("cwd") >= target, F.col("dv"))).over(wtot),
+    )
     rz = F.round(0.6745 * (F.col("v") - F.col("med")) / F.col("mad"), 6)
     return (
-        cls.join(F.broadcast(med), "pri")
-        .join(F.broadcast(mad), "pri")
-        .groupBy(
+        full.groupBy(
             F.col("pri").alias("o_orderpriority"),
             F.round("med", 4).alias("med"),
             F.round("mad", 4).alias("mad"),
