@@ -260,6 +260,7 @@ def clear_substrate_caches() -> int:
     session teardown — localCheckpoint blocks die with their
     SparkContext — so this only releases the Python references."""
     from .. import (
+        queries_curation,
         queries_graphstats,
         queries_mlops,
         queries_scale,
@@ -271,6 +272,7 @@ def clear_substrate_caches() -> int:
         queries_text._DOC_SKETCH_CACHE,
         queries_text._DOC_BIGRAMS_CACHE,
         queries_graphstats._EDGES_CACHE,
+        queries_curation._BIPARTITE_CACHE,
         _DAILY_ORDERS_CACHE,
         _PART_REVENUE_CACHE,
         _CUST_REVENUE_CACHE,
@@ -300,7 +302,13 @@ def warm_substrates(spark: SparkSession, sf_dir: str) -> dict:
     as they do in any multi-query session."""
     import time
 
-    from .. import queries_graphstats, queries_scale, queries_text, queries_vector
+    from .. import (
+        queries_curation,
+        queries_graphstats,
+        queries_scale,
+        queries_text,
+        queries_vector,
+    )
     from ..queries_mlops import _score_classes as _mlops_classes
 
     timings = {}
@@ -334,6 +342,10 @@ def warm_substrates(spark: SparkSession, sf_dir: str) -> dict:
         (
             "copurchase_edges",
             lambda: queries_graphstats._undirected_edges(spark, sf_dir),
+        ),
+        (
+            "bipartite_edges",
+            lambda: queries_curation._bipartite_edges(spark, sf_dir),
         ),
     ):
         t0 = time.perf_counter()
