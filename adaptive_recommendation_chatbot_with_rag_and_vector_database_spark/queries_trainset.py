@@ -588,14 +588,15 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     positives are sparse in the catalog at scale. The +1 after the
     modulo maps draws onto the 1-based partkey range [1, n]: without
     it, partkey 0 (nonexistent) could be drawn and partkey n never."""
-    o = load_table(spark, "orders", sf_dir)
-    li = load_table(spark, "lineitem", sf_dir)
+    from .queries_curation import _bipartite_edges
+
     cust = load_table(spark, "customer", sf_dir)
     n_parts = load_table(spark, "part", sf_dir).count()
-    pos = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select("o_custkey", "l_partkey")
-        .distinct()
+    # the positives ARE the session bipartite co-purchase edge
+    # checkpoint (identical distinct (custkey, partkey) rows) — shared
+    # with q_graph_walk, r11
+    pos = _bipartite_edges(spark, sf_dir)[0].select(
+        F.col("c").alias("o_custkey"), F.col("p").alias("l_partkey")
     )
     draws = cust.select(
         "c_custkey",
