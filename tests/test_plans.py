@@ -1128,13 +1128,15 @@ def test_cohens_kappa_single_scan_four_counters(spark):
     assert "BatchEvalPython" not in plan
 
 
-def test_mad_reuses_checkpointed_class_table(spark):
+def test_mad_is_one_linear_window_plan(spark):
     plan = _plan(spark, "q_mad_outliers")
-    # value median, deviation median AND the outlier fold all derive
-    # from the eager tie-class checkpoint: the fact parquet never
-    # re-enters the final plan; no built-in percentile buffer
-    assert "FileScan parquet" not in plan
-    assert "Scan ExistingRDD" in plan
+    # r11: value median, deviation median AND the outlier fold are all
+    # window expressions over the per-group class partition — ONE
+    # linear plan with a single fact scan, no checkpoint, no joins, no
+    # broadcasts, no built-in percentile buffer
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan and "BroadcastExchange" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
     assert "percentile" not in plan.lower()
 
 
@@ -1191,9 +1193,12 @@ def test_lorenz_serves_from_checkpointed_rank_table(spark):
 def test_negative_sampling_anti_join_and_inrow_candidates(spark):
     plan = _plan(spark, "q_negative_sampling")
     # candidates are in-row LCG arithmetic (sequence+explode — no join
-    # against part); positives removed with a keyed anti-join
+    # against part); positives removed with a keyed anti-join against
+    # the checkpointed bipartite edge substrate (r11 — orders and
+    # lineitem no longer scan in the per-query plan)
     assert "LeftAnti" in plan
-    assert plan.count("FileScan parquet") == 3  # orders, lineitem, customer
+    assert plan.count("FileScan parquet") == 1  # customer only
+    assert "Scan ExistingRDD" in plan  # the positives checkpoint
     assert "BatchEvalPython" not in plan
 
 
