@@ -528,11 +528,29 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).select("doc_id", F.col("s.w1").alias("w1"), F.col("s.big").alias("big"))
-    bc = bg.groupBy("doc_id", "w1", "big").agg(F.count(F.lit(1)).alias("c"))
+    # ONE fact pass: bc feeds THREE consumers (the bigram table, the
+    # first-word histogram, and the per-doc scoring join) — the
+    # uncheckpointed plan re-ran the tokenize+explode+agg subtree for
+    # each (4 parquet scans in plans/r11/q_bigram_lm_before.txt, no
+    # exchange reuse; guide §5 localCheckpoint). Counts are exact
+    # ints, so the re-aggregations are value-identical.
+    bc = (
+        bg.groupBy("doc_id", "w1", "big")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     corpus = bc.groupBy("big").agg(F.sum("c").cast("long").alias("cb"))
     hist = bc.groupBy("w1").agg(F.sum("c").cast("long").alias("cw"))
+    # V = |corpus vocabulary|: countDistinct over the session doc-sketch
+    # substrate's per-doc DISTINCT token arrays — the union of per-doc
+    # distinct sets has exactly the corpus's distinct tokens, so the
+    # value is identical to re-tokenizing the corpus (which the old
+    # form did: a 4th full scan for one scalar).
+    from .queries_text import _doc_sketch
+
     voc = (
-        t.select(F.explode("toks").alias("w"))
+        _doc_sketch(spark, sf_dir)
+        .select(F.explode("toks").alias("w"))
         .agg(F.countDistinct("w").alias("v"))
     )
     scored = (

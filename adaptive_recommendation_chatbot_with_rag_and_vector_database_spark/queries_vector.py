@@ -410,8 +410,25 @@ def q_ann_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     probes = _probes(spark, sf_dir).orderBy("query_id").limit(_PARITY_PANEL)
-    a = ivf_knn(probes, emb, k=_K, n_cells=16, nprobe=4, cache_key=sf_dir)
-    b = ivf_knn_batch(probes, emb, k=_K, n_cells=16, nprobe=4, cache_key=sf_dir)
+    # each side eagerly checkpointed ONCE: the symmetric exceptAll
+    # references a twice and b twice, so uncheckpointed both ANN
+    # kernels (codebook assign + cogrouped cell matmul) executed twice
+    # per call (4 kernel executions, measured 4.3 s solo-warm). The two
+    # checkpoints build CONCURRENTLY (guide §2.6 — the sides are
+    # independent, and sequential eager actions lost the stage overlap
+    # the old single-plan form had); the checkpointed frames are
+    # k·panel rows, never corpus-sized.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _ckpt(kernel):
+        return kernel(
+            probes, emb, k=_K, n_cells=16, nprobe=4, cache_key=sf_dir
+        ).localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(_ckpt, ivf_knn)
+        fb = pool.submit(_ckpt, ivf_knn_batch)
+        a, b = fa.result(), fb.result()
     n_diff = (
         a.exceptAll(b)
         .unionByName(b.exceptAll(a))
