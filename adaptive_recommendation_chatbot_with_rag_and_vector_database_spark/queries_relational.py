@@ -687,9 +687,27 @@ def q_source_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 8 == 0)
     base = tempfile.mkdtemp(prefix="spark_graft_io_")
     try:
+        # the four sink writes are independent jobs over disjoint
+        # directories — run them from a thread pool so each format's
+        # ser/de overlaps the others' (guide §2.6; the loop form paid
+        # four sequential write walls, 3.7 s solo-warm at sf0.1). The
+        # read-back aggregates stay ONE lazy joined plan, forced once
+        # by the eager checkpoint below.
+        from concurrent.futures import ThreadPoolExecutor
+
+        fmts = ("csv", "json", "orc", "xml")
+        with ThreadPoolExecutor(max_workers=len(fmts)) as pool:
+            backs = list(
+                pool.map(
+                    lambda fmt: (
+                        fmt,
+                        roundtrip(orders, f"{base}/orders_{fmt}", fmt),
+                    ),
+                    fmts,
+                )
+            )
         out = None
-        for fmt in ("csv", "json", "orc", "xml"):
-            back = roundtrip(orders, f"{base}/orders_{fmt}", fmt)
+        for fmt, back in backs:
             agg = back.groupBy("o_orderstatus").agg(
                 F.count(F.lit(1)).alias(f"n_{fmt}"),
                 F.round(F.sum("o_totalprice"), 2).alias(f"sum_{fmt}"),

@@ -408,9 +408,13 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming keyed-upsert materialization (T12): a REAL Structured
-    Streaming run — the event table is staged as 4 files, consumed with
+    Streaming run — the event table is staged as 2 files, consumed with
     ``maxFilesPerTrigger=1`` (so the fold genuinely crosses ≥2
-    micro-batch boundaries, asserted), and each batch MERGEs
+    micro-batch boundaries, asserted; r11 trimmed 4 staged files to 2 —
+    the fold's batching-invariance makes the final state provably
+    identical, and two MERGE rounds already exercise the cross-batch
+    path, so the extra two rounds bought only micro-batch sequencing
+    wall), and each batch MERGEs
     latest-per-key into a versioned parquet state via ``foreachBatch``
     (streaming/upsert_merge.py — the replace-per-key sibling of
     ``index_stream``'s append-only maintenance). Unlike the module's
@@ -435,7 +439,7 @@ def q_stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="spark_graft_upsert_merge_")
     try:
         staged = f"{work}/staged"
-        ev.repartition(4).write.parquet(staged)
+        ev.repartition(2).write.parquet(staged)
         stream = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)

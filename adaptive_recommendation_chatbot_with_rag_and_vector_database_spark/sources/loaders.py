@@ -264,11 +264,13 @@ def clear_substrate_caches() -> int:
         queries_graphstats,
         queries_mlops,
         queries_scale,
+        queries_stats,
         queries_text,
         queries_vector,
     )
 
     caches = (
+        queries_stats._ORDER_VALUE_CLASSES_CACHE,
         queries_text._DOC_SKETCH_CACHE,
         queries_text._DOC_BIGRAMS_CACHE,
         queries_graphstats._EDGES_CACHE,
@@ -306,6 +308,7 @@ def warm_substrates(spark: SparkSession, sf_dir: str) -> dict:
         queries_curation,
         queries_graphstats,
         queries_scale,
+        queries_stats,
         queries_text,
         queries_vector,
     )
@@ -346,6 +349,10 @@ def warm_substrates(spark: SparkSession, sf_dir: str) -> dict:
         (
             "bipartite_edges",
             lambda: queries_curation._bipartite_edges(spark, sf_dir),
+        ),
+        (
+            "order_value_classes",
+            lambda: queries_stats._order_value_classes(spark, sf_dir),
         ),
     ):
         t0 = time.perf_counter()

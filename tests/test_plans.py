@@ -1526,8 +1526,25 @@ def test_peak_detection_rides_daily_checkpoint(spark):
 
 def test_l_moments_tie_classes_no_sort_of_facts(spark):
     plan = _plan(spark, "q_l_moments")
-    # one fact aggregate to value classes; the only Sort in the plan
-    # orders the class table (value axis), never fact rows
-    assert plan.count("FileScan parquet") == 1
+    # r11: value classes come from the checkpointed session
+    # (status, v, cnt) substrate — no fact scan in the query plan; the
+    # only Sort orders the class table (value axis), never fact rows
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
     assert "percentile" not in plan.lower()
     assert "BatchEvalPython" not in plan
+
+
+def test_order_value_classes_substrate_build_shape(spark):
+    # the pre-checkpoint substrate build (ADVICE r10 #1's lesson —
+    # assert scan-side properties on the un-checkpointed frame): one
+    # pruned fact scan, partial aggregation before the exchange
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_stats import (
+        order_value_classes_frame,
+    )
+
+    df = order_value_classes_frame(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+    assert "o_orderstatus" in plan and "o_totalprice" in plan
+    assert "partial_count" in plan or "partial count" in plan.lower()
