@@ -759,7 +759,7 @@ def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     lazily because the bucket-min and membership passes both read it.
     Oracle materializes every multi-consumer CTE (the k-core
     lesson)."""
-    from .functions.text import fingerprint, minhash_bands, minhash_signature
+    from .functions.text import fingerprint, minhash_bands
     from .queries_text import _doc_sketch, _docs
 
     fp = (
@@ -776,9 +776,7 @@ def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = (
         sk.select(
             "doc_id",
-            F.posexplode(
-                minhash_bands(minhash_signature(F.col("tokh")))
-            ).alias("bi", "key"),
+            F.posexplode(minhash_bands(F.col("sig"))).alias("bi", "key"),
         )
         .localCheckpoint(eager=False)
     )

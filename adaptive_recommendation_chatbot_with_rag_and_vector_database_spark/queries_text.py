@@ -149,10 +149,17 @@ def _doc_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scatter = min-parallelism guard: the fixture scan is ONE partition
     # and the tokenize+hash fold is the build's whole cost, so it must
     # fan out locally; on a cluster-scale scan scatter is a no-op (zero
-    # exchanges — see loaders.scatter).
-    sk = _with_sketch(
-        scatter(_docs(spark, sf_dir)), "doc_id", "text"
-    ).localCheckpoint()
+    # exchanges — see loaders.scatter). The minhash signature (a
+    # 16-hash fold over tokh) is computed HERE once (r11): three
+    # consumers (q_dedup_minhash, q_minhash_calibration,
+    # q_dedup_cascade) each re-ran the fold per call; the signature is
+    # a pure deterministic function of tokh, so sharing changes no
+    # value.
+    sk = (
+        _with_sketch(scatter(_docs(spark, sf_dir)), "doc_id", "text")
+        .withColumn("sig", minhash_signature(F.col("tokh")))
+        .localCheckpoint()
+    )
     _DOC_SKETCH_CACHE[key] = sk
     return sk
 
@@ -200,7 +207,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     with q_dedup_simhash and q_minhash_calibration)."""
     sk = _doc_sketch(spark, sf_dir).select(
         "doc_id",
-        minhash_bands(minhash_signature(F.col("tokh"))).alias("bands"),
+        minhash_bands(F.col("sig")).alias("bands"),
     )
     return sk.select(
         "doc_id",
@@ -1555,22 +1562,17 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: pairs decimate deterministically (id_a % 97 = 0, probe side of the band join) BEFORE the
     exact-Jaccard attach — a calibration audit must never be the
     scale bottleneck of the dedup it audits; signatures join id-keyed."""
-    from .functions.text import N_MINHASH, minhash_bands, minhash_signature
+    from .functions.text import N_MINHASH, minhash_bands
     from .operators.dedup import _jaccard
 
     docs = _docs(spark, sf_dir)
-    # ONE signature pass, checkpointed: the band join consumes it twice
-    # and the signature/token attach twice more — uncheckpointed, the
-    # fold lineage re-ran four times (measured 5.2 s of the 5.4 s wall
-    # at sf0.1). The tokenize+hash input is the session doc-sketch
-    # substrate (shared with q_dedup_minhash / q_dedup_simhash).
-    per = (
-        _doc_sketch(spark, sf_dir)
-        .select(
-            "doc_id", "toks", minhash_signature(F.col("tokh")).alias("sig")
-        )
-        .localCheckpoint(eager=True)
-    )
+    # the signature now lives ON the session doc-sketch checkpoint
+    # (shared with q_dedup_minhash / q_dedup_cascade), so the band
+    # join and the two sig/token attaches below all read the substrate
+    # directly — the per-call signature pass + checkpoint this query
+    # carried through r10 is gone (r11; values identical, the fold is
+    # deterministic in tokh).
+    per = _doc_sketch(spark, sf_dir).select("doc_id", "toks", "sig")
     # the band join of minhash_candidates, probe side decimated BEFORE
     # the join (filtering the finished pairs still pays the full
     # collision product — measured 55 s vs 12 s at the 10x tier)
