@@ -81,7 +81,13 @@ def bm25_scores(
         F.size(F.filter("toks", term_eq(term))).alias(f"tf{i}")
         for i, term in enumerate(terms)
     ]
-    m = t.select(F.col(id_col), F.size("toks").alias("dl"), *tf_cols)
+    # lazy checkpoint: m (narrow int tf/dl rows, |docs|) feeds the
+    # corpus-stats aggregate AND the scoring projection — as plain plan
+    # subtrees the tokenize+tf scan ran twice per call (r11 scan-dupe
+    # sweep); the shared RDD node computes once inside the same job.
+    m = t.select(
+        F.col(id_col), F.size("toks").alias("dl"), *tf_cols
+    ).localCheckpoint(eager=False)
     stats = m.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         (
@@ -178,11 +184,22 @@ def bm25_scores_dynamic(docs: DataFrame, terms: DataFrame) -> DataFrame:
             F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("avgdl"),
     )
-    j = t.crossJoin(F.broadcast(terms.select("term"))).select(
-        "doc_id",
-        "dl",
-        "term",
-        F.size(F.filter("toks", lambda x: x == F.col("term"))).alias("tf"),
+    # lazy checkpoint: j (narrow (doc, term, tf, dl) rows) feeds the
+    # per-term df aggregate AND the scoring join — as plain plan
+    # subtrees the tokenize+tf fan-out ran twice per call (r11
+    # scan-dupe sweep); the shared RDD node computes once per job.
+    # (t itself still evaluates twice — once for the corpus stats,
+    # once under j — but it is the cheap half; checkpointing t would
+    # materialize the token arrays, corpus-sized storage at scale.)
+    j = (
+        t.crossJoin(F.broadcast(terms.select("term")))
+        .select(
+            "doc_id",
+            "dl",
+            "term",
+            F.size(F.filter("toks", lambda x: x == F.col("term"))).alias("tf"),
+        )
+        .localCheckpoint(eager=False)
     )
     df_t = j.groupBy("term").agg(
         F.sum((F.col("tf") > 0).cast("int")).cast("double").alias("df")

@@ -693,14 +693,27 @@ def q_negative_association(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).cast("long").alias("ci"))
     )
-    top = item.orderBy(F.desc("ci"), F.asc("l_partkey")).limit(
-        _NEG_TOP_ITEMS
+    # lazy checkpoints (r11): `top` (20 rows) feeds the two grid sides
+    # and the semi-join keys — as plain plan subtrees the item-support
+    # fact aggregate re-ran 3×; `li_top` (panel-restricted distinct,
+    # bounded by 20 parts' baskets — NOT the fact-sized frame the
+    # docstring's OOM note is about) feeds both self-join sides. The
+    # shared RDD nodes compute once inside the same job; 7 fact scans
+    # → 3 (r11 scan-dupe sweep).
+    top = (
+        item.orderBy(F.desc("ci"), F.asc("l_partkey"))
+        .limit(_NEG_TOP_ITEMS)
+        .localCheckpoint(eager=False)
     )
     ta = top.select(F.col("l_partkey").alias("pa"), F.col("ci").alias("ca"))
     tb = top.select(F.col("l_partkey").alias("pb"), F.col("ci").alias("cb"))
     cand = ta.crossJoin(tb).filter(F.col("pa") < F.col("pb"))
     keys = top.select("l_partkey")
-    li_top = li.join(F.broadcast(keys), "l_partkey", "left_semi").distinct()
+    li_top = (
+        li.join(F.broadcast(keys), "l_partkey", "left_semi")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     x = li_top.select(
         F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
     )

@@ -397,6 +397,11 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("c"), F.lit(0)).alias("c"),
         )
         .withColumn("f", F.sum("c").over(w) / F.col("n"))
+        # lazy checkpoint: cdf feeds BOTH sides of the pair join — as
+        # plain plan subtrees the grid+window pipeline ran twice per
+        # call (6 fact scans in the r11 scan-dupe sweep); the shared
+        # RDD node computes once inside the same job. Grid-sized rows.
+        .localCheckpoint(eager=False)
     )
     a = cdf.select(
         F.col("source").alias("src_a"), "v", F.col("f").alias("fa")
@@ -523,6 +528,12 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0).cast("long")).alias("n"),
             F.element_at(shares, F.col("digit")).alias("s"),
         )
+        # lazy checkpoint: |priority|×9 rows feeding the total, the
+        # chi² rollup and the final projection — as plain plan subtrees
+        # the orders scan+digit agg re-ran per reference (8 fact scans
+        # in the r11 scan-dupe sweep); the shared RDD node computes
+        # once inside the same job. Values unchanged.
+        .localCheckpoint(eager=False)
     )
     tot = dense.groupBy("priority").agg(F.sum("n").cast("long").alias("nt"))
     densed = dense.join(F.broadcast(tot), "priority")

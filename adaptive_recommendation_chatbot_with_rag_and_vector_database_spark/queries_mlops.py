@@ -788,7 +788,12 @@ def q_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(0)
         .alias("label"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ lazy checkpoint: the user rollup feeds the threshold aggregate
+    # AND all three feature-unpivot branches; as plain plan subtrees the
+    # events scan+agg re-ran 4× per call (12 fact scans in the r11
+    # scan-dupe sweep), while the shared RDD node computes once inside
+    # the same job. |users| rows; exact integers, values unchanged.
     thr = per_user.agg(
         F.round(F.avg("views"), 4).alias("tv"),
         F.round(F.avg("clicks"), 4).alias("tc"),
@@ -939,6 +944,12 @@ def q_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "half")
         .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        # lazy checkpoint: |types|×2 rows feeding FOUR consumers (half
+        # totals, both half slices, the type spine) — as plain plan
+        # subtrees the events scan+agg re-ran per reference (10 fact
+        # scans in the r11 scan-dupe sweep); the shared RDD node
+        # computes once inside the same job. Values unchanged.
+        .localCheckpoint(eager=False)
     )
     n = c.groupBy("half").agg(F.sum("c").alias("n"))
     c0 = c.filter(F.col("half") == 0).select("event_type", F.col("c").alias("c0"))

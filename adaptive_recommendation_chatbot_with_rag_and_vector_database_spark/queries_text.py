@@ -791,13 +791,19 @@ def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import passjoin_candidates
 
     docs = _docs(spark, sf_dir)
+    # lazy checkpoint: the 40-char sorted-token signature is an
+    # expensive per-row expression consumed by the segment emitter,
+    # the probe emitter and both payload attaches — as plain plan
+    # subtrees the tokenize+sort ran per reference (6 fact scans in
+    # the r11 scan-dupe sweep); the shared RDD node computes once
+    # inside the same job. (doc_id, lang, ≤40-char sig) rows.
     keys = docs.select(
         "doc_id",
         "lang",
         F.substring(
             F.array_join(F.sort_array(F.split("text", " ")), " "), 1, 40
         ).alias("sig"),
-    )
+    ).localCheckpoint(eager=False)
     cands = passjoin_candidates(
         keys,
         t=8,
@@ -1688,6 +1694,12 @@ def q_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("word").isin(stops))
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        # lazy checkpoint: (sources × 29)-row profile feeding the mass
+        # total and, via p, the norm and BOTH pair-join sides — as
+        # plain plan subtrees the corpus explode+agg re-ran per
+        # reference (8 fact scans in the r11 scan-dupe sweep); the
+        # shared RDD node computes once inside the same job.
+        .localCheckpoint(eager=False)
     )
     tot = w.groupBy("source").agg(F.sum("c").alias("t"))
     p = w.join(tot, "source").select(

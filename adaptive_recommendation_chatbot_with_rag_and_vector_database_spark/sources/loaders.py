@@ -274,6 +274,7 @@ def clear_substrate_caches() -> int:
         queries_text._DOC_SKETCH_CACHE,
         queries_text._DOC_BIGRAMS_CACHE,
         queries_graphstats._EDGES_CACHE,
+        queries_graphstats._CN_EDGES_CACHE,
         queries_curation._BIPARTITE_CACHE,
         _DAILY_ORDERS_CACHE,
         _PART_REVENUE_CACHE,
@@ -353,6 +354,10 @@ def warm_substrates(spark: SparkSession, sf_dir: str) -> dict:
         (
             "order_value_classes",
             lambda: queries_stats._order_value_classes(spark, sf_dir),
+        ),
+        (
+            "cn_edges",
+            lambda: queries_graphstats._cn_edges(spark, sf_dir),
         ),
     ):
         t0 = time.perf_counter()
