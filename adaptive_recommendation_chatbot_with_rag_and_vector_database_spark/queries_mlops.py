@@ -272,22 +272,29 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, "nation", sf_dir).select(
         "n_nationkey", "n_regionkey"
     )
-    l0 = customer.groupBy("c_nationkey", "c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n0")
+    # level 0 is the finest grain; levels 1 and 2 are exact int64
+    # roll-ups of it (count sums), so the subject table is scanned
+    # ONCE — the old form re-scanned customer per level (r11
+    # scan-dupe sweep). The lazy checkpoint shares l0's RDD node
+    # across the ladder and the final join.
+    l0 = (
+        customer.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n0"))
+        .localCheckpoint(eager=False)
     )
     l1 = (
-        customer.join(
+        l0.join(
             F.broadcast(nation),
             F.col("c_nationkey") == F.col("n_nationkey"),
         )
         .groupBy("n_regionkey", "c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n1"))
+        .agg(F.sum("n0").cast("long").alias("n1"))
         .withColumnRenamed("c_mktsegment", "seg1")
         .withColumnRenamed("n_regionkey", "rk1")
     )
     l2 = (
-        customer.groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n2"))
+        l0.groupBy("c_mktsegment")
+        .agg(F.sum("n0").cast("long").alias("n2"))
         .withColumnRenamed("c_mktsegment", "seg2")
     )
     return (

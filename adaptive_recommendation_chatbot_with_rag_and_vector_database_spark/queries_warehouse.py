@@ -1391,10 +1391,18 @@ def q_pvm_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     a part-keyed full outer join between two year slices, one
     effects rollup."""
     li = _t(spark, sf_dir, "lineitem")
-    py = li.groupBy(F.year("l_shipdate").alias("yr"), "l_partkey").agg(
-        F.sum("l_extendedprice").alias("rev"),
-        F.sum("l_quantity").alias("q"),
-        (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"),
+    # lazy checkpoint: the (year, part) cell table feeds the base-year
+    # scalar AND both year slices — as plain plan subtrees the fact
+    # aggregate ran 3× per call (4 scans in the r11 scan-dupe sweep);
+    # the shared RDD node computes once inside the same job.
+    py = (
+        li.groupBy(F.year("l_shipdate").alias("yr"), "l_partkey")
+        .agg(
+            F.sum("l_extendedprice").alias("rev"),
+            F.sum("l_quantity").alias("q"),
+            (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"),
+        )
+        .localCheckpoint(eager=False)
     )
     y0 = py.agg(F.min("yr").alias("y"))
     a = py.join(F.broadcast(y0), py.yr == F.col("y")).select(

@@ -263,6 +263,7 @@ def clear_substrate_caches() -> int:
         queries_curation,
         queries_graphstats,
         queries_mlops,
+        queries_retrieval,
         queries_scale,
         queries_stats,
         queries_text,
@@ -270,6 +271,7 @@ def clear_substrate_caches() -> int:
     )
 
     caches = (
+        queries_retrieval._RM_HITS_CACHE,
         queries_stats._ORDER_VALUE_CLASSES_CACHE,
         queries_text._DOC_SKETCH_CACHE,
         queries_text._DOC_BIGRAMS_CACHE,
@@ -308,6 +310,7 @@ def warm_substrates(spark: SparkSession, sf_dir: str) -> dict:
     from .. import (
         queries_curation,
         queries_graphstats,
+        queries_retrieval,
         queries_scale,
         queries_stats,
         queries_text,
@@ -358,6 +361,10 @@ def warm_substrates(spark: SparkSession, sf_dir: str) -> dict:
         (
             "cn_edges",
             lambda: queries_graphstats._cn_edges(spark, sf_dir),
+        ),
+        (
+            "rm_hits",
+            lambda: queries_retrieval._rm_hits(spark, sf_dir),
         ),
     ):
         t0 = time.perf_counter()
