@@ -271,6 +271,11 @@ def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "documents", sf_dir)
         .groupBy("source", "lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # lazy checkpoint: the (source, lang) cells feed both
+        # marginals, the total AND the KL join — as plain plan
+        # subtrees the corpus scan+agg ran 4× per call (r11 scan-dupe
+        # sweep); the shared RDD node computes once inside one job.
+        .localCheckpoint(eager=False)
     )
     st = c.groupBy("source").agg(F.sum("n").cast("long").alias("ns"))
     lt = c.groupBy("lang").agg(F.sum("n").cast("long").alias("nl"))

@@ -296,12 +296,21 @@ def q_robust_center(spark: SparkSession, sf_dir: str) -> DataFrame:
     The discrete percentile buffers per group like Y4 — the t-digest
     swap is the documented wide-group fallback."""
     customer = load_table(spark, "customer", sf_dir)
-    med = customer.groupBy("c_nationkey").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(
-            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal)"),
-            4,
-        ).alias("median_bal"),
+    # lazy checkpoint: the 25-row median table feeds the MAD deviation
+    # pass AND the final join — as plain plan subtrees the per-nation
+    # percentile buffer ran twice per call (r11 scan-dupe sweep).
+    med = (
+        customer.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.expr(
+                    "percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal)"
+                ),
+                4,
+            ).alias("median_bal"),
+        )
+        .localCheckpoint(eager=False)
     )
     modes = (
         customer.groupBy("c_nationkey", "c_mktsegment")

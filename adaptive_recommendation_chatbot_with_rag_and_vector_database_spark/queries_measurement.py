@@ -1021,6 +1021,11 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "variant")
         .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        # lazy checkpoint: the contingency cells feed both margins,
+        # the total AND the statistic join — as plain plan subtrees
+        # the events scan+agg ran 4× per call (r11 scan-dupe sweep);
+        # the shared RDD node computes once inside the same job.
+        .localCheckpoint(eager=False)
     )
     rt = cells.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
     ct = cells.groupBy("variant").agg(F.sum("o").cast("long").alias("c"))
@@ -2612,9 +2617,17 @@ def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2·rank + ties − 1) keep every sum exact int64 until the one-row
     float projection."""
     ev = load_table(spark, "events", sf_dir)
-    wk = ev.groupBy(
-        F.to_date(F.date_trunc("week", "ts")).alias("week"), "event_type"
-    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    # lazy checkpoint: the (week, type) cells feed the balanced-block
+    # filter AND the rank frame (which itself feeds the statistic and
+    # the tie denominator) — as plain plan subtrees the events
+    # scan+agg re-ran per reference (r11 scan-dupe sweep).
+    wk = (
+        ev.groupBy(
+            F.to_date(F.date_trunc("week", "ts")).alias("week"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     k_types = ev.select("event_type").distinct().count()
     full_blocks = (
         wk.groupBy("week")

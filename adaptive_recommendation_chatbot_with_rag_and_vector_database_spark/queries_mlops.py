@@ -599,9 +599,17 @@ def q_ucb_bandit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("arm"),
         F.when(F.col("value") >= _UCB_REWARD, 1).otherwise(0).alias("reward"),
     )
-    arms = pulls.groupBy("arm").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pulls"),
-        F.sum("reward").cast("long").alias("n_rewards"),
+    # lazy checkpoint: the |arms|-row rollup feeds the pull total AND
+    # the scored projection (which itself feeds the best-arm cut and
+    # the final join) — as plain plan subtrees the events scan+agg
+    # re-ran per reference (r11 scan-dupe sweep).
+    arms = (
+        pulls.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pulls"),
+            F.sum("reward").cast("long").alias("n_rewards"),
+        )
+        .localCheckpoint(eager=False)
     )
     tot = arms.agg(F.sum("n_pulls").cast("long").alias("n"))
     scored = arms.crossJoin(F.broadcast(tot)).select(

@@ -243,6 +243,11 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events")
         .select("event_type", "user_id")
         .distinct()
+        # lazy checkpoint: the distinct (type, user) pairs feed the
+        # set sizes AND both pair-join sides — as plain plan subtrees
+        # the events scan+distinct ran 3× per call (r11 scan-dupe
+        # sweep); the shared RDD node computes once inside one job.
+        .localCheckpoint(eager=False)
     )
     s = ut.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n")

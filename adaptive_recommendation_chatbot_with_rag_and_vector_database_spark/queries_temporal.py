@@ -521,13 +521,23 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv"
         ),
     )
-    subj = u.crossJoin(F.broadcast(bounds)).select(
-        F.when(
-            F.col("conv").isNotNull(), F.datediff("conv", "origin")
+    subj = (
+        u.crossJoin(F.broadcast(bounds))
+        .select(
+            F.when(
+                F.col("conv").isNotNull(), F.datediff("conv", "origin")
+            )
+            .otherwise(F.datediff("endd", "origin"))
+            .alias("t"),
+            F.when(F.col("conv").isNotNull(), 1)
+            .otherwise(0)
+            .alias("converted"),
         )
-        .otherwise(F.datediff("endd", "origin"))
-        .alias("t"),
-        F.when(F.col("conv").isNotNull(), 1).otherwise(0).alias("converted"),
+        # lazy checkpoint: the |users|-row subject table feeds the
+        # total AND the observed-time histogram — as plain plan
+        # subtrees the user-keyed fact aggregate ran twice per call
+        # (r11 scan-dupe sweep).
+        .localCheckpoint(eager=False)
     )
     tot = subj.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     hist = subj.groupBy("t").agg(
