@@ -72,8 +72,16 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     n = li.agg(F.count_distinct("l_orderkey").cast("double").alias("nb"))
-    item = li.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("double").alias("ci")
+    # lazy checkpoint: the vocabulary-sized support table feeds both
+    # broadcast sides (ant/cons) — one basket scan+agg instead of two.
+    # li itself stays un-checkpointed: its remaining references are the
+    # two self-join sides (inherent) and the scalar basket count, and
+    # materializing a fact-scale frame is the q_negative_association
+    # OOM lesson.
+    item = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("double").alias("ci"))
+        .localCheckpoint(eager=False)
     )
     a, b = li.alias("a"), li.alias("b")
     pair = (

@@ -732,6 +732,11 @@ def q_inventory_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             "l_linenumber",
         )
+        # lazy checkpoint: the single-brand slice (~1/|brands| of the
+        # fact) feeds the date bound, the receipt cumsum AND the
+        # consumption aggregate — as plain plan subtrees the
+        # join+filter scan ran 3× per call (r11 scan-dupe sweep).
+        .localCheckpoint(eager=False)
     )
     bounds = base.agg(F.max(F.to_date("l_shipdate")).alias("maxd"))
     wo = (

@@ -1145,6 +1145,11 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # lazy checkpoint: the vocabulary-sized unigram table feeds the
+        # token total AND both marginal-join sides — as plain plan
+        # subtrees the corpus explode+agg ran 3× per call (r11
+        # scan-dupe sweep).
+        .localCheckpoint(eager=False)
     )
     n1 = uni.agg(F.sum("c").cast("long").alias("n1"))
     n2 = toks.agg(
