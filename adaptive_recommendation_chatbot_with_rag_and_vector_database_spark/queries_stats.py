@@ -660,11 +660,17 @@ def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture scale, plain keyed shuffle at 100 TB) and each year's
     basket sums are map-side-partial friendly."""
     li = _t(spark, sf_dir, "lineitem")
-    py = li.groupBy(
-        F.year("l_shipdate").alias("yr"), "l_partkey"
-    ).agg(
-        (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"),
-        F.sum("l_quantity").alias("q"),
+    # lazy checkpoint: the (year, part) cells feed the base-year
+    # scalar, the base-basket slice AND the index join — as plain plan
+    # subtrees the fact aggregate ran 3× per call (r11 scan-dupe
+    # sweep; same shape as q_pvm_bridge's fix).
+    py = (
+        li.groupBy(F.year("l_shipdate").alias("yr"), "l_partkey")
+        .agg(
+            (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"),
+            F.sum("l_quantity").alias("q"),
+        )
+        .localCheckpoint(eager=False)
     )
     min_yr = py.agg(F.min("yr").alias("yr0"))
     base = (
