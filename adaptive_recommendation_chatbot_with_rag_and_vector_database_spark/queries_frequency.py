@@ -72,16 +72,12 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     n = li.agg(F.count_distinct("l_orderkey").cast("double").alias("nb"))
-    # lazy checkpoint: the vocabulary-sized support table feeds both
-    # broadcast sides (ant/cons) — one basket scan+agg instead of two.
-    # li itself stays un-checkpointed: its remaining references are the
-    # two self-join sides (inherent) and the scalar basket count, and
-    # materializing a fact-scale frame is the q_negative_association
-    # OOM lesson.
-    item = (
-        li.groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).cast("double").alias("ci"))
-        .localCheckpoint(eager=False)
+    # NOTE (r11): a lazy checkpoint on the support table (it feeds both
+    # broadcast sides) measured 0.7→1.0 s at sf0.1 — the barrier costs
+    # more than the overlapped duplicate aggregate saves — so the
+    # duplication is kept deliberately at this tier.
+    item = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("double").alias("ci")
     )
     a, b = li.alias("a"), li.alias("b")
     pair = (

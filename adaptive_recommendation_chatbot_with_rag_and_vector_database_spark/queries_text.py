@@ -1140,16 +1140,16 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     axis (bounded by |vocab|, not corpus size), and the min-count
     floor prunes the pair table before any join."""
     toks = _docs(spark, sf_dir).select(F.split("text", " ").alias("t"))
+    # NOTE (r11): the unigram table feeds three consumers and a lazy
+    # checkpoint here would dedupe the corpus explode+agg — measured
+    # 0.6→1.0 s at sf0.1 (the materialization barrier costs more than
+    # the overlapped duplicate stages save), so the duplication is
+    # kept deliberately at this tier.
     uni = (
         toks.select(F.explode("t").alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        # lazy checkpoint: the vocabulary-sized unigram table feeds the
-        # token total AND both marginal-join sides — as plain plan
-        # subtrees the corpus explode+agg ran 3× per call (r11
-        # scan-dupe sweep).
-        .localCheckpoint(eager=False)
     )
     n1 = uni.agg(F.sum("c").cast("long").alias("n1"))
     n2 = toks.agg(
