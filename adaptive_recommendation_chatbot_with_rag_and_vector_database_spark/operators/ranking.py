@@ -65,28 +65,12 @@ def bm25_scores(
     DuckDB oracle (bm25_oracle_select) so doubles agree bit-for-bit
     before the final round(…, 6).
     """
-    from ..sources.loaders import scatter
-
-    # min-parallelism guard: a single-file fixture scan would tokenize
-    # the whole corpus in ONE task (no-op on well-partitioned input)
-    t = scatter(docs).select(F.col(id_col), tokens(text_col).alias("toks"))
-
-    def term_eq(term: str):
-        # one-arg lambda REQUIRED: a two-arg lambda would receive the
-        # array index as its second parameter (F.filter's (el, idx) form)
-        lit = F.lit(term)
-        return lambda x: x == lit
-
-    tf_cols = [
-        F.size(F.filter("toks", term_eq(term))).alias(f"tf{i}")
-        for i, term in enumerate(terms)
-    ]
     # lazy checkpoint: m (narrow int tf/dl rows, |docs|) feeds the
     # corpus-stats aggregate AND the scoring projection — as plain plan
     # subtrees the tokenize+tf scan ran twice per call (r11 scan-dupe
     # sweep); the shared RDD node computes once inside the same job.
-    m = t.select(
-        F.col(id_col), F.size("toks").alias("dl"), *tf_cols
+    m = bm25_tf_frame(
+        docs, terms, text_col=text_col, id_col=id_col
     ).localCheckpoint(eager=False)
     stats = m.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
@@ -115,6 +99,37 @@ def bm25_scores(
     for i in range(1, len(terms)):
         total = total + contrib(i)
     return scored.select(F.col(id_col), F.round(total, 6).alias("bm25"))
+
+
+def bm25_tf_frame(
+    docs: DataFrame,
+    terms: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The un-checkpointed (id, dl, tf0..tfN) build of
+    :func:`bm25_scores` — exposed so plan tests can assert the
+    scan-side shape (single tokenize pass, in-row array-filter tf
+    counting, no token explode) the lazy checkpoint otherwise hides
+    behind ``Scan ExistingRDD`` (ADVICE r11 #1)."""
+    from ..sources.loaders import scatter
+
+    # min-parallelism guard: a single-file fixture scan would tokenize
+    # the whole corpus in ONE task (no-op on well-partitioned input)
+    t = scatter(docs).select(F.col(id_col), tokens(text_col).alias("toks"))
+
+    def term_eq(term: str):
+        # one-arg lambda REQUIRED: a two-arg lambda would receive the
+        # array index as its second parameter (F.filter's (el, idx) form)
+        lit = F.lit(term)
+        return lambda x: x == lit
+
+    tf_cols = [
+        F.size(F.filter("toks", term_eq(term))).alias(f"tf{i}")
+        for i, term in enumerate(terms)
+    ]
+    return t.select(F.col(id_col), F.size("toks").alias("dl"), *tf_cols)
 
 
 def bm25_oracle_parts(
@@ -191,16 +206,7 @@ def bm25_scores_dynamic(docs: DataFrame, terms: DataFrame) -> DataFrame:
     # (t itself still evaluates twice — once for the corpus stats,
     # once under j — but it is the cheap half; checkpointing t would
     # materialize the token arrays, corpus-sized storage at scale.)
-    j = (
-        t.crossJoin(F.broadcast(terms.select("term")))
-        .select(
-            "doc_id",
-            "dl",
-            "term",
-            F.size(F.filter("toks", lambda x: x == F.col("term"))).alias("tf"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    j = bm25_dynamic_tf_frame(docs, terms).localCheckpoint(eager=False)
     df_t = j.groupBy("term").agg(
         F.sum((F.col("tf") > 0).cast("int")).cast("double").alias("df")
     )
@@ -214,6 +220,25 @@ def bm25_scores_dynamic(docs: DataFrame, terms: DataFrame) -> DataFrame:
     )
     contrib = F.round(idf * (F.col("tf") * F.lit(BM25_K1 + 1)) / denom, 6)
     return j2.groupBy("doc_id").agg(F.round(F.sum(contrib), 4).alias("score"))
+
+
+def bm25_dynamic_tf_frame(docs: DataFrame, terms: DataFrame) -> DataFrame:
+    """The un-checkpointed (doc_id, dl, term, tf) fan-out of
+    :func:`bm25_scores_dynamic` — exposed so plan tests can assert the
+    build shape (broadcast term fan-out, in-row array-filter tf, no
+    token explode) the lazy checkpoint otherwise hides behind
+    ``Scan ExistingRDD`` (ADVICE r11 #1)."""
+    from ..sources.loaders import scatter
+
+    t = scatter(docs).select(
+        "doc_id", tokens("text").alias("toks")
+    ).select("doc_id", "toks", F.size("toks").alias("dl"))
+    return t.crossJoin(F.broadcast(terms.select("term"))).select(
+        "doc_id",
+        "dl",
+        "term",
+        F.size(F.filter("toks", lambda x: x == F.col("term"))).alias("tf"),
+    )
 
 
 def bm25_dynamic_oracle_select(terms_cte: str, relation: str = "documents") -> str:

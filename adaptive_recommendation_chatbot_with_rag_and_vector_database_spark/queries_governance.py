@@ -372,6 +372,34 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the grid is the scale knob — quantize values into fixed
     bins and the same plan runs with a bounded grid while the KS
     becomes binned-exact (the standard production tradeoff)."""
+    # lazy checkpoint: cdf feeds BOTH sides of the pair join — as
+    # plain plan subtrees the grid+window pipeline ran twice per
+    # call (6 fact scans in the r11 scan-dupe sweep); the shared
+    # RDD node computes once inside the same job. Grid-sized rows.
+    cdf = ks_cdf_frame(spark, sf_dir).localCheckpoint(eager=False)
+    a = cdf.select(
+        F.col("source").alias("src_a"), "v", F.col("f").alias("fa")
+    )
+    b = cdf.select(
+        F.col("source").alias("src_b"), "v", F.col("f").alias("fb")
+    )
+    return (
+        a.join(b, "v")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.max(F.abs(F.col("fa") - F.col("fb"))).alias("ks"))
+        .select("src_a", "src_b", F.round("ks", 6).alias("ks"))
+        .orderBy(F.desc("ks"), "src_a", "src_b")
+        .limit(25)
+    )
+
+
+def ks_cdf_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-checkpointed per-(source, value) CDF build of
+    :func:`q_ks_drift` — exposed so plan tests can assert the keyed
+    prefix window and map-side partial counts the lazy checkpoint
+    otherwise hides behind ``Scan ExistingRDD`` (ADVICE r11 #1, the
+    ``order_value_classes_frame`` pattern)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, "documents", sf_dir)
@@ -388,7 +416,7 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cdf = (
+    return (
         grid.join(cnt, ["source", "v"], "left")
         .select(
             "source",
@@ -397,26 +425,6 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("c"), F.lit(0)).alias("c"),
         )
         .withColumn("f", F.sum("c").over(w) / F.col("n"))
-        # lazy checkpoint: cdf feeds BOTH sides of the pair join — as
-        # plain plan subtrees the grid+window pipeline ran twice per
-        # call (6 fact scans in the r11 scan-dupe sweep); the shared
-        # RDD node computes once inside the same job. Grid-sized rows.
-        .localCheckpoint(eager=False)
-    )
-    a = cdf.select(
-        F.col("source").alias("src_a"), "v", F.col("f").alias("fa")
-    )
-    b = cdf.select(
-        F.col("source").alias("src_b"), "v", F.col("f").alias("fb")
-    )
-    return (
-        a.join(b, "v")
-        .filter(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(F.max(F.abs(F.col("fa") - F.col("fb"))).alias("ks"))
-        .select("src_a", "src_b", F.round("ks", 6).alias("ks"))
-        .orderBy(F.desc("ks"), "src_a", "src_b")
-        .limit(25)
     )
 
 

@@ -306,6 +306,14 @@ def _cn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c", "p", "d")
         .localCheckpoint()
     )
+    # drop e's intermediate blocks once the eager substrate holds the
+    # result (ADVICE r11 #3: the lazy checkpoint otherwise keeps its
+    # MEMORY_AND_DISK blocks alive for the whole session alongside
+    # `kept`, pure dead weight after this point; plain unpersist() is
+    # a no-op for checkpoint blocks)
+    from .sources.loaders import release_local_checkpoint
+
+    release_local_checkpoint(e)
     _CN_EDGES_CACHE[key] = kept
     return kept
 
@@ -675,13 +683,29 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wa = Window.partitionBy("a")
     wb = Window.partitionBy("b")
-    for _ in range(_KCORE_ROUNDS):
-        sym = (
-            sym.withColumn("da", F.count(F.lit(1)).over(wa))
-            .withColumn("db", F.count(F.lit(1)).over(wb))
-            .filter((F.col("da") >= _KCORE_K) & (F.col("db") >= _KCORE_K))
-            .select("a", "b")
-        )
+    # r12 (guide §2.4 — two operations keyed the same way share one
+    # exchange): ALTERNATE the window orientation per round. Both
+    # endpoint degrees are computed on the same pre-filter edge list,
+    # so the order of the two windows inside a round is free — ending
+    # round t on key k and starting round t+1 on the SAME k lets the
+    # filter in between preserve the hashpartitioning and the second
+    # window reuse it: the exchange sequence collapses from
+    # a,b|a,b|a,b… (12 exchanges) to a,b|b,a|a,b… (7), and the final
+    # core aggregate (keyed on a) rides round 6's closing a-partition
+    # for free. Same windows, same filter, same values every round —
+    # plan shape only.
+    for i in range(_KCORE_ROUNDS):
+        if i % 2 == 0:
+            sym = sym.withColumn("da", F.count(F.lit(1)).over(wa)).withColumn(
+                "db", F.count(F.lit(1)).over(wb)
+            )
+        else:
+            sym = sym.withColumn("db", F.count(F.lit(1)).over(wb)).withColumn(
+                "da", F.count(F.lit(1)).over(wa)
+            )
+        sym = sym.filter(
+            (F.col("da") >= _KCORE_K) & (F.col("db") >= _KCORE_K)
+        ).select("a", "b")
     core = sym.groupBy(F.col("a").alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )

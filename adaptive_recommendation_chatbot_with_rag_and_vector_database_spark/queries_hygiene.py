@@ -539,16 +539,30 @@ def q_embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt").cast("long").alias("nd"),
         )
     )
-    own = mat.filter(F.col("label") == F.col("clabel")).select(
-        "label", F.col("m").alias("cohesion"), F.col("nd").alias("n_docs")
-    )
-    oth = (
-        mat.filter(F.col("label") != F.col("clabel"))
-        .groupBy("label")
-        .agg(F.max("m").alias("nearest_other"))
-    )
+    # r12 (VERDICT r11 #6 — the ann_batch_parity disease, confirmed):
+    # the old own⋈oth inner join referenced `mat` from two plan
+    # branches, so the Arrow scoring kernel (the query's whole cost)
+    # re-executed once per branch. Folding own/oth into ONE conditional
+    # aggregate over `mat` makes the plan linear — kernel → two keyed
+    # aggregates — with no join and no checkpoint. Value-identical:
+    # cohesion/n_docs come from the single label==clabel row, and
+    # nearest_other is the max over the label<>clabel rows; the
+    # isNotNull filter reproduces the inner join's drop of a label
+    # with no "other" row (single-label corpora).
     return (
-        own.join(oth, "label")
+        mat.groupBy("label")
+        .agg(
+            F.max(F.when(F.col("label") == F.col("clabel"), F.col("nd")))
+            .cast("long")
+            .alias("n_docs"),
+            F.max(
+                F.when(F.col("label") == F.col("clabel"), F.col("m"))
+            ).alias("cohesion"),
+            F.max(
+                F.when(F.col("label") != F.col("clabel"), F.col("m"))
+            ).alias("nearest_other"),
+        )
+        .filter(F.col("nearest_other").isNotNull())
         .select(
             "label",
             "n_docs",

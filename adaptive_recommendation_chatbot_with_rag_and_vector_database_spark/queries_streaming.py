@@ -409,8 +409,9 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming keyed-upsert materialization (T12): a REAL Structured
     Streaming run — the event table is staged as 2 files, consumed with
-    ``maxFilesPerTrigger=1`` (so the fold genuinely crosses ≥2
-    micro-batch boundaries, asserted; r11 trimmed 4 staged files to 2 —
+    ``maxFilesPerTrigger=1`` (so the fold genuinely runs ≥2
+    micro-batches — one cross-batch boundary — asserted; r11 trimmed 4
+    staged files to 2 —
     the fold's batching-invariance makes the final state provably
     identical, and two MERGE rounds already exercise the cross-batch
     path, so the extra two rounds bought only micro-batch sequencing
@@ -454,7 +455,17 @@ def q_stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch_counter=batches,
         )
         q.awaitTermination()
-        assert len(batches) >= 2, f"stream ran {len(batches)} batch(es)"
+        # 2 staged files under maxFilesPerTrigger=1 must yield exactly
+        # one micro-batch per file; fewer means the writer emitted one
+        # non-empty file or the reader coalesced triggers — either way
+        # the cross-batch MERGE path this query exists to exercise did
+        # not run (ADVICE r11 #4: the assert is deliberately zero-slack
+        # and tied to the staging count above)
+        assert len(batches) >= 2, (
+            f"stream ran {len(batches)} micro-batch(es) for 2 staged "
+            "files under maxFilesPerTrigger=1 — the cross-batch merge "
+            "boundary was never crossed"
+        )
         final = spark.read.parquet(current_state_path(f"{work}/state"))
         # eager checkpoint: the staged/state files are deleted below,
         # so the returned plan must not re-read them at collect time

@@ -420,6 +420,15 @@ def q_ann_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k·panel rows, never corpus-sized.
     from concurrent.futures import ThreadPoolExecutor
 
+    from .operators.similarity import train_centroids_sample
+
+    # pre-warm the shared codebook ONCE before the concurrent builds
+    # (ADVICE r11 #2): on a cold _CODEBOOKS cache the two threads would
+    # otherwise race the unsynchronized check-then-set and BOTH run the
+    # KMeans fit — parity stayed correct (training is deterministic)
+    # but the duplicated fit wasted the wall the overlap buys
+    train_centroids_sample(emb, 16, "embedding", cache_key=sf_dir)
+
     def _ckpt(kernel):
         return kernel(
             probes, emb, k=_K, n_cells=16, nprobe=4, cache_key=sf_dir

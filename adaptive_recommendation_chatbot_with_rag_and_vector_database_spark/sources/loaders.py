@@ -273,6 +273,7 @@ def clear_substrate_caches() -> int:
     caches = (
         queries_retrieval._RM_HITS_CACHE,
         queries_stats._ORDER_VALUE_CLASSES_CACHE,
+        queries_stats._ORDER_VALUE_PIVOT_CACHE,
         queries_text._DOC_SKETCH_CACHE,
         queries_text._DOC_BIGRAMS_CACHE,
         queries_graphstats._EDGES_CACHE,
@@ -359,6 +360,10 @@ def warm_substrates(spark: SparkSession, sf_dir: str) -> dict:
             lambda: queries_stats._order_value_classes(spark, sf_dir),
         ),
         (
+            "order_value_pivot",
+            lambda: queries_stats._order_value_pivot(spark, sf_dir),
+        ),
+        (
             "cn_edges",
             lambda: queries_graphstats._cn_edges(spark, sf_dir),
         ),
@@ -371,6 +376,21 @@ def warm_substrates(spark: SparkSession, sf_dir: str) -> dict:
         build()
         timings[name] = round(time.perf_counter() - t0, 3)
     return timings
+
+
+def release_local_checkpoint(df: DataFrame) -> bool:
+    """Unpersist the RDD blocks behind a ``localCheckpoint``-ed frame
+    (ADVICE r11 #3: ``DataFrame.unpersist()`` only clears CacheManager
+    entries and is a silent no-op for checkpoint blocks, which
+    otherwise live until the SparkContext dies). ONLY safe once no
+    live plan still reads the frame — a localCheckpoint has no lineage
+    to recompute from. Returns False if the frame is not
+    LogicalRDD-backed (nothing to release)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        return True
+    except Exception:
+        return False
 
 
 def scatter(df: DataFrame, partitions: int | None = None) -> DataFrame:

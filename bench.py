@@ -203,9 +203,16 @@ def main() -> None:
         timings[name] = _timed(lambda: _force(fn(spark, SF_DIR)), runs)
 
     total = round(sum(timings.values()), 3)
+    # value_with_substrates (VERDICT r11 #3): the honest round-over-
+    # round total — timed queries PLUS the one-time session-substrate
+    # builds that run in the untimed warm-up — so shifting work into
+    # warm-up can never silently improve the headline. `value` keeps
+    # its historical meaning (sum of per-query walls) for continuity.
+    total_with_substrates = round(total + sum(SUBSTRATE_TIMINGS.values()), 3)
     full = {
         "metric": "total_query_wall_clock",
         "value": total,
+        "value_with_substrates": total_with_substrates,
         "unit": "sec",
         "queries": timings,
         "substrates": dict(SUBSTRATE_TIMINGS),
@@ -230,6 +237,7 @@ def main() -> None:
             {
                 "metric": "total_query_wall_clock",
                 "value": total,
+                "value_with_substrates": total_with_substrates,
                 "unit": "sec",
                 "queries": slow,
                 "n_queries": len(timings),

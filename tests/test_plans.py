@@ -393,6 +393,39 @@ def test_prf_expand_broadcasts_terms_and_heap_cuts(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_bm25_tf_builds_no_token_explode(spark):
+    # companion to the checkpointed bm25 consumers (ADVICE r11 #1):
+    # both un-checkpointed tf builds keep their positive shape — ONE
+    # tokenize pass with in-row array-filter tf counting (no Generate/
+    # explode of the token arrays, which would multiply the stream by
+    # document length), and the dynamic variant fans terms out via a
+    # broadcast, never a shuffle
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.operators.ranking import (
+        bm25_dynamic_tf_frame,
+        bm25_tf_frame,
+    )
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.sources.loaders import (
+        load_table,
+    )
+
+    docs = load_table(spark, "documents", SF)
+    p1 = (
+        bm25_tf_frame(docs, ["data", "model"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert p1.count("FileScan parquet") == 1
+    assert "Generate" not in p1 and "Explode" not in p1
+    terms = docs.sparkSession.createDataFrame([("data",), ("model",)], "term string")
+    p2 = (
+        bm25_dynamic_tf_frame(docs, terms)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert p2.count("FileScan parquet") == 1
+    assert "Generate" not in p2 and "Explode" not in p2
+    assert "BroadcastNestedLoopJoin" in p2 or "BroadcastExchange" in p2
+    assert "SortMergeJoin" not in p2
+
+
 def test_late_interaction_partial_max_two_keyed_exchanges(spark):
     plan = _plan(spark, "q_late_interaction")
     # per-(label, token) MAX combines map-side; both aggregations are
@@ -696,6 +729,22 @@ def test_ks_drift_joins_grid_rows_not_documents(spark):
     # executes exactly once per call.)
     assert "FileScan parquet" not in plan
     assert "Scan ExistingRDD" in plan
+
+
+def test_ks_drift_cdf_build_keyed_window_partial_counts(spark):
+    # companion to the checkpoint test (ADVICE r11 #1): the
+    # un-checkpointed cdf build keeps its positive shape — the prefix
+    # sum is a window KEYED on source (bounded by one source's grid,
+    # never a global sort) and the class counts partial-aggregate
+    # map-side before their exchange
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_governance import (
+        ks_cdf_frame,
+    )
+
+    plan = ks_cdf_frame(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(source" in plan
+    assert "partial_count" in plan
+    assert "Window" in plan
 
 
 def test_quantile_normalize_one_keyed_window(spark):
@@ -1164,16 +1213,42 @@ def test_cohens_kappa_single_scan_four_counters(spark):
     assert "BatchEvalPython" not in plan
 
 
-def test_mad_is_one_linear_window_plan(spark):
+def test_mad_is_grouped_bucket_prefix_plan(spark):
     plan = _plan(spark, "q_mad_outliers")
-    # r11: value median, deviation median AND the outlier fold are all
-    # window expressions over the per-group class partition — ONE
-    # linear plan with a single fact scan, no checkpoint, no joins, no
-    # broadcasts, no built-in percentile buffer
-    assert plan.count("FileScan parquet") == 1
-    assert "Join" not in plan and "BroadcastExchange" not in plan
-    assert plan.count("Exchange hashpartitioning") <= 2
+    # r12 (VERDICT r11 #1): the grouped tie-class bucket idiom — every
+    # grid-sized window partitions by (group, bucket), never by the
+    # 5-value group alone, so no task ever sorts a whole priority's
+    # value grid; offsets attach via broadcast joins of the tiny
+    # (group, bucket) frames; the shared class grid is a single lazy
+    # checkpoint (Scan ExistingRDD), and no built-in percentile buffer
+    # appears anywhere
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastExchange" in plan
+    # bucketed exchange: the value-grid window partitions by
+    # (pri, bkt), the dv-grid window by (pri, bktd)
+    assert "hashpartitioning(pri#" in plan
+    assert "bkt#" in plan and "bktd#" in plan
     assert "percentile" not in plan.lower()
+
+
+def test_mad_grid_build_is_single_pruned_scan(spark):
+    # the pre-checkpoint class-grid build: one fact scan pruned to the
+    # two referenced columns, partial-aggregated map-side
+    import pyspark.sql.functions as F
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.sources.loaders import (
+        load_table,
+    )
+
+    o = load_table(spark, "orders", SF)
+    cls = (
+        o.selectExpr("o_orderpriority AS pri", "o_totalprice AS v")
+        .groupBy("pri", "v")
+        .agg(F.expr("CAST(count(1) AS LONG) AS cnt"))
+    )
+    plan = cls._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+    assert "o_orderpriority" in plan and "o_totalprice" in plan
+    assert "HashAggregate" in plan
 
 
 def test_containment_pairs_keyed_on_gram_not_cartesian(spark):
@@ -1551,6 +1626,12 @@ def test_kcore_rounds_checkpoint_shrinking_edges(spark):
     # materialized edges
     assert "FileScan parquet" not in plan
     assert "Scan ExistingRDD" in plan
+    # r12: alternating window orientation — adjacent same-key degree
+    # windows across round boundaries share one exchange, so 6 rounds
+    # of 2 keyed windows plus the final a-keyed core aggregate plan
+    # ≤7 exchanges (was 13 with the fixed a,b|a,b|… orientation)
+    assert plan.count("Exchange hashpartitioning") <= 7
+    assert plan.count("Window") == 2 * 6
 
 
 def test_peak_detection_rides_daily_checkpoint(spark):
@@ -1584,3 +1665,19 @@ def test_order_value_classes_substrate_build_shape(spark):
     assert plan.count("FileScan parquet") == 1
     assert "o_orderstatus" in plan and "o_totalprice" in plan
     assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_order_value_pivot_substrate_build_shape(spark):
+    # r12 (VERDICT r11 #2): the kruskal rank pivot is a session
+    # substrate derived from the (status, v, cnt) substrate — its
+    # pre-checkpoint build reads ExistingRDD (never the fact parquet)
+    # and is one hash re-aggregation with map-side partials
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.queries_stats import (
+        order_value_pivot_frame,
+    )
+
+    df = order_value_pivot_frame(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "partial_sum" in plan

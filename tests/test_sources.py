@@ -333,3 +333,26 @@ def test_substrate_caches_evict_on_session_stop(spark):
     finally:
         loaders._DAILY_ORDERS_CACHE.pop(sentinel, None)
         loaders._DOC_TOKENS_CACHE.pop(sentinel, None)
+
+
+def test_release_local_checkpoint_frees_blocks_and_keeps_consumers(spark):
+    """ADVICE r11 #3: a lazy localCheckpoint's RDD blocks outlive the
+    build that used it (plain unpersist() is a no-op for checkpoint
+    blocks); release_local_checkpoint drops them via the LogicalRDD,
+    and an EAGER downstream checkpoint stays readable afterwards."""
+    from adaptive_recommendation_chatbot_with_rag_and_vector_database_spark.sources.loaders import (
+        release_local_checkpoint,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    e = spark.range(0, 100).selectExpr("id", "id % 7 AS k").localCheckpoint(
+        eager=False
+    )
+    kept = e.groupBy("k").count().localCheckpoint()  # materializes e
+    assert jsc.getPersistentRDDs().size() >= before + 2
+    assert release_local_checkpoint(e)
+    assert jsc.getPersistentRDDs().size() == before + 1
+    assert kept.count() == 7  # eager consumer unaffected
+    # non-LogicalRDD frames are a safe no-op
+    assert not release_local_checkpoint(spark.range(3))
