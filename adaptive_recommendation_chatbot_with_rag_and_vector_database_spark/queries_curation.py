@@ -135,7 +135,15 @@ def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         _toks(spark, sf_dir)
         .select("doc_id", F.explode("toks").alias("w"))
     )
-    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    # lazy checkpoint (r12 scan-dupe paydown): the (doc, word) counts
+    # feed the corpus LM build AND the scoring probe — as plain
+    # subtrees the tokenize+explode pass ran three times per call
+    # (the vocabulary rollup re-derived it once more under `tot`)
+    wc = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     corpus = wc.groupBy("w").agg(F.sum("c").alias("cw"))
     tot = corpus.agg(
         F.sum("cw").alias("n"), F.count(F.lit(1)).alias("v")

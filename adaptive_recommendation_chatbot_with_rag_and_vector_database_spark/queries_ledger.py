@@ -605,6 +605,10 @@ def q_fifo_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             "l_linenumber",
         )
+        # lazy checkpoint (r12 scan-dupe paydown): the brand-filtered
+        # slice feeds BOTH the receipt and the issue cumsum sides — as
+        # plain subtrees the fact scan+dim probe ran twice per call
+        .localCheckpoint(eager=False)
     )
     wo = (
         Window.partitionBy("l_partkey")

@@ -1687,6 +1687,10 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "period")
         .agg(F.sum("v").alias("y"))
     )
+    # (r12 note: lazy-checkpointing `spend` and deriving the user set
+    # from its keys measured wall-NEGATIVE in interleaved A/B at sf0.1
+    # — checkpoint conversion cost > the saved pruned events scan —
+    # and was reverted, the d63a41f discipline)
     users = ev.select("user_id").distinct()
     periods = spark.createDataFrame([(0,), (1,)], "period int")
     grid = (

@@ -480,12 +480,23 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
     )
-    tot = e.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("pos").cast("long").alias("p"),
-    )
     b = e.withColumn("bkt", F.floor("value").cast("long"))
-    bc = b.groupBy("bkt").agg(F.count(F.lit(1)).cast("long").alias("bn"))
+    # r12 scan-dupe paydown: the bucket rollup (lazy checkpoint, tiny)
+    # also carries the positive count, so the global totals are an
+    # exact int64 re-aggregation of it — the events scan for `tot`
+    # disappears (was a third fact pass)
+    bc = (
+        b.groupBy("bkt")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("bn"),
+            F.sum("pos").cast("long").alias("bp"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = bc.agg(
+        F.sum("bn").cast("long").alias("n"),
+        F.sum("bp").cast("long").alias("p"),
+    )
     w_off = (
         Window.orderBy(F.desc("bkt"))
         .rowsBetween(Window.unboundedPreceding, -1)

@@ -343,6 +343,10 @@ def q_context_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(4)
+        # lazy checkpoint (r12 scan-dupe paydown): the 4-row seed set
+        # feeds BOTH the neighbor expansion and the n_seeds count — as
+        # plain subtrees the full-index cosine scan ran twice per call
+        .localCheckpoint(eager=False)
     )
     ids = (
         top.select(

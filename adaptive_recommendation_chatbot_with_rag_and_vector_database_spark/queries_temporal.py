@@ -868,6 +868,14 @@ def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "events", sf_dir)
         .select("user_id", F.col("ts").cast("date").alias("day"))
         .distinct()
+        # lazy checkpoint (r12 scan-dupe paydown): the deduplicated
+        # user×day frame feeds the day dimension, the DAU counts AND
+        # the window-end fan-out — as plain subtrees the fact
+        # scan+distinct exchange ran three times per call. (user×day
+        # is the query's own working set; persisting it once beats two
+        # extra full distinct shuffles at any scale, MEMORY_AND_DISK
+        # spills if it outgrows memory.)
+        .localCheckpoint(eager=False)
     )
     days = pairs.select("day").distinct()
     dau = pairs.groupBy("day").agg(

@@ -492,26 +492,35 @@ def q_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-cutoff aggregate per user, a distinct post-cutoff user set,
     and a left anti-shaped join for the label — all user-keyed; the
     cutoff is a 1-row broadcast."""
-    ev = load_table(spark, "events", sf_dir).select(
-        "user_id", F.col("ts").cast("date").alias("day")
+    # r12 scan-dupe paydown (guide §5): the cutoff scalar, pre-cutoff
+    # features and post-cutoff return set each re-scanned events — ONE
+    # (user, day) count rollup now feeds all three (lazy checkpoint,
+    # |user×day| rows). Exact-integer re-derivations: n_events_pre =
+    # Σ per-day counts, active_days = count of day rows, max(day) and
+    # the cutoff unchanged — value-identical to the per-scan forms.
+    dc = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
     )
-    cutoff = ev.agg(
+    cutoff = dc.agg(
         F.date_sub(F.max("day"), _CHURN_HORIZON_DAYS).alias("c")
     )
     pre = (
-        ev.crossJoin(F.broadcast(cutoff))
+        dc.crossJoin(F.broadcast(cutoff))
         .filter(F.col("day") <= F.col("c"))
         .groupBy("user_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_events_pre"),
-            F.countDistinct("day").cast("long").alias("active_days_pre"),
+            F.sum("n").cast("long").alias("n_events_pre"),
+            F.count(F.lit(1)).cast("long").alias("active_days_pre"),
             F.datediff(F.first("c"), F.max("day"))
             .cast("long")
             .alias("recency_days"),
         )
     )
     post = (
-        ev.crossJoin(F.broadcast(cutoff))
+        dc.crossJoin(F.broadcast(cutoff))
         .filter(F.col("day") > F.col("c"))
         .select("user_id")
         .distinct()

@@ -233,6 +233,10 @@ def q_tpch_important_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .groupBy("s_nationkey")
         .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("val"))
+        # lazy checkpoint (r12 scan-dupe paydown): the ~25-row nation
+        # rollup feeds the HAVING threshold AND the filtered join — as
+        # plain subtrees the fact scan+aggregate ran twice per call
+        .localCheckpoint(eager=False)
     )
     thr = sv.agg((F.sum("val") * 0.04).alias("_thr"))
     nation = _t(spark, sf_dir, "nation")
@@ -1058,6 +1062,11 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").cast("long").alias("y"),
         "o_totalprice",
     )
+    # (r12 note: a lazy checkpoint of the (customer, year) rollup
+    # feeding all three consumers measured wall-NEGATIVE in interleaved
+    # A/B at sf0.1 — the checkpoint's plan-conversion cost exceeds the
+    # saved duplicate aggregate on this sub-second query — and was
+    # reverted, the d63a41f discipline)
     first_year = o.groupBy("c").agg(F.min("y").alias("cohort"))
     yearly = o.groupBy("c", "y").agg(F.sum("o_totalprice").alias("rev"))
     size = first_year.groupBy("cohort").agg(
@@ -1692,6 +1701,10 @@ def q_top_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("rev")
         )
+        # lazy checkpoint (r12 scan-dupe paydown): the |nation×supplier|
+        # rollup feeds the nation totals AND the ranked join-back — as
+        # plain subtrees the fact scan+aggregate ran twice per call
+        .localCheckpoint(eager=False)
     )
     tot = rev.groupBy("n_name").agg(F.sum("rev").alias("tot"))
     w = Window.partitionBy("n_name").orderBy(F.desc("rev"), F.asc("s_name"))
@@ -1875,6 +1888,10 @@ def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, "nation", sf_dir).select(
         "n_nationkey", F.col("n_name").alias("nation")
     )
+    # (r12 note: a lazy checkpoint of `lab` for its two consumers
+    # measured wall-NEGATIVE in interleaved A/B at sf0.1 — the duplicate
+    # side is two broadcast dimension hops over the already-checkpointed
+    # cust_revenue substrate, cheaper than the checkpoint — reverted)
     lab = (
         cust.join(F.broadcast(c), cust.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
