@@ -793,6 +793,12 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     AS MATERIALIZED."""
     e = _undirected_edges(spark, sf_dir)
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # (r12 note: converting the per-round checkpoints to LAZY — one
+    # final job instead of 4 barrier jobs — measured flat-to-WORSE in
+    # back-to-back runs (1.2 -> 1.3-2.5 s): each lazy conversion still
+    # pays the same Catalyst plan->RDD cost at build time and the tiny
+    # barrier jobs were never the wall. Kept eager, the d63a41f
+    # discipline.)
     labels = (
         sym.select(F.col("a").alias("v"))
         .distinct()
